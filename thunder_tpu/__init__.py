@@ -1,0 +1,24 @@
+"""thunder_tpu: a TPU-native speech recognition framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+scart97/thunder-speech (reference: /root/reference/src/thunder):
+
+- end-to-end CTC speech recognition: audio -> mel filterbank (or wav2vec2)
+  preprocessing -> conv/transformer encoder -> CTC decoder -> greedy text
+- NeMo (.nemo) and HuggingFace checkpoint import
+- finetuning (frozen encoder schedules, vocab swaps)
+- data pipeline with NeMo-manifest datasets
+
+Design stance (TPU-first, not a port):
+- pure functions + pytree params; `jax.jit`-compiled batch compute
+- channels-last `(batch, time, channels)` layout so the channel dim maps to
+  TPU lanes and pointwise convs hit the MXU
+- `(array, lengths)` pairs + masks as the universal variable-length story
+  (replaces TorchScript dynamism in the reference)
+- host-side text/audio I/O; device-side everything else
+- scaling via `jax.sharding.Mesh` + NamedSharding (data/model axes)
+"""
+
+__version__ = "0.1.0"
+
+from thunder_tpu import ops  # noqa: F401

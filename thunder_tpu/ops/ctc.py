@@ -1,0 +1,190 @@
+"""CTC loss and greedy decoding, TPU-native.
+
+The loss is a log-semiring forward recursion over the extended label sequence
+(blanks interleaved), vectorized over ``(batch, state)`` and scanned over time
+with ``jax.lax.scan`` — static shapes, no data-dependent control flow, so it
+jits cleanly and autodiff provides the backward recursion.
+
+Parity target: ``torch.nn.functional.ctc_loss(blank=blank_idx,
+reduction="mean", zero_infinity=True)`` as wrapped by the reference
+``calculate_ctc`` (`/root/reference/src/thunder/ctc_loss.py:15-47`):
+- per-sample loss divided by its target length (clamped to 1), then averaged
+  over the batch;
+- infinite losses (impossible alignments) zeroed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ctc_forward_scores", "ctc_loss", "calculate_ctc", "greedy_decode", "collapse_ctc"]
+
+_NEG = -1e30
+
+
+def _logsumexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+
+
+def ctc_forward_scores(
+    log_probs: jax.Array,
+    logit_lengths: jax.Array,
+    targets: jax.Array,
+    target_lengths: jax.Array,
+    blank: int,
+) -> jax.Array:
+    """Per-sample negative log likelihood of the target under CTC.
+
+    Args:
+        log_probs: ``(batch, time, vocab)`` log-softmax outputs.
+        logit_lengths: ``(batch,)`` valid frames per sample.
+        targets: ``(batch, max_label_len)`` int labels (padding arbitrary).
+        target_lengths: ``(batch,)`` valid labels per sample.
+        blank: index of the CTC blank token.
+
+    Returns:
+        ``(batch,)`` loss values (may be +inf for impossible alignments).
+    """
+    batch, max_t, _ = log_probs.shape
+    max_l = targets.shape[1]
+    s_dim = 2 * max_l + 1
+
+    targets = targets.astype(jnp.int32)
+    logit_lengths = logit_lengths.astype(jnp.int32)
+    target_lengths = target_lengths.astype(jnp.int32)
+
+    # Extended label sequence: blank, y1, blank, y2, ..., blank  -> (B, S)
+    z = jnp.full((batch, s_dim), blank, dtype=jnp.int32)
+    z = z.at[:, 1::2].set(targets)
+
+    # A skip transition s-2 -> s is allowed when z_s is a label differing from
+    # z_{s-2}; never into blanks.
+    z_prev2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s_dim]
+    is_label = jnp.arange(s_dim) % 2 == 1
+    skip_ok = is_label[None, :] & (z != z_prev2)
+
+    # Per-state emission scores for every frame: (T, B, S)
+    lp_z = jnp.take_along_axis(log_probs, z[:, None, :], axis=2)
+    lp_z = jnp.moveaxis(lp_z, 1, 0)
+
+    neg = jnp.asarray(_NEG, log_probs.dtype)
+    alpha0 = jnp.full((batch, s_dim), neg, dtype=log_probs.dtype)
+    alpha0 = alpha0.at[:, 0].set(lp_z[0][:, 0])
+    if s_dim > 1:
+        first_label = jnp.where(target_lengths > 0, lp_z[0][:, 1], neg)
+        alpha0 = alpha0.at[:, 1].set(first_label)
+
+    def step(alpha, inputs):
+        lp_t, t = inputs
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=_NEG)[:, :s_dim]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=_NEG)[:, :s_dim]
+        a2 = jnp.where(skip_ok, a2, neg)
+        new_alpha = _logsumexp3(alpha, a1, a2) + lp_t
+        # Freeze alpha once past this sample's last valid frame so the carry
+        # at the end of the scan equals alpha at t = length - 1.
+        active = (t < logit_lengths)[:, None]
+        return jnp.where(active, new_alpha, alpha), None
+
+    ts = jnp.arange(1, max_t)
+    alpha, _ = jax.lax.scan(step, alpha0, (lp_z[1:], ts))
+
+    # log p = logsumexp(alpha[2*tl], alpha[2*tl - 1])
+    end = 2 * target_lengths
+    a_end = jnp.take_along_axis(alpha, end[:, None], axis=1)[:, 0]
+    a_end1 = jnp.take_along_axis(alpha, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0]
+    a_end1 = jnp.where(target_lengths > 0, a_end1, neg)
+    m = jnp.maximum(a_end, a_end1)
+    ll = m + jnp.log(jnp.exp(a_end - m) + jnp.exp(a_end1 - m))
+    loss = -ll
+    # Alignments shorter than needed (T < |extended path|) leave all end
+    # states at ~_NEG; report +inf like torch so zero_infinity can kick in.
+    return jnp.where(loss > -0.5 * _NEG, jnp.inf, loss)
+
+
+@partial(jax.jit, static_argnames=("blank", "reduction", "zero_infinity"))
+def ctc_loss(
+    log_probs: jax.Array,
+    logit_lengths: jax.Array,
+    targets: jax.Array,
+    target_lengths: jax.Array,
+    blank: int = 0,
+    reduction: str = "mean",
+    zero_infinity: bool = True,
+) -> jax.Array:
+    """CTC loss with torch-compatible reductions.
+
+    ``log_probs`` must already be log-softmaxed, shape ``(batch, time, vocab)``.
+    """
+    losses = ctc_forward_scores(log_probs, logit_lengths, targets, target_lengths, blank)
+    if zero_infinity:
+        losses = jnp.where(jnp.isinf(losses), 0.0, losses)
+    if reduction == "none":
+        return losses
+    if reduction == "sum":
+        return jnp.sum(losses)
+    if reduction == "mean":
+        denom = jnp.maximum(target_lengths, 1).astype(losses.dtype)
+        return jnp.mean(losses / denom)
+    raise ValueError(f"unknown reduction: {reduction}")
+
+
+@partial(jax.jit, static_argnames=("blank",))
+def calculate_ctc(
+    logits: jax.Array,
+    targets: jax.Array,
+    logit_lengths: jax.Array,
+    target_lengths: jax.Array,
+    blank: int,
+) -> jax.Array:
+    """API-parity wrapper of the reference ``calculate_ctc`` (`ctc_loss.py:15-47`).
+
+    Args:
+        logits: raw model outputs ``(batch, time, vocab)`` (pre-softmax).
+            NOTE: channels-last, unlike the reference's (batch, vocab, time).
+    """
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return ctc_loss(
+        log_probs,
+        logit_lengths,
+        targets,
+        target_lengths,
+        blank=blank,
+        reduction="mean",
+        zero_infinity=True,
+    )
+
+
+@jax.jit
+def greedy_decode(logits: jax.Array) -> jax.Array:
+    """Greedy (argmax) token ids per frame: ``(batch, time, vocab)`` -> ``(batch, time)``."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def collapse_ctc(ids: np.ndarray, lengths: np.ndarray | None = None, remove_repeated: bool = True):
+    """Host-side CTC collapse: drop consecutive repeats (keep blanks for the
+    text transform to strip, mirroring ``torch.unique_consecutive`` semantics
+    in the reference's ``decode_prediction``, `text_processing/transform.py:93-122`).
+
+    Args:
+        ids: ``(batch, time)`` int array.
+        lengths: optional valid frame counts per sample.
+
+    Returns:
+        list of 1-D numpy arrays of collapsed ids (consecutive duplicates
+        removed, blanks retained).
+    """
+    ids = np.asarray(ids)
+    out = []
+    for b in range(ids.shape[0]):
+        row = ids[b, : int(lengths[b])] if lengths is not None else ids[b]
+        if remove_repeated and row.size:
+            keep = np.ones(row.shape, dtype=bool)
+            keep[1:] = row[1:] != row[:-1]
+            row = row[keep]
+        out.append(row)
+    return out
