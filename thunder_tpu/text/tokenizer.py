@@ -1,0 +1,229 @@
+"""Tokenizers: char, word, subword (sentencepiece-compatible) + trainer.
+
+API parity with the reference (`/root/reference/src/thunder/text_processing/
+tokenizer.py:26-150`), but with an in-repo sentencepiece-compatible engine
+(:mod:`thunder_tpu.text.sentencepiece_model`) instead of the C++ dependency:
+
+- ``BPETokenizer(model_path)`` — loads a sentencepiece ``.model`` (real NeMo
+  checkpoints included) and segments text into pieces.
+- ``train_sentencepiece_model`` — trains a subword model and writes
+  ``tokenizer.model`` / ``tokenizer.vocab`` in sentencepiece's formats.  The
+  trainer implements BPE merges; ``tokenizer_type="unigram"`` trains BPE
+  merges, then rescores pieces by corpus log-frequency so Viterbi decoding
+  behaves like a unigram model (documented approximation of the C++ EM
+  trainer).
+- ``word_tokenizer`` / ``char_tokenizer`` / ``get_most_frequent_tokens``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from pathlib import Path
+from typing import Callable, List, Optional
+from warnings import warn
+
+from thunder_tpu.text.sentencepiece_model import (
+    BPE,
+    CONTROL,
+    NORMAL,
+    UNIGRAM,
+    UNKNOWN,
+    WORD_BOUNDARY,
+    SentencePieceModel,
+)
+
+__all__ = [
+    "BPETokenizer",
+    "train_sentencepiece_model",
+    "word_tokenizer",
+    "char_tokenizer",
+    "get_most_frequent_tokens",
+]
+
+
+class BPETokenizer:
+    """Callable wrapper: text -> subword pieces, from a ``.model`` file."""
+
+    def __init__(self, model_path: str):
+        self.model = SentencePieceModel.load(str(model_path))
+
+    def __call__(self, text: str) -> List[str]:
+        return self.model.encode_as_pieces(text)
+
+
+def word_tokenizer(text: str) -> List[str]:
+    """Whitespace word split."""
+    return text.split()
+
+
+def char_tokenizer(text: str) -> List[str]:
+    """Character split."""
+    return list(text)
+
+
+def get_most_frequent_tokens(
+    corpus: str,
+    tokenize_function: Callable[[str], List[str]],
+    minimum_frequency: int = 1,
+    max_number_of_tokens: Optional[int] = None,
+) -> List[str]:
+    """Unique tokens of a corpus ordered by frequency (>= minimum_frequency)."""
+    counts = Counter(tokenize_function(corpus))
+    out = []
+    for token, count in counts.most_common(max_number_of_tokens):
+        if count >= minimum_frequency:
+            out.append(token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_train(word_freqs: Counter, num_merges: int) -> List[str]:
+    """Classic BPE: returns merged symbols in merge order."""
+    # each word is a tuple of symbols
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges: List[str] = []
+    for _ in range(num_merges):
+        pair_counts: Counter = Counter()
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        (a, b), cnt = pair_counts.most_common(1)[0]
+        if cnt < 2:
+            break
+        merged = a + b
+        merges.append(merged)
+        new_words = {}
+        for syms, f in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+def train_sentencepiece_model(
+    data_file: str,
+    vocab_size: int,
+    output_dir: str,
+    sample_size: int = -1,
+    do_lower_case: bool = True,
+    tokenizer_type: str = "unigram",
+    character_coverage: float = 1.0,
+    train_extremely_large_corpus: bool = False,
+    max_sentencepiece_length: int = -1,
+) -> str:
+    """Train a subword model; writes ``tokenizer.model`` + ``tokenizer.vocab``.
+
+    Same signature/behavior contract as the reference wrapper
+    (`tokenizer.py:35-99`): skips with a warning when a model already exists
+    in ``output_dir``; returns ``output_dir``.
+    """
+    data_file = Path(data_file)
+    if not data_file.exists():
+        raise ValueError(f"data_file must be valid file path, but got {data_file}")
+
+    output_dir = Path(output_dir)
+    if (output_dir / "tokenizer.model").exists():
+        warn("There's already a trained sentencepiece model at the output directory. Skipping train.")
+        return str(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    sentences = data_file.read_text(encoding="utf-8").splitlines()
+    if sample_size > 0:
+        sentences = sentences[:sample_size]
+
+    normalizer = "nmt_nfkc_cf" if do_lower_case else "nmt_nfkc"
+    proto = SentencePieceModel(normalizer_name=normalizer)
+
+    word_freqs: Counter = Counter()
+    char_freqs: Counter = Counter()
+    for line in sentences:
+        line = proto.normalize(line.strip())
+        if not line:
+            continue
+        # normalize() maps spaces to the word boundary marker; split on it
+        for w in line.split(WORD_BOUNDARY):
+            if w:
+                word_freqs[WORD_BOUNDARY + w] += 1
+        for ch in line:
+            char_freqs[ch] += 1
+
+    # character coverage: drop rarest chars until coverage met
+    chars = char_freqs.most_common()
+    total = sum(c for _, c in chars) or 1
+    kept_chars: List[str] = []
+    covered = 0
+    for ch, c in chars:
+        if covered / total >= character_coverage and character_coverage < 1.0:
+            break
+        kept_chars.append(ch)
+        covered += c
+
+    specials = ["<unk>", "<s>", "</s>"]
+    budget = max(vocab_size - len(specials) - len(kept_chars), 0)
+    if max_sentencepiece_length == 0:
+        merges = []
+    else:
+        merges = _bpe_train(word_freqs, budget)
+        if max_sentencepiece_length > 0:
+            merges = [m for m in merges if len(m) <= max_sentencepiece_length]
+    merges = merges[:budget]
+
+    pieces = specials + merges + kept_chars
+    types = [UNKNOWN, CONTROL, CONTROL] + [NORMAL] * (len(pieces) - 3)
+
+    if tokenizer_type == "bpe":
+        # score = -merge_rank; single chars after merges
+        scores = [0.0, 0.0, 0.0] + [-float(i) for i in range(len(merges))]
+        scores += [-float(len(merges) + i) for i in range(len(kept_chars))]
+        model_type = BPE
+    else:
+        # unigram-style: log relative frequency of each piece in the corpus
+        piece_counts: Counter = Counter()
+        tmp = SentencePieceModel(
+            pieces=pieces,
+            scores=[0.0] * len(pieces),
+            types=types,
+            model_type=BPE,
+            normalizer_name=normalizer,
+        )
+        # provisional BPE scores for counting segmentation
+        tmp.scores = [0.0, 0.0, 0.0] + [-float(i) for i in range(len(pieces) - 3)]
+        for w, f in word_freqs.items():
+            for p in tmp._encode_bpe(w):
+                piece_counts[p] += f
+        total_c = sum(piece_counts.values()) or 1
+        scores = []
+        for i, p in enumerate(pieces):
+            if i < 3:
+                scores.append(0.0)
+            else:
+                c = piece_counts.get(p, 0)
+                scores.append(math.log((c + 0.5) / total_c))
+        model_type = UNIGRAM
+
+    proto.pieces, proto.scores, proto.types = pieces, scores, types
+    proto.model_type = model_type
+    proto.unk_id = 0
+    proto._reindex()
+    proto.save(str(output_dir / "tokenizer.model"))
+
+    with open(output_dir / "tokenizer.vocab", "w", encoding="utf-8") as f:
+        for p, s in zip(pieces, scores):
+            f.write(f"{p}\t{s:g}\n")
+
+    return str(output_dir)
