@@ -1,0 +1,125 @@
+"""Audio feature frontends as parameter-free flax modules.
+
+``FilterbankFeatures`` is the QuartzNet/Citrinet mel frontend — behavioral
+rebuild of the reference pipeline (`/root/reference/src/thunder/quartznet/
+transform.py:258-321`): dither (train only) -> preemphasis -> power spectrum
+-> mel -> log -> masked per-feature normalization (+ optional SpecCutout /
+SpecAugment in train mode).  On TPU the whole thing lowers to two fused
+matmul chains (windowed-DFT + mel projection) — see
+:mod:`thunder_tpu.ops.stft`; a hand-fused Pallas variant lives in
+:mod:`thunder_tpu.kernels`.
+
+``Wav2Vec2Preprocess`` mirrors `/root/reference/src/thunder/huggingface/
+transform.py:18-55` (zero-mean/unit-var waveform normalization).
+
+Output layout is channels-last ``(batch, frames, features)``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.ops.masking import lengths_to_mask, normalize_tensor
+from thunder_tpu.ops.specaugment import spec_augment, spec_cutout
+from thunder_tpu.ops.stft import (
+    mel_filterbank,
+    next_pow2,
+    power_spectrum,
+    power_spectrum_lengths,
+    preemphasis,
+)
+
+__all__ = ["FilterbankFeatures", "Wav2Vec2Preprocess"]
+
+
+class FilterbankFeatures(nn.Module):
+    """Raw audio ``(batch, time)`` -> normalized log-mel ``(batch, frames, nfilt)``."""
+
+    sample_rate: int = 16000
+    n_window_size: int = 320
+    n_window_stride: int = 160
+    n_fft: Optional[int] = None
+    preemph: float = 0.97
+    nfilt: int = 64
+    dither: float = 1e-5
+    num_cutout_masks: int = 0
+    num_time_masks: int = 0
+    num_freq_masks: int = 0
+    mask_time_width: int = 50
+    mask_freq_width: int = 20
+    stft_method: str = "matmul"
+    div_guard: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        if self.num_cutout_masks > 0 and (self.num_freq_masks + self.num_time_masks > 0):
+            raise ValueError("Cutout and SpecAugment can't be used at the same time.")
+        if self.n_window_size <= 0 or self.n_window_stride <= 0:
+            raise ValueError(
+                "FilterbankFeatures got an invalid value for either n_window_size "
+                "or n_window_stride. Both must be positive ints."
+            )
+        super().__post_init__()
+
+    @property
+    def fft_size(self) -> int:
+        return self.n_fft or next_pow2(self.n_window_size)
+
+    def output_lengths(self, lengths: jax.Array) -> jax.Array:
+        return power_spectrum_lengths(lengths, self.n_window_stride)
+
+    @nn.compact
+    def __call__(self, audio: jax.Array, lengths: jax.Array, train: bool = False):
+        x = audio.astype(jnp.float32)
+        if train and self.dither > 0:
+            rng = self.make_rng("augment")
+            x = x + self.dither * jax.random.normal(rng, x.shape, dtype=x.dtype)
+        x = preemphasis(x, self.preemph)
+        n_fft = self.fft_size
+        power = power_spectrum(x, n_fft, self.n_window_stride, self.n_window_size, method=self.stft_method)
+        out_lengths = self.output_lengths(lengths)
+
+        fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, self.nfilt, self.sample_rate))
+        mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
+        mel = jnp.log(mel + 2.0**-24)
+
+        # per-(sample, feature) normalization over valid frames; statistics are
+        # stop-gradiented like the reference's no_grad block (transform.py:87)
+        mask = lengths_to_mask(out_lengths, mel.shape[1])[:, :, None]
+        feats = normalize_tensor(mel, mask, div_guard=self.div_guard, axis=1)
+
+        if train and self.num_cutout_masks > 0:
+            feats = spec_cutout(
+                self.make_rng("augment"),
+                feats,
+                rect_masks=self.num_cutout_masks,
+                time_width=self.mask_time_width,
+                freq_width=self.mask_freq_width,
+            )
+        if train and (self.num_time_masks + self.num_freq_masks) > 0:
+            feats = spec_augment(
+                self.make_rng("augment"),
+                feats,
+                time_masks=self.num_time_masks,
+                freq_masks=self.num_freq_masks,
+                time_width=self.mask_time_width,
+                freq_width=self.mask_freq_width,
+            )
+        return feats.astype(self.dtype), out_lengths
+
+
+class Wav2Vec2Preprocess(nn.Module):
+    """Zero-mean/unit-variance waveform normalization (HF-compatible)."""
+
+    div_guard: float = 1e-7
+    mask_input: bool = False
+
+    @nn.compact
+    def __call__(self, audio: jax.Array, lengths: jax.Array, train: bool = False):
+        mask = lengths_to_mask(lengths, audio.shape[-1]) if self.mask_input else None
+        return normalize_tensor(audio, mask, div_guard=self.div_guard, axis=-1), lengths

@@ -1,0 +1,57 @@
+"""Citrinet encoder in flax.
+
+Architecture parity with the reference builders
+(`/root/reference/src/thunder/citrinet/blocks.py:200-278`):
+
+- stem: feat_in -> 256, k=5, separable, no residual, squeeze-excite;
+- body: per-(filters, kernel, stride) separable residual SE blocks, stride
+  applied only on the last repeat of a block;
+- final: k=41 640ch block, no residual.
+
+Layout: ``(batch, frames, channels)``; returns ``(encoded, lengths)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.models.layers import EncoderBlock
+
+__all__ = ["CitrinetEncoder"]
+
+
+class CitrinetEncoder(nn.Module):
+    filters: Sequence[int]
+    kernel_sizes: Sequence[int]
+    strides: Sequence[int]
+    feat_in: int = 80
+    repeat: int = 5
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    final_dimension: int = 640
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        kw = dict(
+            dtype=self.dtype,
+            precision=self.precision,
+            dropout=self.dropout,
+            separable=True,
+            squeeze_excite=True,
+            stride_last_only=True,
+            residual_stride_pow=False,  # Citrinet residual stride == stride
+        )
+        blocks = [dict(features=256, repeat=1, kernel_size=5, residual=False)]
+        for f, k, s in zip(self.filters, self.kernel_sizes, self.strides):
+            blocks.append(dict(features=f, repeat=self.repeat, kernel_size=k, stride=s))
+        blocks.append(dict(features=640, repeat=1, kernel_size=41, residual=False))
+
+        for i, cfg in enumerate(blocks):
+            x, lengths = EncoderBlock(name=f"block{i}", **cfg, **kw)(x, lengths, train=train)
+        return x, lengths

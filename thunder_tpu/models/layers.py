@@ -1,0 +1,230 @@
+"""Shared flax building blocks for the conv encoders.
+
+TPU-first rebuild of the reference block zoo
+(`/root/reference/src/thunder/quartznet/blocks.py`,
+`/root/reference/src/thunder/citrinet/blocks.py`):
+
+- channels-last ``(batch, time, channels)`` so pointwise convs are MXU
+  matmuls and the channel dim rides the 128-wide lanes;
+- ``(array, lengths)`` pairs instead of wrapper classes — the reference's
+  ``MultiSequential``/``Masked`` dissolve into function composition;
+- batch-norm running stats live in flax's ``batch_stats`` collection
+  (torch semantics: eps=1e-3, torch-momentum 0.1 == flax momentum 0.9).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.ops.conv import conv_output_length, get_same_padding
+from thunder_tpu.ops.masking import apply_mask, lengths_to_mask
+
+__all__ = ["MaskedConv1d", "ConvBnAct", "SqueezeExcite", "EncoderBlock"]
+
+# torch BatchNorm1d(momentum=0.1) == flax BatchNorm(momentum=0.9)
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-3
+
+
+class MaskedConv1d(nn.Module):
+    """1-D conv that zero-fills beyond ``lengths`` before convolving and
+    returns the post-conv lengths (reference ``MaskedConv1d``,
+    `quartznet/blocks.py:93-182`)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: Optional[int] = None  # None -> same padding
+    use_bias: bool = False
+    use_mask: bool = True
+    dtype: jnp.dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        pad = self.padding if self.padding is not None else get_same_padding(self.kernel_size, self.stride, self.dilation)
+        if self.use_mask:
+            x = apply_mask(x, lengths)
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(pad, pad)],
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            precision=self.precision,
+            name="conv",
+        )(x)
+        new_lengths = conv_output_length(lengths, self.kernel_size, self.stride, pad, self.dilation)
+        return y, new_lengths
+
+
+class ConvBnAct(nn.Module):
+    """(separable) conv -> batchnorm -> optional relu+dropout, with lengths.
+
+    ``separable=True`` builds depthwise(k, groups=C_in) + pointwise(1x1), the
+    time-channel-separable convolution of QuartzNet (`blocks.py:185-224`).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    separable: bool = False
+    padding: Optional[int] = None
+    activation: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False):
+        kw = dict(dtype=self.dtype, precision=self.precision)
+        if self.separable:
+            in_ch = x.shape[-1]
+            x, lengths = MaskedConv1d(
+                features=in_ch,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                dilation=self.dilation,
+                groups=in_ch,
+                padding=self.padding,
+                name="depthwise",
+                **kw,
+            )(x, lengths)
+            x, lengths = MaskedConv1d(features=self.features, kernel_size=1, name="pointwise", **kw)(x, lengths)
+        else:
+            x, lengths = MaskedConv1d(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                dilation=self.dilation,
+                padding=self.padding,
+                name="conv",
+                **kw,
+            )(x, lengths)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.activation:
+            x = nn.relu(x)
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x, lengths
+
+
+class SqueezeExcite(nn.Module):
+    """Channel gating from masked global average pooling.
+
+    Citrinet's SE module (`citrinet/blocks.py:48-83`).  The reference pools
+    over the full padded time axis; here the pool is masked by ``lengths`` —
+    identical for full-length inputs (the checkpoint-parity case) and correct
+    for padded batches.
+    """
+
+    reduction_ratio: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+        channels = x.shape[-1]
+        mask = lengths_to_mask(lengths, x.shape[1]).astype(x.dtype)[:, :, None]
+        denom = jnp.maximum(mask.sum(axis=1), 1.0)
+        pooled = (x * mask).sum(axis=1) / denom  # (B, C)
+        y = nn.Dense(channels // self.reduction_ratio, use_bias=False, dtype=self.dtype, name="fc1")(pooled)
+        y = nn.relu(y)
+        y = nn.Dense(channels, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        gate = jax.nn.sigmoid(y)
+        return x * gate[:, None, :]
+
+
+class EncoderBlock(nn.Module):
+    """The shared QuartzNet/Citrinet residual block.
+
+    ``repeat`` x (conv -> bn -> relu -> dropout), last repeat without act,
+    optional 1x1 conv-bn residual, then final relu+dropout
+    (`quartznet/blocks.py:231-338`, `citrinet/blocks.py:86-197`).
+
+    Differences encoded by flags:
+    - ``stride_last_only`` (Citrinet): stride applies only to the last repeat;
+    - ``squeeze_excite`` (Citrinet): SE module after the conv stack;
+    - residual stride: QuartzNet uses ``stride ** repeat`` when strided,
+      Citrinet uses ``stride``.
+    """
+
+    features: int
+    repeat: int = 5
+    kernel_size: int = 11
+    stride: int = 1
+    dilation: int = 1
+    dropout: float = 0.0
+    residual: bool = True
+    separable: bool = False
+    stride_last_only: bool = False
+    squeeze_excite: bool = False
+    se_reduction_ratio: int = 8
+    residual_stride_pow: bool = True  # True: stride**repeat (QuartzNet)
+    dtype: jnp.dtype = jnp.float32
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False):
+        kw = dict(
+            kernel_size=self.kernel_size,
+            dilation=self.dilation,
+            separable=self.separable,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+        out, out_lengths = x, lengths
+        for r in range(self.repeat):
+            last = r == self.repeat - 1
+            if self.stride_last_only:
+                stride_r = self.stride if last else 1
+            else:
+                stride_r = self.stride
+            pad = get_same_padding(self.kernel_size, stride_r, self.dilation)
+            out, out_lengths = ConvBnAct(
+                features=self.features,
+                stride=stride_r,
+                padding=pad,
+                activation=not last,
+                name=f"rep{r}",
+                **kw,
+            )(out, out_lengths, train=train)
+
+        if self.squeeze_excite:
+            out = SqueezeExcite(reduction_ratio=self.se_reduction_ratio, dtype=self.dtype, name="se")(out, out_lengths)
+
+        if self.residual:
+            if self.stride == 1:
+                res_stride = 1
+            else:
+                res_stride = self.stride**self.repeat if self.residual_stride_pow else self.stride
+            res, _ = ConvBnAct(
+                features=self.features,
+                kernel_size=1,
+                stride=res_stride,
+                activation=False,
+                name="res",
+                dtype=self.dtype,
+                precision=self.precision,
+            )(x, lengths, train=train)
+            out = out + res
+
+        out = nn.relu(out)
+        out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+        return out, out_lengths

@@ -1,0 +1,177 @@
+"""CTCModule: the user-facing model container (reference ``BaseCTCModule``).
+
+Functional rebuild of `/root/reference/src/thunder/module.py:25-189` for
+JAX/TPU:
+
+- the compute graph is one flax module (``CTCModel`` = audio_transform ->
+  encoder -> decoder) applied by jitted functions with static shapes;
+- variable-length audio is handled by padding buckets + masks instead of
+  TorchScript dynamism (`SURVEY.md §5.7`);
+- train/val steps live in :mod:`thunder_tpu.training` (optax), metrics in
+  :mod:`thunder_tpu.training.metrics`;
+- "export" is the jitted apply function itself (plus ``jax.export`` AOT in
+  :mod:`thunder_tpu.export`), not a scripted graph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thunder_tpu.ops.ctc import calculate_ctc, collapse_ctc
+from thunder_tpu.text.transform import BatchTextTransformer
+
+__all__ = ["CTCModel", "CTCModule", "pad_to_bucket"]
+
+
+class CTCModel(nn.Module):
+    """audio (B, T) -> logits (B, frames, vocab): the whole jittable graph."""
+
+    audio_transform: nn.Module
+    encoder: nn.Module
+    decoder: nn.Module
+
+    @nn.compact
+    def __call__(self, audio: jax.Array, lengths: jax.Array, train: bool = False):
+        feats, feat_lengths = self.audio_transform(audio, lengths, train=train)
+        encoded, out_lengths = self.encoder(feats, feat_lengths, train=train)
+        logits = self.decoder(encoded, train=train)
+        return logits, out_lengths
+
+
+def pad_to_bucket(n: int, multiple: int = 16000) -> int:
+    """Round up to the padding bucket, bounding the number of jit recompiles."""
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+@dataclass
+class CTCModule:
+    """Model + state + transforms, with inference conveniences.
+
+    Attributes:
+        model: the flax ``CTCModel``.
+        variables: flax variable dict (``params`` + optional ``batch_stats``).
+        text_transform: host-side text encode/decode.
+        encoder_final_dimension: channels out of the encoder (decoder input).
+    """
+
+    model: CTCModel
+    variables: Dict[str, Any]
+    text_transform: Optional[BatchTextTransformer]
+    encoder_final_dimension: Optional[int] = None
+    pad_multiple: int = 16000
+    _apply_cache: Dict[Tuple, Any] = field(default_factory=dict, repr=False)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        rng: jax.Array,
+        audio_transform: nn.Module,
+        encoder: nn.Module,
+        decoder: nn.Module,
+        text_transform: Optional[BatchTextTransformer] = None,
+        encoder_final_dimension: Optional[int] = None,
+        sample_len: int = 16000,
+    ) -> "CTCModule":
+        """Initialize parameters with a dummy batch (like the reference's
+        ``example_input_array``, `module.py:69-72`)."""
+        model = CTCModel(audio_transform=audio_transform, encoder=encoder, decoder=decoder)
+        dummy = jnp.zeros((2, sample_len), dtype=jnp.float32)
+        lengths = jnp.array([sample_len, sample_len // 2], dtype=jnp.int32)
+        variables = model.init({"params": rng}, dummy, lengths, train=False)
+        if encoder_final_dimension is None:
+            encoder_final_dimension = getattr(encoder, "final_dimension", None)
+        return cls(
+            model=model,
+            variables=dict(variables),
+            text_transform=text_transform,
+            encoder_final_dimension=encoder_final_dimension,
+        )
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def _eval_fn(self):
+        key = ("eval_fn",)
+        fn = self._apply_cache.get(key)
+        if fn is None:
+
+            @jax.jit
+            def fn(variables, audio, lengths):
+                logits, out_lengths = self.model.apply(variables, audio, lengths, train=False)
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return logits, preds, out_lengths
+
+            self._apply_cache[key] = fn
+        return fn
+
+    def forward(self, audio, lengths) -> Tuple[jax.Array, jax.Array]:
+        """Padded audio batch -> (logits, logit_lengths)."""
+        logits, _, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
+        return logits, out_lengths
+
+    __call__ = forward
+
+    def predict(self, audio, lengths=None) -> List[str]:
+        """Audio batch -> transcriptions (greedy CTC decode).
+
+        Pads time to a bucket multiple so repeated calls with nearby lengths
+        reuse the same compiled executable.
+        """
+        if self.text_transform is None:
+            raise ValueError("predict requires a text_transform (checkpoint had no tokenizer)")
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        if lengths is None:
+            lengths = np.full((audio.shape[0],), audio.shape[-1], dtype=np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        bucket = pad_to_bucket(audio.shape[-1], self.pad_multiple)
+        if bucket != audio.shape[-1]:
+            audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
+        _, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
+        collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
+        return [self.text_transform.decode_prediction(c[None])[0] for c in collapsed]
+
+    # ------------------------------------------------------------------
+    # loss (used by the training loop, exposed for API parity)
+    # ------------------------------------------------------------------
+
+    def loss(self, variables, audio, audio_lengths, targets, target_lengths, *, train=False, rngs=None):
+        outputs = self.model.apply(
+            variables,
+            audio,
+            audio_lengths,
+            train=train,
+            rngs=rngs,
+            mutable=["batch_stats"] if train else False,
+        )
+        if train:
+            (logits, out_lengths), updates = outputs
+        else:
+            logits, out_lengths = outputs
+            updates = None
+        loss = calculate_ctc(logits, targets, out_lengths, target_lengths, self.blank_idx)
+        return loss, (logits, out_lengths, updates)
+
+    @property
+    def blank_idx(self) -> int:
+        return self.text_transform.vocab.blank_idx if self.text_transform else 0
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    def with_variables(self, variables) -> "CTCModule":
+        return replace(self, variables=dict(variables), _apply_cache={})
