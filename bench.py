@@ -1,0 +1,80 @@
+"""Inference RTF benchmark on the flagship model (QuartzNet15x5 path).
+
+Measures end-to-end greedy-CTC inference throughput — mel frontend +
+encoder + decoder + argmax, all on device — as real-time factor
+(audio seconds transcribed per wall-clock second per chip).
+
+Baseline: the reference publishes no benchmark numbers (BASELINE.md); the
+rebuild north-star is RTF >= 500x per TPU v5e chip, so
+``vs_baseline = RTF / 500``.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModel
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    model = CTCModel(
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(repeat_blocks=3, dtype=compute_dtype),  # 15x5
+        decoder=Conv1dDecoder(num_classes=29, dtype=compute_dtype),
+    )
+
+    batch = 16 if on_tpu else 2
+    seconds = 15.0
+    samples = int(seconds * 16000)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32) * 0.1)
+    lengths = jnp.full((batch,), samples, dtype=jnp.int32)
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, audio[:1, : 16000], lengths[:1] * 0 + 16000, train=False)
+
+    @jax.jit
+    def infer(audio, lengths):
+        logits, out_lengths = model.apply(variables, audio, lengths, train=False)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return preds, out_lengths
+
+    # warmup / compile
+    preds, _ = infer(audio, lengths)
+    preds.block_until_ready()
+
+    iters = 10 if on_tpu else 2
+    start = time.perf_counter()
+    for _ in range(iters):
+        preds, out_lengths = infer(audio, lengths)
+    preds.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = batch * seconds * iters
+    rtf = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "inference_rtf_quartznet15x5",
+                "value": round(rtf, 2),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(rtf / 500.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

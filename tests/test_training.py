@@ -1,0 +1,147 @@
+import json
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from thunder_tpu.audio import FilterbankFeatures
+from thunder_tpu.data import ManifestDatamodule
+from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+from thunder_tpu.module import CTCModule
+from thunder_tpu.text import BatchTextTransformer
+from thunder_tpu.training import FinetuneEncoderDecoder, Trainer, cer, wer
+from thunder_tpu.training.metrics import edit_distance
+
+
+def _write_wav(path, data, rate=16000):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(data, -1, 1) * 32767).astype(np.int16).tobytes())
+
+
+@pytest.fixture()
+def tiny_module():
+    tt = BatchTextTransformer(tokens=list("abcdefghijklmnopqrstuvwxyz '"))
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(repeat=1, filters=(64,), kernel_sizes=(33,)),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+
+
+@pytest.fixture()
+def manifest(tmp_path):
+    rng = np.random.default_rng(0)
+    items = []
+    texts = ["hello world", "testing speech", "the cat sat", "quick brown fox"]
+    for i, text in enumerate(texts):
+        p = tmp_path / f"t{i}.wav"
+        n = 8000 + 1000 * i
+        _write_wav(p, 0.3 * np.sin(2 * np.pi * (200 + 40 * i) * np.arange(n) / 16000) + 0.01 * rng.standard_normal(n))
+        items.append({"audio_filepath": str(p), "text": text, "duration": n / 16000})
+    m = tmp_path / "manifest.json"
+    m.write_text("\n".join(json.dumps(it) for it in items))
+    return str(m)
+
+
+def test_metrics():
+    assert edit_distance("kitten", "sitting") == 3
+    assert wer(["the cat sat"], ["the cat sat"]) == 0.0
+    assert wer(["the dog sat"], ["the cat sat"]) == pytest.approx(1 / 3)
+    assert cer(["abcd"], ["abcf"]) == pytest.approx(1 / 4)
+    assert wer([""], ["a b"]) == 1.0
+
+
+def test_fast_dev_run(tiny_module, manifest):
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=2)
+    trainer = Trainer(max_epochs=1, fast_dev_run=True, optimizer_kwargs={"learning_rate": 1e-4})
+    module = trainer.fit(tiny_module, datamodule=dm)
+    train_logs = [l for l in trainer.logs if "loss/train_loss" in l]
+    val_logs = [l for l in trainer.logs if "loss/val_loss" in l]
+    assert train_logs and np.isfinite(train_logs[0]["loss/train_loss"])
+    assert val_logs and np.isfinite(val_logs[0]["loss/val_loss"])
+    assert 0.0 <= val_logs[0]["metrics/wer"]
+
+
+def test_training_reduces_loss(tiny_module, manifest):
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=4, num_workers=2)
+    trainer = Trainer(
+        max_epochs=12,
+        optimizer_kwargs={"learning_rate": 3e-4},
+        log_every=1,
+    )
+    dm.setup("fit")
+    module = trainer.fit(tiny_module, train_loader=dm.train_dataloader())
+    losses = [l["loss/train_loss"] for l in trainer.logs if "loss/train_loss" in l]
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_onecycle_total_steps_injection(tiny_module, manifest):
+    from thunder_tpu.training import onecycle
+
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=2)
+    trainer = Trainer(
+        max_epochs=2,
+        optimizer_kwargs={"learning_rate": 1e-4},
+        lr_scheduler_builder=onecycle,
+        lr_scheduler_kwargs={"max_lr": 1e-3, "total_steps_arg": "total_steps"},
+    )
+    dm.setup("fit")
+    module = trainer.fit(tiny_module, train_loader=dm.train_dataloader())
+    assert module is not None
+
+
+def test_finetune_callback_freezes_encoder(tiny_module, manifest):
+    import flax
+
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=4, num_workers=2)
+    dm.setup("fit")
+    before = flax.traverse_util.flatten_dict(tiny_module.variables["params"]["encoder"])
+    trainer = Trainer(
+        max_epochs=1,
+        optimizer_kwargs={"learning_rate": 1e-3},
+        callbacks=[FinetuneEncoderDecoder(unfreeze_encoder_at_epoch=100)],
+    )
+    module = trainer.fit(tiny_module, train_loader=dm.train_dataloader())
+    after = flax.traverse_util.flatten_dict(module.variables["params"]["encoder"])
+    for k in before:
+        np.testing.assert_array_equal(np.asarray(before[k]), np.asarray(after[k]))
+    # decoder must have moved
+    dec_before = flax.traverse_util.flatten_dict(tiny_module.variables["params"]["decoder"])
+    dec_after = flax.traverse_util.flatten_dict(module.variables["params"]["decoder"])
+    assert any(
+        not np.array_equal(np.asarray(dec_before[k]), np.asarray(dec_after[k])) for k in dec_before
+    )
+
+
+def test_finetune_callback_unfreezes(tiny_module, manifest):
+    import flax
+
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=4, num_workers=2)
+    dm.setup("fit")
+    before = flax.traverse_util.flatten_dict(tiny_module.variables["params"]["encoder"])
+    trainer = Trainer(
+        max_epochs=2,
+        optimizer_kwargs={"learning_rate": 1e-3},
+        callbacks=[FinetuneEncoderDecoder(unfreeze_encoder_at_epoch=1, encoder_initial_lr_div=10)],
+    )
+    module = trainer.fit(tiny_module, train_loader=dm.train_dataloader())
+    after = flax.traverse_util.flatten_dict(module.variables["params"]["encoder"])
+    assert any(not np.array_equal(np.asarray(before[k]), np.asarray(after[k])) for k in before)
+
+
+def test_checkpoint_save_restore(tiny_module, manifest, tmp_path):
+    from thunder_tpu.training.checkpointing import restore_module_variables, save_module
+
+    path = save_module(str(tmp_path / "ckpt"), tiny_module)
+    audio = np.random.default_rng(0).standard_normal((1, 8000)).astype(np.float32)
+    before = np.asarray(tiny_module.forward(audio, np.array([8000]))[0])
+    restored = restore_module_variables(path, tiny_module)
+    after = np.asarray(restored.forward(audio, np.array([8000]))[0])
+    np.testing.assert_allclose(before, after)

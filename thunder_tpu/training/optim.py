@@ -1,0 +1,109 @@
+"""Optimizer / LR-schedule builders (optax).
+
+Rebuild of the reference's builder-classes convention
+(`/root/reference/src/thunder/module.py:165-189` + `utils.py:146-168`): the
+module takes ``optimizer_class``/``optimizer_kwargs`` and optional
+``lr_scheduler_class``/``lr_scheduler_kwargs``; a kwarg named by
+``total_steps_arg`` is filled with the trainer's total step count at fit time
+(the OneCycle pattern exercised by `tests/test_finetune.py:49-81`).
+
+The freeze/unfreeze schedule replaces the reference's
+``FinetuneEncoderDecoder`` Lightning callback (`callbacks.py:16-85`): instead
+of mutating optimizer param groups mid-training, updates for the ``encoder``
+subtree are masked out until the unfreeze step and scaled by
+``1 / encoder_initial_lr_div`` afterwards — same trajectory, pure-functional.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "adamw",
+    "sgd",
+    "onecycle",
+    "build_optimizer",
+    "finetune_schedule_transform",
+]
+
+
+def adamw(learning_rate=1e-3, weight_decay=1e-2, **kw) -> optax.GradientTransformation:
+    return optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay, **kw)
+
+
+def sgd(learning_rate=1e-3, momentum=0.0, **kw) -> optax.GradientTransformation:
+    return optax.sgd(learning_rate=learning_rate, momentum=momentum, **kw)
+
+
+def onecycle(max_lr: float, total_steps: int, pct_start: float = 0.3, div_factor: float = 25.0, final_div_factor: float = 1e4):
+    """OneCycleLR-equivalent schedule (cosine annealing variant)."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=max_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def build_optimizer(
+    optimizer_builder: Callable[..., optax.GradientTransformation] = adamw,
+    optimizer_kwargs: Optional[Dict[str, Any]] = None,
+    lr_scheduler_builder: Optional[Callable[..., optax.Schedule]] = None,
+    lr_scheduler_kwargs: Optional[Dict[str, Any]] = None,
+    total_steps: Optional[int] = None,
+) -> optax.GradientTransformation:
+    """Builders + kwargs -> one optax transformation.
+
+    A kwarg literally named ``total_steps_arg`` names which other kwarg should
+    receive ``total_steps`` (reference `module.py:165-172`).
+    """
+    optimizer_kwargs = dict(optimizer_kwargs or {})
+    lr_scheduler_kwargs = dict(lr_scheduler_kwargs or {})
+    for kwargs in (optimizer_kwargs, lr_scheduler_kwargs):
+        arg = kwargs.pop("total_steps_arg", None)
+        if arg:
+            if total_steps is None:
+                raise ValueError("total_steps_arg requested but total_steps unknown")
+            kwargs[arg] = total_steps
+    if lr_scheduler_builder is not None:
+        schedule = lr_scheduler_builder(**lr_scheduler_kwargs)
+        optimizer_kwargs["learning_rate"] = schedule
+    return optimizer_builder(**optimizer_kwargs)
+
+
+def finetune_schedule_transform(
+    optimizer: optax.GradientTransformation,
+    unfreeze_encoder_at_step: int,
+    encoder_initial_lr_div: float = 10.0,
+    encoder_path: str = "encoder",
+) -> optax.GradientTransformation:
+    """Freeze the encoder subtree until a step, then train it at lr/div.
+
+    Masks encoder updates to zero before ``unfreeze_encoder_at_step`` and
+    scales them by ``1/encoder_initial_lr_div`` afterwards; the rest of the
+    model trains normally throughout.
+    """
+
+    def encoder_scale(step):
+        return jnp.where(step >= unfreeze_encoder_at_step, 1.0 / encoder_initial_lr_div, 0.0)
+
+    def init_fn(params):
+        return {"inner": optimizer.init(params), "step": jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None, **extra):
+        new_inner_updates, inner_state = optimizer.update(updates, state["inner"], params, **extra)
+        scale = encoder_scale(state["step"])
+
+        def scale_encoder(path, u):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return u * scale if top == encoder_path else u
+
+        new_updates = jax.tree_util.tree_map_with_path(scale_encoder, new_inner_updates)
+        return new_updates, {"inner": inner_state, "step": state["step"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -1,0 +1,256 @@
+"""Training loop: jitted CTC train/val steps, DP/TP meshes, metrics, ckpt.
+
+Replaces the reference's Lightning Trainer usage (`SURVEY.md §3.3`):
+
+- one jitted ``train_step`` (value_and_grad over the whole CTCModel,
+  batch_stats threaded functionally, donated state);
+- batches shard over the mesh's ``data`` axis, params may shard over
+  ``model`` (see :mod:`thunder_tpu.parallel.mesh`) — XLA inserts the gradient
+  all-reduce; no distribution code in the loop itself;
+- text encoding stays on host; target arrays pad to width buckets so the
+  step compiles a bounded number of times;
+- WER/CER on validation via :mod:`thunder_tpu.training.metrics`;
+- orbax checkpointing via :mod:`thunder_tpu.training.checkpointing`.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from thunder_tpu.module import CTCModule
+from thunder_tpu.ops.ctc import calculate_ctc, collapse_ctc
+from thunder_tpu.parallel.mesh import batch_sharding, make_mesh, shard_variables
+from thunder_tpu.training.metrics import CharErrorRate, WordErrorRate
+from thunder_tpu.training.optim import adamw, build_optimizer, finetune_schedule_transform
+
+__all__ = ["TrainState", "Trainer", "FinetuneEncoderDecoder", "make_train_step"]
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+@dataclass
+class FinetuneEncoderDecoder:
+    """Encoder freeze/unfreeze schedule (reference callback parity,
+    `/root/reference/src/thunder/callbacks.py:16-85`).
+
+    The encoder's updates are zero until ``unfreeze_encoder_at_epoch`` and
+    scaled by ``1/encoder_initial_lr_div`` afterwards.  ``train_batchnorm``
+    keeps running statistics updating during the frozen phase (they always do
+    in train mode here, matching Lightning's BaseFinetuning(train_bn=True)).
+    """
+
+    unfreeze_encoder_at_epoch: int = 1
+    encoder_initial_lr_div: float = 10.0
+    train_batchnorm: bool = True
+
+    def wrap(self, tx: optax.GradientTransformation, steps_per_epoch: int) -> optax.GradientTransformation:
+        return finetune_schedule_transform(
+            tx,
+            unfreeze_encoder_at_step=self.unfreeze_encoder_at_epoch * steps_per_epoch,
+            encoder_initial_lr_div=self.encoder_initial_lr_div,
+        )
+
+
+def make_train_step(model, blank_idx: int) -> Callable:
+    """Build the jitted SPMD train step for a CTCModel."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, audio, audio_lengths, targets, target_lengths, rng):
+        rng_drop, rng_aug = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            (logits, out_lengths), updates = model.apply(
+                variables,
+                audio,
+                audio_lengths,
+                train=True,
+                rngs={"dropout": rng_drop, "augment": rng_aug},
+                mutable=["batch_stats"],
+            )
+            loss = calculate_ctc(logits, targets, out_lengths, target_lengths, blank_idx)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if updates and "batch_stats" in updates:
+            state = state.replace(batch_stats=updates["batch_stats"])
+        return state, loss
+
+    return train_step
+
+
+def make_eval_step(model, blank_idx: int) -> Callable:
+    @jax.jit
+    def eval_step(variables, audio, audio_lengths, targets, target_lengths):
+        logits, out_lengths = model.apply(variables, audio, audio_lengths, train=False)
+        loss = calculate_ctc(logits, targets, out_lengths, target_lengths, blank_idx)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return loss, preds, out_lengths
+
+    return eval_step
+
+
+def _pad_targets(width: int, multiple: int = 32) -> int:
+    return max(multiple, -(-width // multiple) * multiple)
+
+
+def _pad_batch_for_mesh(batch, mesh):
+    """Repeat trailing rows so the batch divides the data axis (SPMD needs
+    equal per-device shards; repeated rows slightly overweight their loss in
+    the final partial batch)."""
+    from thunder_tpu.parallel.mesh import DATA_AXIS
+
+    n = batch[0].shape[0]
+    d = mesh.shape[DATA_AXIS]
+    if n % d == 0:
+        return batch
+    target = -(-n // d) * d
+    idx = np.concatenate([np.arange(n), np.arange(target - n) % n])
+    return tuple(np.asarray(b)[idx] for b in batch)
+
+
+@dataclass
+class Trainer:
+    """Minimal, TPU-native fit/validate loop.
+
+    Args mirror the knobs the reference reaches through Lightning:
+    optimizer/scheduler builders with the ``total_steps_arg`` convention,
+    finetune callback, checkpoint dir, epochs, fast_dev_run.
+    """
+
+    max_epochs: int = 1
+    optimizer_builder: Callable = adamw
+    optimizer_kwargs: Dict[str, Any] = field(default_factory=dict)
+    lr_scheduler_builder: Optional[Callable] = None
+    lr_scheduler_kwargs: Dict[str, Any] = field(default_factory=dict)
+    callbacks: List[Any] = field(default_factory=list)
+    checkpoint_dir: Optional[str] = None
+    mesh: Optional[Any] = None
+    model_parallel: int = 1
+    seed: int = 0
+    log_every: int = 50
+    fast_dev_run: bool = False
+    logger: Optional[Callable[[Dict[str, float]], None]] = None
+
+    logs: List[Dict[str, float]] = field(default_factory=list)
+
+    def _log(self, entry: Dict[str, float]):
+        self.logs.append(entry)
+        if self.logger:
+            self.logger(entry)
+
+    def fit(self, module: CTCModule, datamodule=None, train_loader=None, val_loader=None) -> CTCModule:
+        if datamodule is not None:
+            datamodule.setup("fit")
+            train_loader = datamodule.train_dataloader()
+            val_loader = datamodule.val_dataloader()
+        steps_per_epoch = len(train_loader)
+        total_steps = 1 if self.fast_dev_run else steps_per_epoch * self.max_epochs
+
+        tx = build_optimizer(
+            self.optimizer_builder,
+            self.optimizer_kwargs,
+            self.lr_scheduler_builder,
+            self.lr_scheduler_kwargs,
+            total_steps=total_steps,
+        )
+        for cb in self.callbacks:
+            if isinstance(cb, FinetuneEncoderDecoder):
+                tx = cb.wrap(tx, steps_per_epoch)
+
+        mesh = self.mesh
+        if mesh is None and self.model_parallel > 1:
+            mesh = make_mesh(model_parallel=self.model_parallel)
+
+        # copy: the jitted step donates its input state, which would otherwise
+        # invalidate the caller's module.variables buffers
+        variables = jax.tree_util.tree_map(jnp.array, module.variables)
+        if mesh is not None:
+            variables = shard_variables(variables, mesh)
+
+        state = TrainState.create(
+            apply_fn=module.model.apply,
+            params=variables["params"],
+            tx=tx,
+            batch_stats=variables.get("batch_stats"),
+        )
+        train_step = make_train_step(module.model, module.blank_idx)
+        rng = jax.random.PRNGKey(self.seed)
+        data_shard = batch_sharding(mesh) if mesh is not None else None
+
+        step = 0
+        t0 = time.perf_counter()
+        for epoch in range(self.max_epochs):
+            for audio, audio_lengths, texts in train_loader:
+                targets, target_lengths = module.text_transform.encode(
+                    texts, pad_to=_pad_targets(max(len(t) for t in texts) + 2)
+                )
+                batch = (audio, audio_lengths, targets, target_lengths)
+                if data_shard is not None:
+                    batch = _pad_batch_for_mesh(batch, mesh)
+                    batch = tuple(jax.device_put(np.asarray(b), data_shard) for b in batch)
+                state, loss = train_step(state, *batch, rng)
+                step += 1
+                if step % self.log_every == 0 or self.fast_dev_run:
+                    self._log(
+                        {
+                            "step": step,
+                            "epoch": epoch,
+                            "loss/train_loss": float(loss),
+                            "steps_per_sec": step / (time.perf_counter() - t0),
+                        }
+                    )
+                if self.fast_dev_run:
+                    break
+            new_vars = {"params": state.params}
+            if state.batch_stats is not None:
+                new_vars["batch_stats"] = state.batch_stats
+            module = module.with_variables(new_vars)
+            if val_loader is not None:
+                metrics = self.validate(module, val_loader, epoch=epoch)
+                self._log(metrics)
+            if self.checkpoint_dir:
+                from thunder_tpu.training.checkpointing import save_checkpoint
+
+                save_checkpoint(self.checkpoint_dir, state, step=step)
+            if self.fast_dev_run:
+                break
+        return module
+
+    def validate(self, module: CTCModule, val_loader, epoch: int = 0) -> Dict[str, float]:
+        eval_step = make_eval_step(module.model, module.blank_idx)
+        cer_m, wer_m = CharErrorRate(), WordErrorRate()
+        losses = []
+        for audio, audio_lengths, texts in val_loader:
+            targets, target_lengths = module.text_transform.encode(
+                texts, pad_to=_pad_targets(max(len(t) for t in texts) + 2)
+            )
+            loss, preds, out_lengths = eval_step(module.variables, audio, audio_lengths, targets, target_lengths)
+            losses.append(float(loss))
+            collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
+            decoded = [module.text_transform.decode_prediction(c[None])[0] for c in collapsed]
+            refs = module.text_transform.decode_prediction(targets, remove_repeated=False)
+            cer_m.update(decoded, refs)
+            wer_m.update(decoded, refs)
+            if self.fast_dev_run:
+                break
+        return {
+            "epoch": epoch,
+            "loss/val_loss": float(np.mean(losses)) if losses else float("nan"),
+            "metrics/cer": cer_m.compute(),
+            "metrics/wer": wer_m.compute(),
+        }
