@@ -1,0 +1,170 @@
+"""HuggingFace wav2vec2 checkpoint import.
+
+Rebuild of `/root/reference/src/thunder/huggingface/compatibility.py:23-135`:
+``load_huggingface_checkpoint(name)`` pulls a torch ``AutoModelForCTC`` (hub
+id or local directory), converts its weights onto the flax
+:class:`~thunder_tpu.models.wav2vec2.Wav2Vec2Encoder`, builds the text
+transform from the tokenizer vocab, and copies ``lm_head`` into a
+``LinearDecoder`` — returning a ready ``CTCModule``.
+
+Weight-norm on the positional conv (``weight_g``/``weight_v`` or the newer
+``parametrizations.weight.original{0,1}``) is folded into a plain kernel at
+import time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+from warnings import warn
+
+import jax
+import numpy as np
+
+from thunder_tpu.audio.frontend import Wav2Vec2Preprocess
+from thunder_tpu.models.decoders import LinearDecoder
+from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from thunder_tpu.module import CTCModule
+from thunder_tpu.text.transform import BatchTextTransformer
+
+__all__ = ["load_huggingface_checkpoint", "hf_state_to_variables", "tokenizer_to_transform"]
+
+
+def _get_special_token(tokenizer, token_name: str) -> Optional[str]:
+    token = getattr(tokenizer, token_name)
+    if token in tokenizer.additional_special_tokens:
+        return None
+    return token
+
+
+def tokenizer_to_transform(tokenizer) -> BatchTextTransformer:
+    """HF CTC tokenizer -> BatchTextTransformer (reference ``_tok_to_transform``).
+
+    Vocab is ordered by token id (the decoder's output axis), "|" maps to
+    space, and post-hoc ``additional_special_tokens`` are dropped.
+    """
+    by_id = sorted(tokenizer.get_vocab().items(), key=lambda kv: kv[1])
+    extras = set(tokenizer.additional_special_tokens)
+    vocab = [(" " if tok == "|" else tok) for tok, _ in by_id if tok not in extras]
+    return BatchTextTransformer(
+        tokens=vocab,
+        blank_token=_get_special_token(tokenizer, "pad_token"),
+        pad_token=_get_special_token(tokenizer, "pad_token"),
+        unknown_token=_get_special_token(tokenizer, "unk_token"),
+    )
+
+
+def _fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """weight = g * v / ||v|| with the norm over the dims where g is size-1."""
+    reduce_dims = tuple(i for i in range(v.ndim) if g.shape[i] == 1)
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=reduce_dims, keepdims=True))
+    return (g * v / norm).astype(np.float32)
+
+
+def _conv_t(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def hf_state_to_variables(state: Dict[str, np.ndarray], config: Wav2Vec2Config) -> Dict[str, Any]:
+    """HF Wav2Vec2Model state dict (numpy) -> flax params for Wav2Vec2Encoder."""
+    import flax
+
+    p: Dict[tuple, np.ndarray] = {}
+
+    def dense(src: str, dst: tuple):
+        p[dst + ("kernel",)] = np.ascontiguousarray(state[src + ".weight"].T)
+        if src + ".bias" in state:
+            p[dst + ("bias",)] = state[src + ".bias"]
+
+    def norm(src: str, dst: tuple):
+        p[dst + ("scale",)] = state[src + ".weight"]
+        p[dst + ("bias",)] = state[src + ".bias"]
+
+    for i in range(len(config.conv_dim)):
+        base = f"feature_extractor.conv_layers.{i}"
+        p[("feature_extractor", f"conv{i}", "kernel")] = _conv_t(state[f"{base}.conv.weight"])
+        if f"{base}.conv.bias" in state:
+            p[("feature_extractor", f"conv{i}", "bias")] = state[f"{base}.conv.bias"]
+        if config.feat_extract_norm == "group" and i == 0:
+            norm(f"{base}.layer_norm", ("feature_extractor", "gn"))
+        elif config.feat_extract_norm == "layer":
+            norm(f"{base}.layer_norm", ("feature_extractor", f"ln{i}"))
+
+    norm("feature_projection.layer_norm", ("fp_layer_norm",))
+    dense("feature_projection.projection", ("fp_projection",))
+
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_g" in state:
+        g, v = state[f"{pc}.weight_g"], state[f"{pc}.weight_v"]
+    else:
+        g = state[f"{pc}.parametrizations.weight.original0"]
+        v = state[f"{pc}.parametrizations.weight.original1"]
+    p[("pos_conv", "kernel")] = _conv_t(_fold_weight_norm(np.asarray(g), np.asarray(v)))
+    p[("pos_conv", "bias")] = state[f"{pc}.bias"]
+
+    norm("encoder.layer_norm", ("enc_layer_norm",))
+    for i in range(config.num_hidden_layers):
+        base = f"encoder.layers.{i}"
+        dst = (f"layer{i}",)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            dense(f"{base}.attention.{proj}", dst + ("attention", proj))
+        norm(f"{base}.layer_norm", dst + ("layer_norm",))
+        dense(f"{base}.feed_forward.intermediate_dense", dst + ("intermediate_dense",))
+        dense(f"{base}.feed_forward.output_dense", dst + ("output_dense",))
+        norm(f"{base}.final_layer_norm", dst + ("final_layer_norm",))
+
+    return flax.traverse_util.unflatten_dict(p)
+
+
+def load_huggingface_checkpoint(model_name: str, **model_kwargs) -> CTCModule:
+    """HF hub id (or local save_pretrained dir) -> ready CTCModule."""
+    from transformers import AutoFeatureExtractor, AutoModelForCTC, AutoTokenizer
+
+    model = AutoModelForCTC.from_pretrained(model_name, **model_kwargs)
+    feature_extractor = AutoFeatureExtractor.from_pretrained(model_name)
+    config = Wav2Vec2Config.from_hf(model.config)
+
+    state = {k: v.detach().cpu().float().numpy() for k, v in model.base_model.state_dict().items()}
+    mask_input = bool(getattr(feature_extractor, "return_attention_mask", False))
+    encoder = Wav2Vec2Encoder(config=config, mask_input=mask_input)
+
+    text_transform = None
+    decoder = None
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(model_name)
+        text_transform = tokenizer_to_transform(tokenizer)
+        decoder = LinearDecoder(num_classes=text_transform.num_tokens, dropout=0.0)
+    except (OSError, KeyError, TypeError, ValueError):
+        # modern transformers raises TypeError/ValueError for a missing
+        # tokenizer where older versions raised OSError
+        warn(
+            UserWarning(
+                "Huggingface model is missing the tokenizer! decoder and "
+                "text_transform were not initialized"
+            )
+        )
+
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(mask_input=mask_input),
+        encoder=encoder,
+        decoder=decoder,
+        text_transform=text_transform,
+        encoder_final_dimension=config.hidden_size,
+        sample_len=4000,
+    )
+
+    params = dict(module.variables["params"])
+    params["encoder"] = hf_state_to_variables(state, config)
+    if decoder is not None and hasattr(model, "lm_head"):
+        params["decoder"] = {
+            "dense": {
+                "kernel": np.ascontiguousarray(model.lm_head.weight.detach().numpy().T),
+                "bias": model.lm_head.bias.detach().numpy(),
+            }
+        }
+    variables = {"params": params}
+    if "batch_stats" in module.variables:
+        variables["batch_stats"] = module.variables["batch_stats"]
+    module = module.with_variables(variables)
+    module.pad_multiple = 16000
+    return module

@@ -1,0 +1,224 @@
+"""wav2vec2 encoder in flax (conv feature extractor + transformer).
+
+TPU-native implementation of the architecture the reference reaches through
+HuggingFace ``AutoModelForCTC`` (`/root/reference/src/thunder/huggingface/
+compatibility.py:23-42,65-112`).  Supports both HF variants:
+
+- ``feat_extract_norm="group"`` + post-layernorm encoder (wav2vec2-base)
+- ``feat_extract_norm="layer"`` + pre-layernorm ("stable") encoder
+  (wav2vec2-large / lv60)
+
+Layout: waveform ``(batch, time)`` -> hidden ``(batch, frames, hidden)``;
+lengths thread through with the HF conv-arithmetic formula
+(``_get_feat_extract_output_lengths``).  Attention uses explicit q/k/v/out
+Dense projections so HF weights map 1:1 (see compat/hf.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thunder_tpu.ops.masking import lengths_to_mask
+
+__all__ = ["Wav2Vec2Config", "Wav2Vec2Encoder", "feat_extract_output_lengths"]
+
+
+class Wav2Vec2Config:
+    """Subset of HF Wav2Vec2Config the encoder needs (defaults = base)."""
+
+    def __init__(
+        self,
+        hidden_size: int = 768,
+        num_hidden_layers: int = 12,
+        num_attention_heads: int = 12,
+        intermediate_size: int = 3072,
+        conv_dim: Sequence[int] = (512, 512, 512, 512, 512, 512, 512),
+        conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2),
+        conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2),
+        conv_bias: bool = False,
+        feat_extract_norm: str = "group",
+        do_stable_layer_norm: bool = False,
+        num_conv_pos_embeddings: int = 128,
+        num_conv_pos_embedding_groups: int = 16,
+        layer_norm_eps: float = 1e-5,
+    ):
+        self.hidden_size = hidden_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.intermediate_size = intermediate_size
+        self.conv_dim = tuple(conv_dim)
+        self.conv_kernel = tuple(conv_kernel)
+        self.conv_stride = tuple(conv_stride)
+        self.conv_bias = conv_bias
+        self.feat_extract_norm = feat_extract_norm
+        self.do_stable_layer_norm = do_stable_layer_norm
+        self.num_conv_pos_embeddings = num_conv_pos_embeddings
+        self.num_conv_pos_embedding_groups = num_conv_pos_embedding_groups
+        self.layer_norm_eps = layer_norm_eps
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "Wav2Vec2Config":
+        return cls(
+            hidden_size=hf_config.hidden_size,
+            num_hidden_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            conv_dim=hf_config.conv_dim,
+            conv_kernel=hf_config.conv_kernel,
+            conv_stride=hf_config.conv_stride,
+            conv_bias=hf_config.conv_bias,
+            feat_extract_norm=hf_config.feat_extract_norm,
+            do_stable_layer_norm=hf_config.do_stable_layer_norm,
+            num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
+            layer_norm_eps=hf_config.layer_norm_eps,
+        )
+
+
+def feat_extract_output_lengths(lengths, kernels: Sequence[int], strides: Sequence[int]):
+    """HF ``_get_feat_extract_output_lengths``: floor((L - k) / s) + 1 per layer."""
+    for k, s in zip(kernels, strides):
+        lengths = (lengths - k) // s + 1
+    return lengths
+
+
+class _FeatureExtractor(nn.Module):
+    config: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        x = x[:, :, None]  # (B, T, 1)
+        for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
+            x = nn.Conv(
+                features=dim,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=cfg.conv_bias,
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(x)
+            if cfg.feat_extract_norm == "group" and i == 0:
+                # HF GroupNorm(groups == channels) == per-channel instance norm
+                x = nn.GroupNorm(
+                    num_groups=None, group_size=1, epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="gn"
+                )(x)
+            elif cfg.feat_extract_norm == "layer":
+                x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class _Attention(nn.Module):
+    config: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        h, heads = cfg.hidden_size, cfg.num_attention_heads
+        dh = h // heads
+        dense = lambda name: nn.Dense(h, dtype=self.dtype, name=name)
+        # HF scales the query projection by dh**-0.5
+        q = dense("q_proj")(x) * (dh**-0.5)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], heads, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k), preferred_element_type=jnp.float32)
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
+        scores = jnp.where(key_mask[:, None, None, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v))
+        out = out.reshape(x.shape[0], x.shape[1], h)
+        return dense("out_proj")(out)
+
+
+class _EncoderLayer(nn.Module):
+    config: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
+        attn = _Attention(cfg, dtype=self.dtype, name="attention")
+        if cfg.do_stable_layer_norm:
+            x = x + attn(ln("layer_norm")(x), key_mask, train=train)
+            y = ln("final_layer_norm")(x)
+            y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(y)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y)
+            return x + y
+        x = ln("layer_norm")(x + attn(x, key_mask, train=train))
+        y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y)
+        return ln("final_layer_norm")(x + y)
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Waveform -> transformer hidden states, with length threading.
+
+    Drop-in encoder for ``CTCModel`` (same ``(x, lengths, train)`` contract as
+    the conv encoders).
+    """
+
+    config: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
+    mask_input: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def final_dimension(self) -> int:
+        return self.config.hidden_size
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        feats = _FeatureExtractor(cfg, dtype=self.dtype, name="feature_extractor")(x, train=train)
+        out_lengths = feat_extract_output_lengths(
+            lengths.astype(jnp.int32), cfg.conv_kernel, cfg.conv_stride
+        )
+
+        # feature projection
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="fp_layer_norm")(feats)
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(h)
+
+        mask = lengths_to_mask(out_lengths, h.shape[1])
+        if self.mask_input:
+            # HF zeroes padded positions before the transformer
+            h = jnp.where(mask[:, :, None], h, 0.0)
+            key_mask = mask
+        else:
+            key_mask = jnp.ones_like(mask)
+
+        # convolutional positional embedding (weight-normed conv in HF; the
+        # importer folds g*v/||v|| into a plain kernel)
+        k = cfg.num_conv_pos_embeddings
+        pos = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(k,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            name="pos_conv",
+        )(h)
+        if k % 2 == 0:  # HF SamePad removes the trailing frame for even kernels
+            pos = pos[:, : h.shape[1], :]
+        pos = nn.gelu(pos, approximate=False)
+        h = h + pos
+
+        if not cfg.do_stable_layer_norm:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
+        for i in range(cfg.num_hidden_layers):
+            h = _EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(h, key_mask, train=train)
+        if cfg.do_stable_layer_norm:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
+        return h, out_lengths

@@ -41,6 +41,9 @@ class CTCModel(nn.Module):
     def __call__(self, audio: jax.Array, lengths: jax.Array, train: bool = False):
         feats, feat_lengths = self.audio_transform(audio, lengths, train=train)
         encoded, out_lengths = self.encoder(feats, feat_lengths, train=train)
+        if self.decoder is None:
+            # encoder-only checkpoints (e.g. HF models without a tokenizer)
+            return encoded, out_lengths
         logits = self.decoder(encoded, train=train)
         return logits, out_lengths
 
