@@ -53,6 +53,9 @@ class FilterbankFeatures(nn.Module):
     mask_time_width: int = 50
     mask_freq_width: int = 20
     stft_method: str = "matmul"
+    #: None -> use the fused Pallas kernel on TPU, XLA elsewhere;
+    #: True/False force it
+    use_fused_kernel: bool | None = None
     div_guard: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
@@ -79,14 +82,29 @@ class FilterbankFeatures(nn.Module):
         if train and self.dither > 0:
             rng = self.make_rng("augment")
             x = x + self.dither * jax.random.normal(rng, x.shape, dtype=x.dtype)
-        x = preemphasis(x, self.preemph)
         n_fft = self.fft_size
-        power = power_spectrum(x, n_fft, self.n_window_stride, self.n_window_size, method=self.stft_method)
         out_lengths = self.output_lengths(lengths)
+        fused = self.use_fused_kernel
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        if fused:
+            from thunder_tpu.kernels.frontend_pallas import fused_log_mel
 
-        fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, self.nfilt, self.sample_rate))
-        mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
-        mel = jnp.log(mel + 2.0**-24)
+            mel = fused_log_mel(
+                x,
+                sample_rate=self.sample_rate,
+                n_fft=n_fft,
+                hop_length=self.n_window_stride,
+                win_length=self.n_window_size,
+                n_mels=self.nfilt,
+                preemph=self.preemph,
+            )
+        else:
+            x = preemphasis(x, self.preemph)
+            power = power_spectrum(x, n_fft, self.n_window_stride, self.n_window_size, method=self.stft_method)
+            fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, self.nfilt, self.sample_rate))
+            mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
+            mel = jnp.log(mel + 2.0**-24)
 
         # per-(sample, feature) normalization over valid frames; statistics are
         # stop-gradiented like the reference's no_grad block (transform.py:87)

@@ -1,0 +1,166 @@
+"""Fused Pallas TPU kernel for the mel-filterbank frontend.
+
+One kernel pass computes, per (batch row, 128-frame tile):
+
+    hop-sized audio chunks (DMA'd slice, VMEM)
+      -> windowed real-DFT as a sum of static-sliced matmuls (MXU)
+      -> |.|^2                           (VPU)
+      -> mel projection matmul (MXU)
+      -> log(x + 2^-24)                  (VPU)
+
+so neither the (B, frames, n_fft) frame tensor nor the (B, frames, n_freqs)
+power spectrum ever round-trips through HBM — the XLA pipeline in
+:mod:`thunder_tpu.ops.stft` materializes both.  This is the "single fused
+Pallas preprocessing kernel" called for by the rebuild north star
+(BASELINE.json) in place of the reference's torch.stft pipeline
+(`/root/reference/src/thunder/quartznet/transform.py:147-255`).
+
+Framing trick (keeps every memory access statically aligned, which Mosaic
+requires): with chunk matrix ``H[i] = audio[i*hop : (i+1)*hop]``, frame ``i``
+is the concatenation ``H[i] .. H[i+c-1]`` (c = ceil(n_fft/hop)), so
+
+    frames @ basis  ==  sum_j  H[j : j+TILE]  @  basis[j*hop : (j+1)*hop]
+
+— c static-sliced (TILE, hop) x (hop, 2*freqs) matmuls instead of a
+hop-strided gather.  Reflect padding + preemphasis stay in XLA (cheap
+elementwise on the raw audio).
+
+The public entry :func:`fused_log_mel` matches ``ops.stft.mel_features``
+numerically (see tests/test_kernels.py) and runs in interpreter mode off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from thunder_tpu.ops.stft import _padded_window, _rdft_basis, hann_window, mel_filterbank
+
+__all__ = ["fused_log_mel"]
+
+FRAME_TILE = 128  # frames per grid step (sublane-friendly)
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    chunks_hbm, basis_ref, mel_ref, out_ref, chunk_scratch, sem, *, hop_p, n_chunk_steps, n_tile_chunks
+):
+    b = pl.program_id(0)
+    f = pl.program_id(1)
+
+    # DMA this tile's chunk rows (with halo) into VMEM
+    copy = pltpu.make_async_copy(
+        chunks_hbm.at[b, pl.ds(f * FRAME_TILE, n_tile_chunks), :],
+        chunk_scratch,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    # windowed DFT via c static-sliced matmuls; real | imag halves
+    y = jnp.zeros((FRAME_TILE, basis_ref.shape[1]), dtype=jnp.float32)
+    for j in range(n_chunk_steps):
+        y = y + jnp.dot(
+            chunk_scratch[j : j + FRAME_TILE, :],
+            basis_ref[j * hop_p : (j + 1) * hop_p, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    half = y.shape[-1] // 2
+    power = y[:, :half] * y[:, :half] + y[:, half:] * y[:, half:]
+
+    # mel projection + log floor
+    mel = jnp.dot(power, mel_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    out_ref[0, :, :] = jnp.log(mel + 2.0**-24)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sample_rate", "n_fft", "hop_length", "win_length", "n_mels", "preemph", "interpret")
+)
+def fused_log_mel(
+    audio: jax.Array,
+    sample_rate: int = 16000,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    win_length: int = 320,
+    n_mels: int = 64,
+    preemph: float = 0.97,
+    interpret: bool = False,
+) -> jax.Array:
+    """(batch, time) float32 audio -> (batch, frames, n_mels) log-mel.
+
+    frames = time // hop + 1 (torch.stft center semantics).  Set
+    ``interpret=True`` to run the kernel in interpreter mode (CPU tests).
+    """
+    batch, time = audio.shape
+    hop = hop_length
+    num_frames = time // hop + 1
+    frames_padded = _round_up(num_frames, FRAME_TILE)
+    n_freqs = n_fft // 2 + 1
+    freqs_padded = _round_up(n_freqs, LANE)
+    mels_padded = _round_up(n_mels, LANE)
+    n_chunk_steps = -(-n_fft // hop)  # chunks spanned by one frame
+    # Mosaic DMA slices must be sublane(8)/lane(128) aligned: round the halo
+    # rows to 8 and the chunk width to 128 (zero columns are matmul no-ops)
+    n_tile_chunks = _round_up(FRAME_TILE + n_chunk_steps, 8)
+    hop_p = _round_up(hop, LANE)
+
+    # XLA-side prep: preemphasis + center reflect pad + halo pad + chunking
+    x = jnp.concatenate([audio[:, :1], audio[:, 1:] - preemph * audio[:, :-1]], axis=1)
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    # enough rows that the last tile's (aligned) halo DMA stays in bounds
+    total_chunks = frames_padded + n_tile_chunks - FRAME_TILE
+    needed = total_chunks * hop
+    x = jnp.pad(x, ((0, 0), (0, max(0, needed - x.shape[1]))))[:, :needed]
+    chunks = x.reshape(batch, total_chunks, hop)
+    if hop_p != hop:
+        chunks = jnp.pad(chunks, ((0, 0), (0, 0), (0, hop_p - hop)))
+
+    # constant operands (baked at trace time)
+    window = _padded_window(hann_window(win_length), n_fft)
+    cos_b, sin_b = _rdft_basis(n_fft)
+    wcos = cos_b * window[:, None]
+    wsin = sin_b * window[:, None]
+    # basis laid out per chunk-step block of hop_p rows (only the first hop
+    # rows of each block are real samples; the pad rows are zero)
+    basis = np.zeros((n_chunk_steps * hop_p, 2 * freqs_padded), dtype=np.float32)
+    for j in range(n_chunk_steps):
+        rows = min(hop, n_fft - j * hop)
+        basis[j * hop_p : j * hop_p + rows, :n_freqs] = wcos[j * hop : j * hop + rows]
+        basis[j * hop_p : j * hop_p + rows, freqs_padded : freqs_padded + n_freqs] = wsin[j * hop : j * hop + rows]
+    melmat = np.zeros((freqs_padded, mels_padded), dtype=np.float32)
+    melmat[:n_freqs, :n_mels] = mel_filterbank(n_freqs, n_mels, sample_rate)
+
+    grid = (batch, frames_padded // FRAME_TILE)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, hop_p=hop_p, n_chunk_steps=n_chunk_steps, n_tile_chunks=n_tile_chunks),
+        out_shape=jax.ShapeDtypeStruct((batch, frames_padded, mels_padded), jnp.float32),
+        grid=grid,
+        in_specs=[
+            # chunked audio stays in HBM/ANY (full-array block; the kernel
+            # DMAs the per-tile rows + halo itself)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_chunk_steps * hop_p, 2 * freqs_padded), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((freqs_padded, mels_padded), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, FRAME_TILE, mels_padded), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_tile_chunks, hop_p), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(chunks, jnp.asarray(basis), jnp.asarray(melmat))
+
+    return out[:, :num_frames, :n_mels]
