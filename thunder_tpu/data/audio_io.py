@@ -98,6 +98,8 @@ def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         return native_load_wav(path)
     except (ImportError, OSError):
         pass
+    except ValueError:
+        pass  # fall through for the python parser's clearer errors
     info, offset, size, audio_format = _parse_wav_header(path)
     with open(path, "rb") as f:
         f.seek(offset)

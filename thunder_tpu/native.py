@@ -1,0 +1,176 @@
+"""ctypes bindings for the native C++ host runtime (csrc/thunder_native.cpp).
+
+The shared library is looked up next to the package; if absent, it is built
+once with g++ (cached).  Users of these functions keep pure-Python fallbacks
+(see data/audio_io.py, training/metrics.py) so the framework also works where
+no compiler exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+__all__ = [
+    "native_available",
+    "native_load_wav",
+    "native_wav_info",
+    "native_resample",
+    "native_edit_distance",
+    "native_ctc_collapse",
+]
+
+_LIB_PATH = Path(__file__).parent / "libthunder_native.so"
+_SRC = Path(__file__).parent.parent / "csrc" / "thunder_native.cpp"
+
+
+class _TnAudio(ctypes.Structure):
+    _fields_ = [
+        ("data", ctypes.POINTER(ctypes.c_float)),
+        ("channels", ctypes.c_int32),
+        ("frames", ctypes.c_int64),
+        ("sample_rate", ctypes.c_int32),
+    ]
+
+
+def _build() -> bool:
+    if not _SRC.exists():
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", str(_LIB_PATH), str(_SRC)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load():
+    if not _LIB_PATH.exists() and not _build():
+        raise ImportError("thunder_tpu native library unavailable (build failed)")
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
+    lib.tn_load_wav.restype = ctypes.c_int
+    lib.tn_free_audio.argtypes = [ctypes.POINTER(_TnAudio)]
+    lib.tn_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.tn_wav_info.restype = ctypes.c_int
+    lib.tn_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.tn_resample.restype = ctypes.c_int
+    lib.tn_edit_distance.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    lib.tn_edit_distance.restype = ctypes.c_int64
+    lib.tn_ctc_collapse.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.tn_ctc_collapse.restype = ctypes.c_int64
+    return lib
+
+
+try:
+    _lib = _load()
+except ImportError:
+    _lib = None
+
+if _lib is None:
+    raise ImportError("thunder_tpu native library unavailable")
+
+
+def native_available() -> bool:
+    return _lib is not None
+
+
+def native_load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a WAV file -> ((channels, frames) float32, sample_rate)."""
+    audio = _TnAudio()
+    rc = _lib.tn_load_wav(str(path).encode(), ctypes.byref(audio))
+    if rc != 0:
+        raise ValueError(f"native wav decode failed ({rc}) for {path}")
+    try:
+        n = audio.channels * audio.frames
+        flat = np.ctypeslib.as_array(audio.data, shape=(n,)).copy()
+        return flat.reshape(audio.channels, audio.frames), int(audio.sample_rate)
+    finally:
+        _lib.tn_free_audio(ctypes.byref(audio))
+
+
+def native_wav_info(path: str):
+    frames = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    rc = _lib.tn_wav_info(str(path).encode(), frames, rate, channels, bits)
+    if rc != 0:
+        raise ValueError(f"native wav info failed ({rc}) for {path}")
+    return frames.value, rate.value, channels.value, bits.value
+
+
+def native_resample(x: np.ndarray, up: int, down: int, zeros: int = 16) -> np.ndarray:
+    """Polyphase windowed-sinc resample of a 1-D float32 signal."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n_out = -(-x.shape[-1] * up // down)
+    y = np.empty(n_out, dtype=np.float32)
+    rc = _lib.tn_resample(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[-1],
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_out,
+        up,
+        down,
+        zeros,
+    )
+    if rc != 0:
+        raise ValueError("native resample failed")
+    return y
+
+
+def native_edit_distance(a, b) -> int:
+    """Levenshtein distance between two sequences (str or int sequences)."""
+    ai = np.asarray([ord(c) for c in a] if isinstance(a, str) else a, dtype=np.int32)
+    bi = np.asarray([ord(c) for c in b] if isinstance(b, str) else b, dtype=np.int32)
+    return int(
+        _lib.tn_edit_distance(
+            ai.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(ai),
+            bi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(bi),
+        )
+    )
+
+
+def native_ctc_collapse(ids: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicates from a 1-D int32 id sequence."""
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    out = np.empty_like(ids)
+    m = _lib.tn_ctc_collapse(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ids),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out[:m].copy()

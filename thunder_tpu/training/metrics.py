@@ -33,12 +33,14 @@ def edit_distance(a: Sequence, b: Sequence) -> int:
     """Levenshtein distance between two sequences (native kernel if available)."""
     try:
         from thunder_tpu.native import native_edit_distance
-
-        if isinstance(a, str) and isinstance(b, str):
-            return native_edit_distance(a, b)
     except ImportError:
-        pass
-    return _edit_distance_py(a, b)
+        return _edit_distance_py(a, b)
+    if isinstance(a, str) and isinstance(b, str):
+        return native_edit_distance(a, b)
+    # map arbitrary hashable tokens (e.g. words) onto ints for the C kernel
+    ids: dict = {}
+    enc = lambda seq: [ids.setdefault(t, len(ids)) for t in seq]
+    return native_edit_distance(enc(a), enc(b))
 
 
 class ErrorRate:
