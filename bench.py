@@ -24,31 +24,32 @@ def main():
     import jax.numpy as jnp
 
     from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.engine import InferenceEngine
     from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
-    from thunder_tpu.module import CTCModel
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    model = CTCModel(
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
         audio_transform=FilterbankFeatures(),
-        encoder=QuartznetEncoder(repeat_blocks=3, dtype=compute_dtype),  # 15x5
-        decoder=Conv1dDecoder(num_classes=29, dtype=compute_dtype),
+        encoder=QuartznetEncoder(repeat_blocks=3),  # 15x5
+        decoder=Conv1dDecoder(num_classes=29),
+        text_transform=BatchTextTransformer(tokens=list("abcdefghijklmnopqrstuvwxyz '")),
+        sample_len=16000,
     )
+    engine = InferenceEngine(module)
 
-    batch = 16 if on_tpu else 2
+    batch = 32 if on_tpu else 2
     seconds = 15.0
     samples = int(seconds * 16000)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32) * 0.1)
     lengths = jnp.full((batch,), samples, dtype=jnp.int32)
 
-    variables = model.init({"params": jax.random.PRNGKey(0)}, audio[:1, : 16000], lengths[:1] * 0 + 16000, train=False)
-
-    @jax.jit
     def infer(audio, lengths):
-        logits, out_lengths = model.apply(variables, audio, lengths, train=False)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        _, preds, out_lengths = engine._infer(audio, lengths)
         return preds, out_lengths
 
     # warmup / compile

@@ -1,0 +1,103 @@
+"""InferenceEngine parity vs the flax apply path (f32, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thunder_tpu.audio import FilterbankFeatures
+from thunder_tpu.engine import InferenceEngine
+from thunder_tpu.models import CitrinetEncoder, Conv1dDecoder, QuartznetEncoder
+from thunder_tpu.module import CTCModule
+from thunder_tpu.text import BatchTextTransformer
+
+
+def _randomized(module, seed=0):
+    """Give BN stats non-trivial values so folding is actually tested."""
+    import flax
+
+    rng = np.random.default_rng(seed)
+    flat = flax.traverse_util.flatten_dict(module.variables)
+    for k, v in flat.items():
+        if k[-1] == "var":
+            flat[k] = jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+        elif k[-1] in ("mean",) or (k[-1] in ("scale", "bias") and "bn" in k):
+            flat[k] = jnp.asarray((rng.standard_normal(v.shape) * 0.3).astype(np.float32))
+    return module.with_variables(flax.traverse_util.unflatten_dict(flat))
+
+
+@pytest.fixture()
+def qn_module():
+    tt = BatchTextTransformer(tokens=list("abcdefghijklmnopqrstuvwxyz '"))
+    m = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(repeat=2, filters=(256,), kernel_sizes=(33,)),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    return _randomized(m)
+
+
+@pytest.fixture()
+def cn_module():
+    tt = BatchTextTransformer(tokens=list("abc '"))
+    m = CTCModule.create(
+        jax.random.PRNGKey(1),
+        audio_transform=FilterbankFeatures(nfilt=80),
+        encoder=CitrinetEncoder(filters=(256,), kernel_sizes=(13,), strides=(2,), repeat=2, feat_in=80),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    return _randomized(m, seed=1)
+
+
+def _compare(module, engine, seed=0):
+    rng = np.random.default_rng(seed)
+    audio = (rng.standard_normal((2, 16000)) * 0.2).astype(np.float32)
+    lengths = np.array([16000, 9000], dtype=np.int32)
+    want_logits, want_lens = module.forward(audio, lengths)
+    got_logits, got_lens = engine(audio, lengths)
+    np.testing.assert_array_equal(np.asarray(got_lens), np.asarray(want_lens))
+    for i, l in enumerate(np.asarray(want_lens)):
+        np.testing.assert_allclose(
+            np.asarray(got_logits)[i, :l], np.asarray(want_logits)[i, :l], atol=2e-3, rtol=1e-3
+        )
+
+
+def test_engine_matches_module_quartznet(qn_module):
+    engine = InferenceEngine(qn_module, compute_dtype=jnp.float32, use_pallas=False)
+    _compare(qn_module, engine)
+
+
+def test_engine_matches_module_citrinet(cn_module):
+    engine = InferenceEngine(cn_module, compute_dtype=jnp.float32, use_pallas=False)
+    _compare(cn_module, engine, seed=2)
+
+
+def test_engine_predict_matches_module(qn_module):
+    engine = InferenceEngine(qn_module, compute_dtype=jnp.float32, use_pallas=False)
+    audio = (np.random.default_rng(3).standard_normal(12000) * 0.2).astype(np.float32)
+    assert engine.predict(audio) == qn_module.predict(audio)
+
+
+def test_engine_rejects_wav2vec2():
+    from thunder_tpu.audio import Wav2Vec2Preprocess
+    from thunder_tpu.models import LinearDecoder
+    from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    tt = BatchTextTransformer(tokens=list("ab"))
+    cfg = Wav2Vec2Config(hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+                         intermediate_size=64, conv_dim=(16,), conv_kernel=(10,), conv_stride=(5,))
+    m = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(),
+        encoder=Wav2Vec2Encoder(config=cfg),
+        decoder=LinearDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    with pytest.raises(ValueError):
+        InferenceEngine(m)

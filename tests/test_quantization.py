@@ -1,0 +1,67 @@
+import jax
+import numpy as np
+
+from thunder_tpu.audio import Wav2Vec2Preprocess
+from thunder_tpu.models import LinearDecoder
+from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from thunder_tpu.module import CTCModule
+from thunder_tpu.quantization import dequantize_variables, quantization_summary, quantize_variables
+from thunder_tpu.text import BatchTextTransformer
+
+
+def _tiny_w2v2_module():
+    tt = BatchTextTransformer(tokens=list("abc "))
+    cfg = Wav2Vec2Config(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16),
+        conv_kernel=(10, 3),
+        conv_stride=(5, 2),
+    )
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(),
+        encoder=Wav2Vec2Encoder(config=cfg),
+        decoder=LinearDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+
+
+def test_quantize_dequantize_roundtrip_accuracy():
+    module = _tiny_w2v2_module()
+    q = quantize_variables(module.variables)
+    summary = quantization_summary(q)
+    assert summary["quantized_bytes"] > 0
+
+    restored = dequantize_variables(q)
+    audio = np.random.default_rng(0).standard_normal((1, 4000)).astype(np.float32)
+    base, _ = module.forward(audio, np.array([4000]))
+    qmod = module.with_variables(restored)
+    quant, _ = qmod.forward(audio, np.array([4000]))
+    # int8 weight-only: outputs close but not identical
+    err = np.abs(np.asarray(base) - np.asarray(quant)).max()
+    assert 0 < err < 0.1, err
+
+
+def test_quantized_predictions_usually_match():
+    module = _tiny_w2v2_module()
+    restored = dequantize_variables(quantize_variables(module.variables))
+    qmod = module.with_variables(restored)
+    audio = np.random.default_rng(1).standard_normal((2, 4000)).astype(np.float32)
+    ids_a = np.asarray(module._eval_fn()(module.variables, audio, np.array([4000, 4000]))[1])
+    ids_b = np.asarray(qmod._eval_fn()(qmod.variables, audio, np.array([4000, 4000]))[1])
+    agreement = (ids_a == ids_b).mean()
+    assert agreement > 0.9, agreement
+
+
+def test_quantization_reduces_bytes():
+    module = _tiny_w2v2_module()
+    import flax
+
+    before = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(module.variables["params"]))
+    q = quantize_variables(module.variables)
+    after = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(q["params"]))
+    assert after < before * 0.55  # most weights are transformer matmuls

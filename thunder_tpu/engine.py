@@ -1,0 +1,263 @@
+"""Optimized inference engine: the serving-side executor.
+
+Where the reference exports to TorchScript for deployment
+(`/root/reference/src/thunder/module.py:88`, SURVEY.md §3.5), this engine
+compiles a hand-scheduled fast path straight from a ``CTCModule``'s
+variables:
+
+- batchnorm folded into per-channel scale/bias at build time (eval-mode
+  running stats — `quartznet/blocks.py:222` semantics);
+- every stride-1 separable repeat runs as one fused Pallas kernel
+  (:mod:`thunder_tpu.kernels.separable_conv`): depthwise + pointwise + BN +
+  ReLU without HBM round trips;
+- strided/dilated/dense blocks and squeeze-excite stay on XLA;
+- compute in bf16 on TPU (f32 accumulation in the MXU), f32 elsewhere.
+
+Numerics are validated against the flax ``model.apply`` path in
+tests/test_engine.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thunder_tpu.kernels.separable_conv import fused_separable_conv
+from thunder_tpu.models.citrinet import CitrinetEncoder
+from thunder_tpu.models.layers import BN_EPS
+from thunder_tpu.models.quartznet import QuartznetEncoder
+from thunder_tpu.module import CTCModule, pad_to_bucket
+from thunder_tpu.ops.conv import conv1d, conv_output_length, get_same_padding
+from thunder_tpu.ops.ctc import collapse_ctc
+from thunder_tpu.ops.masking import apply_mask, lengths_to_mask
+
+__all__ = ["InferenceEngine"]
+
+
+def _fold_bn(bn_params, bn_stats):
+    scale = np.asarray(bn_params["scale"]) / np.sqrt(np.asarray(bn_stats["var"]) + BN_EPS)
+    bias = np.asarray(bn_params["bias"]) - np.asarray(bn_stats["mean"]) * scale
+    return scale.astype(np.float32), bias.astype(np.float32)
+
+
+@dataclass
+class _RepeatPlan:
+    kind: str  # "separable" | "dense"
+    kernel_size: int
+    stride: int
+    dilation: int
+    relu: bool
+    dw: Any = None  # (k, C)
+    pw: Any = None  # (C_in, C_out) — dense conv uses kernel (k, C_in, C_out)
+    kernel: Any = None
+    scale: Any = None
+    bias: Any = None
+    fuse: bool = False
+
+
+@dataclass
+class _BlockPlan:
+    repeats: List[_RepeatPlan]
+    res: Optional[_RepeatPlan]
+    se: Optional[Dict[str, Any]]
+
+
+class InferenceEngine:
+    """Compile-once greedy-CTC inference over a CTCModule's weights."""
+
+    def __init__(
+        self,
+        module: CTCModule,
+        compute_dtype=None,
+        use_pallas: Optional[bool] = None,
+        pad_multiple: int = 16000,
+    ):
+        encoder = module.model.encoder
+        if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder)):
+            raise ValueError("InferenceEngine supports QuartzNet/Citrinet encoders; use module.forward for others")
+        on_tpu = jax.default_backend() == "tpu"
+        self.dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
+        # measured on v5e: XLA's depthwise conv beats the fused Pallas repeat
+        # kernel (sublane-shifted reads per tap dominate), so the kernel is
+        # opt-in; BN folding + bf16 is where the engine's win comes from
+        self.use_pallas = False if use_pallas is None else use_pallas
+        self.module = module
+        self.pad_multiple = pad_multiple
+        self.frontend = module.model.audio_transform
+        self._plan = self._build_plan(encoder, module.variables)
+        dec = module.variables["params"]["decoder"]["conv"]
+        self._dec_kernel = jnp.asarray(np.asarray(dec["kernel"])[0], dtype=self.dtype)  # (C, V)
+        self._dec_bias = jnp.asarray(dec["bias"], dtype=jnp.float32)
+        self._infer = jax.jit(self._forward)
+
+    # ------------------------------------------------------------------
+    # planning
+    # ------------------------------------------------------------------
+
+    def _block_configs(self, encoder):
+        cfgs = []
+        if isinstance(encoder, QuartznetEncoder):
+            cfgs.append(dict(repeat=1, kernel_size=33, stride=2, dilation=1, separable=True, residual=False, se=False))
+            for f, k in zip(encoder.filters, encoder.kernel_sizes):
+                for _ in range(encoder.repeat_blocks):
+                    cfgs.append(dict(repeat=encoder.repeat, kernel_size=k, stride=1, dilation=1, separable=True, residual=True, se=False))
+            cfgs.append(dict(repeat=1, kernel_size=87, stride=1, dilation=2, separable=True, residual=False, se=False))
+            cfgs.append(dict(repeat=1, kernel_size=1, stride=1, dilation=1, separable=False, residual=False, se=False))
+        else:
+            cfgs.append(dict(repeat=1, kernel_size=5, stride=1, dilation=1, separable=True, residual=False, se=True))
+            for f, k, s in zip(encoder.filters, encoder.kernel_sizes, encoder.strides):
+                cfgs.append(dict(repeat=encoder.repeat, kernel_size=k, stride=s, dilation=1, separable=True, residual=True, se=True, stride_last_only=True, res_stride=s))
+            cfgs.append(dict(repeat=1, kernel_size=41, stride=1, dilation=1, separable=True, residual=False, se=True))
+        return cfgs
+
+    def _build_plan(self, encoder, variables) -> List[_BlockPlan]:
+        params = variables["params"]["encoder"]
+        stats = variables["batch_stats"]["encoder"]
+        plan: List[_BlockPlan] = []
+        for b, cfg in enumerate(self._block_configs(encoder)):
+            bp = params[f"block{b}"]
+            bs = stats[f"block{b}"]
+            repeats = []
+            for r in range(cfg["repeat"]):
+                last = r == cfg["repeat"] - 1
+                stride_r = cfg["stride"] if (not cfg.get("stride_last_only") or last) else 1
+                rp, rs = bp[f"rep{r}"], bs[f"rep{r}"]
+                scale, bias = _fold_bn(rp["bn"], rs["bn"])
+                if cfg["separable"]:
+                    dw = np.asarray(rp["depthwise"]["conv"]["kernel"])[:, 0, :]  # (k, C)
+                    pw = np.asarray(rp["pointwise"]["conv"]["kernel"])[0]  # (C, C_out)
+                    c_in, c_out = pw.shape
+                    fuse = (
+                        self.use_pallas
+                        and stride_r == 1
+                        and cfg["dilation"] == 1
+                        and c_in % 128 == 0
+                        and c_out % 128 == 0
+                    )
+                    # fold BN scale into the pointwise weights
+                    pw_folded = pw * scale[None, :]
+                    repeats.append(
+                        _RepeatPlan(
+                            kind="separable",
+                            kernel_size=cfg["kernel_size"],
+                            stride=stride_r,
+                            dilation=cfg["dilation"],
+                            relu=not last,
+                            dw=jnp.asarray(dw, self.dtype),
+                            pw=jnp.asarray(pw_folded, self.dtype),
+                            scale=jnp.ones((pw.shape[1],), jnp.float32),
+                            bias=jnp.asarray(bias, jnp.float32),
+                            fuse=fuse,
+                        )
+                    )
+                else:
+                    kernel = np.asarray(rp["conv"]["conv"]["kernel"])  # (k, C_in, C_out)
+                    repeats.append(
+                        _RepeatPlan(
+                            kind="dense",
+                            kernel_size=cfg["kernel_size"],
+                            stride=stride_r,
+                            dilation=cfg["dilation"],
+                            relu=not last,
+                            kernel=jnp.asarray(kernel * scale[None, None, :], self.dtype),
+                            bias=jnp.asarray(bias, jnp.float32),
+                        )
+                    )
+            res = None
+            if cfg.get("residual"):
+                scale, bias = _fold_bn(bp["res"]["bn"], bs["res"]["bn"])
+                kernel = np.asarray(bp["res"]["conv"]["conv"]["kernel"])
+                res = _RepeatPlan(
+                    kind="dense",
+                    kernel_size=1,
+                    stride=cfg.get("res_stride", 1),
+                    dilation=1,
+                    relu=False,
+                    kernel=jnp.asarray(kernel * scale[None, None, :], self.dtype),
+                    bias=jnp.asarray(bias, jnp.float32),
+                )
+            se = None
+            if cfg.get("se"):
+                se = {
+                    "fc1": jnp.asarray(bp["se"]["fc1"]["kernel"], self.dtype),
+                    "fc2": jnp.asarray(bp["se"]["fc2"]["kernel"], self.dtype),
+                }
+            plan.append(_BlockPlan(repeats=repeats, res=res, se=se))
+        return plan
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+
+    def _apply_repeat(self, rp: _RepeatPlan, x, lengths):
+        x = apply_mask(x, lengths)
+        if rp.kind == "separable" and rp.fuse:
+            y = fused_separable_conv(
+                x.astype(self.dtype), rp.dw, rp.pw, rp.scale, rp.bias, kernel_size=rp.kernel_size, relu=rp.relu
+            )
+            return y, lengths
+        pad = get_same_padding(rp.kernel_size, rp.stride, rp.dilation)
+        if rp.kind == "separable":
+            c = x.shape[-1]
+            y = conv1d(x.astype(self.dtype), rp.dw[:, None, :], stride=rp.stride, padding=pad, dilation=rp.dilation, groups=c)
+            y = jnp.matmul(y, rp.pw, preferred_element_type=jnp.float32)
+            y = y * rp.scale + rp.bias
+        else:
+            y = conv1d(x.astype(self.dtype), rp.kernel, stride=rp.stride, padding=pad, dilation=rp.dilation)
+            y = y.astype(jnp.float32) + rp.bias
+        new_lengths = conv_output_length(lengths, rp.kernel_size, rp.stride, pad, rp.dilation)
+        if rp.relu:
+            y = jnp.maximum(y, 0.0)
+        return y.astype(self.dtype), new_lengths
+
+    def _apply_se(self, se, x, lengths):
+        mask = lengths_to_mask(lengths, x.shape[1]).astype(x.dtype)[:, :, None]
+        pooled = (x * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1.0)
+        y = jnp.maximum(jnp.matmul(pooled, se["fc1"], preferred_element_type=jnp.float32), 0.0)
+        y = jnp.matmul(y.astype(self.dtype), se["fc2"], preferred_element_type=jnp.float32)
+        return x * jax.nn.sigmoid(y).astype(x.dtype)[:, None, :]
+
+    def _forward(self, audio, lengths):
+        feats, feat_lengths = self.frontend.apply({}, audio, lengths, train=False)
+        x = feats.astype(self.dtype)
+        out_lengths = feat_lengths
+        for block in self._plan:
+            inp, inp_lengths = x, out_lengths
+            for rp in block.repeats:
+                x, out_lengths = self._apply_repeat(rp, x, out_lengths)
+            if block.se is not None:
+                x = self._apply_se(block.se, x, out_lengths)
+            if block.res is not None:
+                res, _ = self._apply_repeat(block.res, inp, inp_lengths)
+                x = x + res
+            x = jnp.maximum(x, 0.0)
+        logits = jnp.matmul(x, self._dec_kernel, preferred_element_type=jnp.float32) + self._dec_bias
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return logits, preds, out_lengths
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def __call__(self, audio, lengths):
+        logits, preds, out_lengths = self._infer(jnp.asarray(audio), jnp.asarray(lengths))
+        return logits, out_lengths
+
+    def predict(self, audio, lengths=None) -> List[str]:
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        if lengths is None:
+            lengths = np.full((audio.shape[0],), audio.shape[-1], dtype=np.int32)
+        bucket = pad_to_bucket(audio.shape[-1], self.pad_multiple)
+        if bucket != audio.shape[-1]:
+            audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
+        _, preds, out_lengths = self._infer(jnp.asarray(audio), jnp.asarray(lengths))
+        collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
+        tt = self.module.text_transform
+        return [tt.decode_prediction(c[None])[0] for c in collapsed]
