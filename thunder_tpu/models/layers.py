@@ -23,11 +23,51 @@ import jax.numpy as jnp
 from thunder_tpu.ops.conv import conv_output_length, get_same_padding
 from thunder_tpu.ops.masking import apply_mask, lengths_to_mask
 
-__all__ = ["MaskedConv1d", "ConvBnAct", "SqueezeExcite", "EncoderBlock"]
+__all__ = ["MaskedConv1d", "TorchBatchNorm", "ConvBnAct", "SqueezeExcite", "EncoderBlock"]
 
 # torch BatchNorm1d(momentum=0.1) == flax BatchNorm(momentum=0.9)
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-3
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch running-stat semantics.
+
+    torch normalizes with the biased batch variance but updates
+    ``running_var`` with the *unbiased* one (ddof=1) — flax's BatchNorm uses
+    the biased variance for both, a small but real training-parity gap.
+    Collection layout matches flax (params scale/bias, batch_stats mean/var)
+    so checkpoint import code is unaffected.
+    """
+
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool = True) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((features,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.var(xf, axis=reduce_axes)
+            if not self.is_initializing():
+                n = x.size / features
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
 
 
 class MaskedConv1d(nn.Module):
@@ -112,13 +152,9 @@ class ConvBnAct(nn.Module):
                 name="conv",
                 **kw,
             )(x, lengths)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        x = TorchBatchNorm(epsilon=BN_EPS, dtype=self.dtype, name="bn")(
+            x, use_running_average=not train
+        )
         if self.activation:
             x = nn.relu(x)
             x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
