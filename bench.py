@@ -52,15 +52,16 @@ def main():
         _, preds, out_lengths = engine._infer(audio, lengths)
         return preds, out_lengths
 
-    # warmup / compile
+    # warmup / compile (np.asarray forces a real device->host fetch — through
+    # the remote TPU relay, block_until_ready alone does not synchronize)
     preds, _ = infer(audio, lengths)
-    preds.block_until_ready()
+    np.asarray(preds)
 
     iters = 10 if on_tpu else 2
     start = time.perf_counter()
     for _ in range(iters):
         preds, out_lengths = infer(audio, lengths)
-    preds.block_until_ready()
+    np.asarray(preds)
     elapsed = time.perf_counter() - start
 
     audio_seconds = batch * seconds * iters

@@ -22,3 +22,20 @@ Design stance (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from thunder_tpu import ops  # noqa: F401
+
+_LAZY = {
+    "load_pretrained": "thunder_tpu.registry",
+    "CTCModule": "thunder_tpu.module",
+    "finetune_ctc_module": "thunder_tpu.finetune",
+    "InferenceEngine": "thunder_tpu.engine",
+    "Trainer": "thunder_tpu.training",
+}
+
+
+def __getattr__(name):
+    # lazy top-level conveniences without paying import cost up front
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'thunder_tpu' has no attribute {name!r}")

@@ -52,26 +52,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(
-    chunks_hbm, basis_ref, mel_ref, out_ref, chunk_scratch, sem, *, hop_p, n_chunk_steps, n_tile_chunks
-):
-    b = pl.program_id(0)
-    f = pl.program_id(1)
-
-    # DMA this tile's chunk rows (with halo) into VMEM
-    copy = pltpu.make_async_copy(
-        chunks_hbm.at[b, pl.ds(f * FRAME_TILE, n_tile_chunks), :],
-        chunk_scratch,
-        sem,
-    )
-    copy.start()
-    copy.wait()
-
+def _kernel(tile_ref, basis_ref, mel_ref, out_ref, *, hop_p, n_chunk_steps):
     # windowed DFT via c static-sliced matmuls; real | imag halves
     y = jnp.zeros((FRAME_TILE, basis_ref.shape[1]), dtype=jnp.float32)
     for j in range(n_chunk_steps):
         y = y + jnp.dot(
-            chunk_scratch[j : j + FRAME_TILE, :],
+            tile_ref[0, 0, j : j + FRAME_TILE, :],
             basis_ref[j * hop_p : (j + 1) * hop_p, :],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -126,6 +112,13 @@ def fused_log_mel(
     chunks = x.reshape(batch, total_chunks, hop)
     if hop_p != hop:
         chunks = jnp.pad(chunks, ((0, 0), (0, 0), (0, hop_p - hop)))
+    # materialize per-tile overlapping windows so pallas can double-buffer the
+    # input through BlockSpec pipelining (a manual in-kernel DMA serializes)
+    n_tiles = frames_padded // FRAME_TILE
+    tiles = jnp.stack(
+        [chunks[:, i * FRAME_TILE : i * FRAME_TILE + n_tile_chunks, :] for i in range(n_tiles)],
+        axis=1,
+    )  # (B, n_tiles, n_tile_chunks, hop_p)
 
     # constant operands (baked at trace time)
     window = _padded_window(hann_window(win_length), n_fft)
@@ -142,25 +135,19 @@ def fused_log_mel(
     melmat = np.zeros((freqs_padded, mels_padded), dtype=np.float32)
     melmat[:n_freqs, :n_mels] = mel_filterbank(n_freqs, n_mels, sample_rate)
 
-    grid = (batch, frames_padded // FRAME_TILE)
+    grid = (batch, n_tiles)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hop_p=hop_p, n_chunk_steps=n_chunk_steps, n_tile_chunks=n_tile_chunks),
+        functools.partial(_kernel, hop_p=hop_p, n_chunk_steps=n_chunk_steps),
         out_shape=jax.ShapeDtypeStruct((batch, frames_padded, mels_padded), jnp.float32),
         grid=grid,
         in_specs=[
-            # chunked audio stays in HBM/ANY (full-array block; the kernel
-            # DMAs the per-tile rows + halo itself)
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, n_tile_chunks, hop_p), lambda b, f: (b, f, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_chunk_steps * hop_p, 2 * freqs_padded), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((freqs_padded, mels_padded), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, FRAME_TILE, mels_padded), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((n_tile_chunks, hop_p), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(chunks, jnp.asarray(basis), jnp.asarray(melmat))
+    )(tiles, jnp.asarray(basis), jnp.asarray(melmat))
 
     return out[:, :num_frames, :n_mels]

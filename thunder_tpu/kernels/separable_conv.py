@@ -39,22 +39,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(x_hbm, dw_ref, pw_ref, scale_ref, bias_ref, out_ref, x_scratch, sem, *, k, halo_rows, relu, out_dtype):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * T_TILE, halo_rows), :],
-        x_scratch,
-        sem,
-    )
-    copy.start()
-    copy.wait()
-
+def _kernel(tile_ref, dw_ref, pw_ref, scale_ref, bias_ref, out_ref, *, k, relu, out_dtype):
     # depthwise: k shifted multiply-accumulates over the (T_TILE, C) window
-    acc = x_scratch[0:T_TILE, :] * dw_ref[0, :]
+    acc = tile_ref[0, 0, 0:T_TILE, :] * dw_ref[0, :]
     for j in range(1, k):
-        acc = acc + x_scratch[j : j + T_TILE, :] * dw_ref[j, :]
+        acc = acc + tile_ref[0, 0, j : j + T_TILE, :] * dw_ref[j, :]
 
     # pointwise matmul with f32 accumulation, then folded BN + ReLU epilogue
     y = jnp.dot(acc, pw_ref[:, :], preferred_element_type=jnp.float32)
@@ -93,34 +82,37 @@ def fused_separable_conv(
     pad = k // 2
     out_channels = pw_kernel.shape[-1]
     time_padded = _round_up(time, T_TILE)
-    halo_rows = _round_up(T_TILE + k - 1, 8)
+    halo_rows = T_TILE + k - 1
 
-    # left same-padding + enough right padding for the last tile's halo DMA
+    # left same-padding + right padding to cover the last tile's halo
     right = (time_padded - time) + (halo_rows - T_TILE) - pad
     xp = jnp.pad(x, ((0, 0), (pad, max(right, 0)), (0, 0)))
+
+    # materialize overlapping tiles so pallas double-buffers the input
+    # (manual in-kernel DMA serializes compute behind copies)
+    n_tiles = time_padded // T_TILE
+    tiles = jnp.stack(
+        [xp[:, i * T_TILE : i * T_TILE + halo_rows, :] for i in range(n_tiles)], axis=1
+    )  # (B, n_tiles, halo_rows, C)
 
     dw = dw_kernel.astype(x.dtype)
     pw = pw_kernel.astype(x.dtype)
     scale = scale.astype(jnp.float32).reshape(1, -1)
     bias = bias.astype(jnp.float32).reshape(1, -1)
 
-    grid = (batch, time_padded // T_TILE)
+    grid = (batch, n_tiles)
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, halo_rows=halo_rows, relu=relu, out_dtype=x.dtype),
+        functools.partial(_kernel, k=k, relu=relu, out_dtype=x.dtype),
         out_shape=jax.ShapeDtypeStruct((batch, time_padded, out_channels), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, halo_rows, channels), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, channels), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((channels, out_channels), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, out_channels), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, out_channels), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T_TILE, out_channels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((halo_rows, channels), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(xp, dw, pw, scale, bias)
+    )(tiles, dw, pw, scale, bias)
     return out[:, :time, :]

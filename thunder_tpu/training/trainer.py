@@ -145,6 +145,9 @@ class Trainer:
     log_every: int = 50
     fast_dev_run: bool = False
     logger: Optional[Callable[[Dict[str, float]], None]] = None
+    #: optional checkpoint path (from save_checkpoint) to resume params /
+    #: optimizer state / step count from
+    resume_from: Optional[str] = None
 
     logs: List[Dict[str, float]] = field(default_factory=list)
 
@@ -188,6 +191,16 @@ class Trainer:
             tx=tx,
             batch_stats=variables.get("batch_stats"),
         )
+        if self.resume_from:
+            from thunder_tpu.training.checkpointing import restore_checkpoint
+
+            payload = restore_checkpoint(self.resume_from, state)
+            state = state.replace(
+                params=payload["params"],
+                opt_state=payload["opt_state"],
+                step=payload["step"],
+                batch_stats=payload.get("batch_stats", state.batch_stats),
+            )
         train_step = make_train_step(module.model, module.blank_idx)
         rng = jax.random.PRNGKey(self.seed)
         data_shard = batch_sharding(mesh) if mesh is not None else None
