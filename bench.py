@@ -41,7 +41,7 @@ def main():
     )
     engine = InferenceEngine(module)
 
-    batch = 32 if on_tpu else 2
+    batch = 64 if on_tpu else 2
     seconds = 15.0
     samples = int(seconds * 16000)
     rng = np.random.default_rng(0)

@@ -195,12 +195,15 @@ class InferenceEngine:
     # ------------------------------------------------------------------
 
     def _apply_repeat(self, rp: _RepeatPlan, x, lengths):
-        x = apply_mask(x, lengths)
+        """One conv repeat.  Input is assumed already zero beyond ``lengths``
+        (the reference's MaskedConv1d contract); the output mask is fused
+        into the scale/bias/relu epilogue rather than spent as a separate
+        memory pass before the next conv."""
         if rp.kind == "separable" and rp.fuse:
             y = fused_separable_conv(
                 x.astype(self.dtype), rp.dw, rp.pw, rp.scale, rp.bias, kernel_size=rp.kernel_size, relu=rp.relu
             )
-            return y, lengths
+            return apply_mask(y, lengths), lengths
         pad = get_same_padding(rp.kernel_size, rp.stride, rp.dilation)
         if rp.kind == "separable":
             c = x.shape[-1]
@@ -213,7 +216,12 @@ class InferenceEngine:
         new_lengths = conv_output_length(lengths, rp.kernel_size, rp.stride, pad, rp.dilation)
         if rp.relu:
             y = jnp.maximum(y, 0.0)
-        return y.astype(self.dtype), new_lengths
+        # fused output masking: XLA folds the select into the same elementwise
+        # pass as bias/relu, so padding stays exactly zero for the next conv
+        # at no extra HBM traffic (compute-dtype, not f32)
+        y = y.astype(self.dtype)
+        mask = lengths_to_mask(new_lengths, y.shape[1])[:, :, None]
+        return jnp.where(mask, y, jnp.zeros((), self.dtype)), new_lengths
 
     def _apply_se(self, se, x, lengths):
         mask = lengths_to_mask(lengths, x.shape[1]).astype(x.dtype)[:, :, None]
