@@ -72,6 +72,34 @@ def test_bundle_preserves_sentencepiece(tmp_path):
     np.testing.assert_array_equal(ids, want)
 
 
+def test_aot_export_wav2vec2(tmp_path):
+    """The serving-export parity item for wav2vec2 (the reference's
+    prepare_scriptable_wav2vec path, `huggingface/compatibility.py:115-135`)."""
+    from thunder_tpu.audio import Wav2Vec2Preprocess
+    from thunder_tpu.models import LinearDecoder
+    from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    tt = BatchTextTransformer(tokens=list("ab "))
+    cfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16,), conv_kernel=(10,), conv_stride=(5,),
+    )
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(mask_input=True),
+        encoder=Wav2Vec2Encoder(config=cfg),
+        decoder=LinearDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    blob = aot_export(module, batch_size=1, num_samples=4000)
+    exported = aot_load(blob)
+    audio = np.random.default_rng(0).standard_normal((1, 4000)).astype(np.float32)
+    preds, lens = exported.call(audio, np.array([4000], dtype=np.int32))
+    _, live_preds, live_lens = module._eval_fn()(module.variables, audio, np.array([4000], dtype=np.int32))
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(live_preds))
+
+
 def test_step_timer():
     from thunder_tpu.profiling import StepTimer
 

@@ -9,6 +9,7 @@ from thunder_tpu.ops.masking import (  # noqa: F401
 )
 from thunder_tpu.ops.conv import conv1d, conv_output_length, get_same_padding  # noqa: F401
 from thunder_tpu.ops.stft import (  # noqa: F401
+    convolution_stft,
     frame_signal,
     hann_window,
     mel_features,

@@ -31,6 +31,7 @@ __all__ = [
     "mel_filterbank",
     "frame_signal",
     "stft",
+    "convolution_stft",
     "power_spectrum",
     "power_spectrum_lengths",
     "mel_features",
@@ -192,6 +193,13 @@ def stft(
     real = jnp.matmul(frames, wcos, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32).astype(x.dtype)
     imag = jnp.matmul(frames, wsin, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32).astype(x.dtype)
     return real, imag
+
+
+def convolution_stft(x: jax.Array, n_fft: int, hop_length: int, win_length: int, center: bool = True):
+    """FFT-free STFT (windowed DFT matmul) — the reference's ``convolution_stft``
+    (`blocks.py:38-91`) rebuilt as the MXU-native path.  Alias for
+    ``stft(..., method="matmul")``; returns ``(real, imag)``."""
+    return stft(x, n_fft, hop_length, win_length, center=center, method="matmul")
 
 
 def power_spectrum_lengths(lengths: jax.Array, hop_length: int) -> jax.Array:
