@@ -83,21 +83,27 @@ def test_engine_predict_matches_module(qn_module):
     assert engine.predict(audio) == qn_module.predict(audio)
 
 
-def test_engine_rejects_wav2vec2():
+def test_engine_wav2vec2_matches_module():
     from thunder_tpu.audio import Wav2Vec2Preprocess
     from thunder_tpu.models import LinearDecoder
     from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
 
-    tt = BatchTextTransformer(tokens=list("ab"))
-    cfg = Wav2Vec2Config(hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
-                         intermediate_size=64, conv_dim=(16,), conv_kernel=(10,), conv_stride=(5,))
+    tt = BatchTextTransformer(tokens=list("ab "))
+    cfg = Wav2Vec2Config(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=64, conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2))
     m = CTCModule.create(
         jax.random.PRNGKey(0),
-        audio_transform=Wav2Vec2Preprocess(),
+        audio_transform=Wav2Vec2Preprocess(mask_input=True),
         encoder=Wav2Vec2Encoder(config=cfg),
         decoder=LinearDecoder(num_classes=tt.num_tokens),
         text_transform=tt,
         sample_len=4000,
     )
-    with pytest.raises(ValueError):
-        InferenceEngine(m)
+    engine = InferenceEngine(m, compute_dtype=jnp.float32)
+    audio = (np.random.default_rng(5).standard_normal((2, 4000)) * 0.3).astype(np.float32)
+    lengths = np.array([4000, 2500], dtype=np.int32)
+    want_logits, want_lens = m.forward(audio, lengths)
+    got_logits, got_lens = engine(audio, lengths)
+    np.testing.assert_array_equal(np.asarray(got_lens), np.asarray(want_lens))
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(want_logits), atol=2e-4)
+    assert engine.predict(audio, lengths) == m.predict(audio, lengths)

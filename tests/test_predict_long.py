@@ -1,0 +1,45 @@
+import jax
+import numpy as np
+import pytest
+
+from thunder_tpu.audio import FilterbankFeatures
+from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+from thunder_tpu.module import CTCModule
+from thunder_tpu.text import BatchTextTransformer
+
+
+@pytest.fixture(scope="module")
+def module():
+    tt = BatchTextTransformer(tokens=list("abc "))
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(repeat=1, filters=(64,), kernel_sizes=(33,)),
+        decoder=Conv1dDecoder(num_classes=5),
+        text_transform=tt,
+        sample_len=4000,
+    )
+
+
+def test_predict_long_short_audio_equals_predict(module):
+    audio = (np.random.default_rng(0).standard_normal(12000) * 0.2).astype(np.float32)
+    assert module.predict_long(audio, chunk_seconds=2.0) == module.predict(audio)[0]
+
+
+def test_predict_long_chunks(module):
+    # 5 s of audio with 1.5 s chunks -> multiple windows stitched
+    audio = (np.random.default_rng(1).standard_normal(5 * 16000) * 0.2).astype(np.float32)
+    out = module.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5)
+    assert isinstance(out, str)
+    # stitched transcription should be in the same ballpark as single-shot
+    single = module.predict(audio)[0]
+    ratio = (len(out) + 1) / (len(single) + 1)
+    assert 0.5 < ratio < 2.0
+
+
+def test_predict_long_requires_text_transform(module):
+    from dataclasses import replace
+
+    bare = replace(module, text_transform=None, _apply_cache={})
+    with pytest.raises(ValueError):
+        bare.predict_long(np.zeros(32000, np.float32))

@@ -77,9 +77,13 @@ class InferenceEngine:
         use_pallas: Optional[bool] = None,
         pad_multiple: int = 16000,
     ):
+        from thunder_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
         encoder = module.model.encoder
-        if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder)):
-            raise ValueError("InferenceEngine supports QuartzNet/Citrinet encoders; use module.forward for others")
+        if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder, Wav2Vec2Encoder)):
+            raise ValueError(
+                "InferenceEngine supports QuartzNet/Citrinet/wav2vec2 encoders; use module.forward for others"
+            )
         on_tpu = jax.default_backend() == "tpu"
         self.dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
         # measured on v5e: XLA's depthwise conv beats the fused Pallas repeat
@@ -89,6 +93,32 @@ class InferenceEngine:
         self.module = module
         self.pad_multiple = pad_multiple
         self.frontend = module.model.audio_transform
+
+        if isinstance(encoder, Wav2Vec2Encoder):
+            # no batchnorm to fold: re-instantiate in the compute dtype over
+            # the same variables and jit end-to-end
+            fast_encoder = Wav2Vec2Encoder(
+                config=encoder.config, mask_input=encoder.mask_input, dtype=self.dtype
+            )
+            dec_params = module.variables["params"].get("decoder")
+
+            def forward(audio, lengths):
+                feats, flens = self.frontend.apply({}, audio, lengths, train=False)
+                h, out_lengths = fast_encoder.apply(
+                    {"params": module.variables["params"]["encoder"]}, feats, flens, train=False
+                )
+                if dec_params is None:
+                    logits = h.astype(jnp.float32)
+                else:
+                    k = jnp.asarray(dec_params["dense"]["kernel"], self.dtype)
+                    b = jnp.asarray(dec_params["dense"]["bias"], jnp.float32)
+                    logits = jnp.matmul(h, k, preferred_element_type=jnp.float32) + b
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return logits, preds, out_lengths
+
+            self._infer = jax.jit(forward)
+            return
+
         self._plan = self._build_plan(encoder, module.variables)
         dec = module.variables["params"]["decoder"]["conv"]
         self._dec_kernel = jnp.asarray(np.asarray(dec["kernel"])[0], dtype=self.dtype)  # (C, V)

@@ -147,6 +147,47 @@ class CTCModule:
         collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
         return [self.text_transform.decode_prediction(c[None])[0] for c in collapsed]
 
+    def predict_long(
+        self,
+        audio,
+        chunk_seconds: float = 20.0,
+        overlap_seconds: float = 2.0,
+        sample_rate: int = 16000,
+    ) -> str:
+        """Transcribe arbitrarily long audio by overlapped chunking.
+
+        The reference advises capping clips at ~25 s and chunking beyond
+        (docs/Ultimate guide.md:197); this implements that recipe: decode
+        overlapping windows, trim half the overlap's frames from interior
+        boundaries, stitch the id streams, then collapse+decode once.
+        """
+        if self.text_transform is None:
+            raise ValueError("predict_long requires a text_transform")
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        chunk = int(chunk_seconds * sample_rate)
+        overlap = int(overlap_seconds * sample_rate)
+        if audio.shape[0] <= chunk:
+            return self.predict(audio)[0]
+        step = chunk - overlap
+        starts = list(range(0, max(audio.shape[0] - overlap, 1), step))
+        pieces = []
+        for idx, start in enumerate(starts):
+            seg = audio[start : start + chunk]
+            seg_len = seg.shape[0]
+            padded = np.zeros((1, chunk), dtype=np.float32)
+            padded[0, :seg_len] = seg
+            _, preds, out_lengths = self._eval_fn()(
+                self.variables, jnp.asarray(padded), jnp.asarray([seg_len], dtype=jnp.int32)
+            )
+            ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
+            fps = ids.shape[0] / max(seg_len, 1)
+            trim = int(overlap / 2 * fps)
+            lo = trim if idx > 0 else 0
+            hi = ids.shape[0] - trim if (idx < len(starts) - 1 and trim > 0) else ids.shape[0]
+            pieces.append(ids[lo:hi])
+        joined = np.concatenate(pieces)
+        return self.text_transform.decode_prediction(joined[None])[0]
+
     # ------------------------------------------------------------------
     # loss (used by the training loop, exposed for API parity)
     # ------------------------------------------------------------------
