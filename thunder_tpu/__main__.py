@@ -1,0 +1,143 @@
+"""Command-line interface: transcribe / train / export.
+
+The reference library has no CLI (SURVEY.md §5.6); this is a thin
+convenience layer over the Python API:
+
+    python -m thunder_tpu transcribe clip.wav --checkpoint QuartzNet5x5LS_En
+    python -m thunder_tpu train --checkpoint ... --train-manifest ... --val-manifest ...
+    python -m thunder_tpu export --checkpoint ... --output bundle/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load(checkpoint: str):
+    from thunder_tpu.registry import load_pretrained
+
+    return load_pretrained(checkpoint)
+
+
+def cmd_transcribe(args):
+    import numpy as np
+
+    from thunder_tpu.data import load_audio, resample
+
+    module = _load(args.checkpoint)
+    predictor = module
+    if args.engine:
+        from thunder_tpu.engine import InferenceEngine
+
+        predictor = InferenceEngine(module)
+    for path in args.audio:
+        audio, sr = load_audio(path)
+        audio = audio.mean(axis=0) if audio.shape[0] > 1 else audio[0]
+        if sr != args.sample_rate:
+            audio = resample(audio, sr, args.sample_rate)
+        if audio.shape[-1] > args.sample_rate * args.chunk_seconds and not args.engine:
+            text = module.predict_long(audio, chunk_seconds=args.chunk_seconds)
+        else:
+            text = predictor.predict(np.asarray(audio, dtype=np.float32))[0]
+        print(json.dumps({"audio": path, "text": text.strip()}))
+
+
+def cmd_train(args):
+    from thunder_tpu.data import ManifestDatamodule
+    from thunder_tpu.finetune import finetune_ctc_module
+    from thunder_tpu.models import Conv1dDecoder
+    from thunder_tpu.training import FinetuneEncoderDecoder, Trainer
+    from thunder_tpu.training.loggers import ConsoleLogger
+
+    kwargs = {}
+    if args.tokens:
+        kwargs = dict(tokens=list(args.tokens), decoder_builder=Conv1dDecoder)
+    module = finetune_ctc_module(args.checkpoint, **kwargs)
+    dm = ManifestDatamodule(
+        args.train_manifest,
+        args.val_manifest or args.train_manifest,
+        args.test_manifest or args.train_manifest,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+    )
+    callbacks = []
+    if args.unfreeze_encoder_at_epoch is not None:
+        callbacks.append(FinetuneEncoderDecoder(unfreeze_encoder_at_epoch=args.unfreeze_encoder_at_epoch))
+    trainer = Trainer(
+        max_epochs=args.epochs,
+        optimizer_kwargs={"learning_rate": args.lr},
+        callbacks=callbacks,
+        checkpoint_dir=args.checkpoint_dir,
+        logger=ConsoleLogger(),
+        log_every=args.log_every,
+    )
+    trainer.fit(module, datamodule=dm)
+
+
+def cmd_export(args):
+    from thunder_tpu.export import aot_export, save_inference_bundle
+
+    module = _load(args.checkpoint)
+    out = save_inference_bundle(args.output, module)
+    print(f"bundle: {out}")
+    if args.aot:
+        path = f"{args.output}/predict.stablehlo"
+        aot_export(module, batch_size=args.batch_size, num_samples=int(args.seconds * 16000), path=path)
+        print(f"aot: {path}")
+
+
+def main(argv=None):
+    # honor an explicit JAX_PLATFORMS env var even when a site hook
+    # re-registers another platform after env processing
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+    parser = argparse.ArgumentParser(prog="thunder_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("transcribe", help="greedy-CTC transcription of audio files")
+    p.add_argument("audio", nargs="+")
+    p.add_argument("--checkpoint", required=True, help="registry name, .nemo path, or HF id")
+    p.add_argument("--engine", action="store_true", help="use the optimized inference engine")
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--chunk-seconds", type=float, default=20.0)
+    p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("train", help="finetune a checkpoint on NeMo manifests")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--train-manifest", required=True)
+    p.add_argument("--val-manifest")
+    p.add_argument("--test-manifest")
+    p.add_argument("--tokens", help="new vocabulary characters (swaps the head)")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--unfreeze-encoder-at-epoch", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--log-every", type=int, default=50)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("export", help="write an inference bundle (+ optional AOT artifact)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--aot", action="store_true")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=15.0)
+    p.set_defaults(fn=cmd_export)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

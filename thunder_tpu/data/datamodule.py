@@ -54,8 +54,21 @@ class DataLoader:
 
     def _durations(self) -> Optional[List[float]]:
         items = getattr(self.dataset, "items", None)
-        if items and isinstance(items[0], dict) and "duration" in items[0]:
+        if not items:
+            return None
+        if isinstance(items[0], dict) and "duration" in items[0]:
             return [it["duration"] for it in items]
+        # fall back to header-only reads (cheap, native decoder) for manifest
+        # entries without a duration field or plain path items
+        try:
+            from thunder_tpu.utils import audio_len
+
+            if isinstance(items[0], dict) and "audio_filepath" in items[0]:
+                return [audio_len(it["audio_filepath"]) for it in items]
+            if isinstance(items[0], (str,)) or hasattr(items[0], "__fspath__"):
+                return [audio_len(it) for it in items]
+        except Exception:
+            pass
         return None
 
     def _batch_indices(self) -> List[List[int]]:

@@ -10,6 +10,7 @@ API parity with `/root/reference/src/thunder/registry.py:25-66`:
 from __future__ import annotations
 
 from functools import partial
+from pathlib import Path
 from typing import Callable, Dict, Type, Union
 
 from thunder_tpu.compat.nemo import (
@@ -39,11 +40,26 @@ register_checkpoint_enum(CitrinetCheckpoint, load_citrinet_checkpoint)
 
 
 def load_pretrained(checkpoint_name: Union[str, BaseCheckpoint], **load_kwargs) -> CTCModule:
-    """Load any registered checkpoint (or a HuggingFace id containing "/")."""
+    """Load any checkpoint: registry name, local ``.nemo`` path, or HF id.
+
+    Dispatch: local ``.nemo`` files go to the NeMo loaders (Citrinet when the
+    archive ships a sentencepiece model, QuartzNet otherwise); names with "/"
+    go to HuggingFace (hub id or local ``save_pretrained`` dir); everything
+    else through the registry (reference semantics, `registry.py:47-66`).
+    """
     if isinstance(checkpoint_name, BaseCheckpoint):
         checkpoint_name = checkpoint_name.name
-    if "/" in str(checkpoint_name):
+    name = str(checkpoint_name)
+    if name.endswith(".nemo") and Path(name).exists():
+        import tarfile
+
+        with tarfile.open(name) as tar:
+            has_tokenizer = any(member.endswith(".model") for member in tar.getnames())
+        if has_tokenizer:
+            return load_citrinet_checkpoint(name, **load_kwargs)
+        return load_quartznet_checkpoint(name, **load_kwargs)
+    if "/" in name:
         from thunder_tpu.compat.hf import load_huggingface_checkpoint
 
-        return load_huggingface_checkpoint(str(checkpoint_name), **load_kwargs)
-    return CHECKPOINT_REGISTRY[str(checkpoint_name)](**load_kwargs)
+        return load_huggingface_checkpoint(name, **load_kwargs)
+    return CHECKPOINT_REGISTRY[name](**load_kwargs)
