@@ -103,6 +103,21 @@ def test_sharded_train_step_matches_single_device(module, model_parallel):
         np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_engine_data_parallel_inference(module):
+    """InferenceEngine over a mesh: DP-sharded predict == single-device."""
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+
+    single = InferenceEngine(module, compute_dtype=jnp.float32)
+    mesh = make_mesh(model_parallel=1)
+    sharded = InferenceEngine(module, compute_dtype=jnp.float32, mesh=mesh)
+    audio, lengths, _, _ = _batch(module, batch=8)
+    assert sharded.predict(audio, lengths) == single.predict(audio, lengths)
+    # batch not divisible by the data axis: engine pads internally
+    assert sharded.predict(audio[:3], lengths[:3]) == single.predict(audio[:3], lengths[:3])
+
+
 def test_sharded_inference_matches(module):
     mesh = make_mesh(model_parallel=2)
     variables = shard_variables(jax.tree_util.tree_map(jnp.array, module.variables), mesh)

@@ -76,8 +76,14 @@ class InferenceEngine:
         compute_dtype=None,
         use_pallas: Optional[bool] = None,
         pad_multiple: int = 16000,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — batches shard over its
+        ``data`` axis for multi-chip serving (SPMD; batch must divide the
+        data-axis size, ``predict`` pads as needed)."""
         from thunder_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+        self.mesh = mesh
 
         encoder = module.model.encoder
         if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder, Wav2Vec2Encoder)):
@@ -282,20 +288,38 @@ class InferenceEngine:
     # public API
     # ------------------------------------------------------------------
 
+    def _place(self, audio, lengths):
+        if self.mesh is None:
+            return jnp.asarray(audio), jnp.asarray(lengths)
+        from thunder_tpu.parallel.mesh import batch_sharding
+
+        shard = batch_sharding(self.mesh)
+        return jax.device_put(np.asarray(audio), shard), jax.device_put(np.asarray(lengths), shard)
+
     def __call__(self, audio, lengths):
-        logits, preds, out_lengths = self._infer(jnp.asarray(audio), jnp.asarray(lengths))
+        logits, preds, out_lengths = self._infer(*self._place(audio, lengths))
         return logits, out_lengths
 
     def predict(self, audio, lengths=None) -> List[str]:
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
+        n = audio.shape[0]
         if lengths is None:
-            lengths = np.full((audio.shape[0],), audio.shape[-1], dtype=np.int32)
+            lengths = np.full((n,), audio.shape[-1], dtype=np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
         bucket = pad_to_bucket(audio.shape[-1], self.pad_multiple)
         if bucket != audio.shape[-1]:
             audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
-        _, preds, out_lengths = self._infer(jnp.asarray(audio), jnp.asarray(lengths))
-        collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
+        if self.mesh is not None:
+            from thunder_tpu.parallel.mesh import DATA_AXIS
+
+            d = self.mesh.shape[DATA_AXIS]
+            if n % d:
+                extra = -(-n // d) * d - n
+                audio = np.pad(audio, ((0, extra), (0, 0)))
+                lengths = np.pad(lengths, (0, extra), constant_values=1)
+        _, preds, out_lengths = self._infer(*self._place(audio, lengths))
+        collapsed = collapse_ctc(np.asarray(preds)[:n], np.asarray(out_lengths)[:n])
         tt = self.module.text_transform
         return [tt.decode_prediction(c[None])[0] for c in collapsed]

@@ -7,11 +7,11 @@ tokenizer.py:26-150`), but with an in-repo sentencepiece-compatible engine
 - ``BPETokenizer(model_path)`` — loads a sentencepiece ``.model`` (real NeMo
   checkpoints included) and segments text into pieces.
 - ``train_sentencepiece_model`` — trains a subword model and writes
-  ``tokenizer.model`` / ``tokenizer.vocab`` in sentencepiece's formats.  The
-  trainer implements BPE merges; ``tokenizer_type="unigram"`` trains BPE
-  merges, then rescores pieces by corpus log-frequency so Viterbi decoding
-  behaves like a unigram model (documented approximation of the C++ EM
-  trainer).
+  ``tokenizer.model`` / ``tokenizer.vocab`` in sentencepiece's formats.
+  ``tokenizer_type="unigram"`` runs Viterbi-EM (substring-seeded vocabulary,
+  expectation by Viterbi counts, usefulness pruning — the sentencepiece
+  algorithm with Viterbi in place of full forward-backward);
+  ``tokenizer_type="bpe"`` runs classic merge training.
 - ``word_tokenizer`` / ``char_tokenizer`` / ``get_most_frequent_tokens``.
 """
 
@@ -80,6 +80,85 @@ def get_most_frequent_tokens(
 # ---------------------------------------------------------------------------
 # training
 # ---------------------------------------------------------------------------
+
+
+def _viterbi_segment(word: str, scores: dict, max_len: int) -> List[str]:
+    """Best segmentation of ``word`` under piece log-probs (chars always exist)."""
+    n = len(word)
+    NEG = -1e18
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    piece_at = [""] * (n + 1)
+    best[0] = 0.0
+    for i in range(n):
+        if best[i] <= NEG / 2:
+            continue
+        hi = min(n, i + max_len)
+        for j in range(i + 1, hi + 1):
+            sub = word[i:j]
+            s = scores.get(sub)
+            if s is None:
+                if j == i + 1:
+                    s = -20.0  # unseen char fallback
+                else:
+                    continue
+            if best[i] + s > best[j]:
+                best[j] = best[i] + s
+                back[j] = i
+                piece_at[j] = sub
+    out = []
+    j = n
+    while j > 0:
+        out.append(piece_at[j])
+        j = back[j]
+    out.reverse()
+    return out
+
+
+def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8, em_iters: int = 4):
+    """Viterbi-EM unigram training (the sentencepiece algorithm, with Viterbi
+    counts in place of full forward-backward expectations and count-based
+    pruning).
+
+    Returns ``(pieces, scores)`` sorted by descending score, single
+    characters always retained.
+    """
+    # seed vocabulary: all substrings up to max_piece_len, by total count
+    seed: Counter = Counter()
+    chars = set()
+    for word, freq in word_freqs.items():
+        chars.update(word)
+        n = len(word)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                seed[word[i:j]] += freq
+    seed_size = max(target_size * 8, 1000)
+    pieces = {p for p, _ in seed.most_common(seed_size)} | chars
+    total = sum(seed.values()) or 1
+    scores = {p: math.log(seed[p] / total) for p in pieces}
+
+    for it in range(em_iters):
+        # E: Viterbi counts
+        counts: Counter = Counter()
+        for word, freq in word_freqs.items():
+            for piece in _viterbi_segment(word, scores, max_piece_len):
+                counts[piece] += freq
+        # M + prune: keep the most useful pieces, chars always survive
+        total = sum(counts.values()) or 1
+        used = [p for p in counts if len(p) > 1]
+        used.sort(key=lambda p: counts[p] * len(p), reverse=True)
+        keep_multi = used[: max(target_size - len(chars), 0)]
+        pieces = set(keep_multi) | chars
+        scores = {
+            p: math.log((counts.get(p, 0) + 0.5) / (total + 0.5 * len(pieces))) for p in pieces
+        }
+
+    ordered = sorted(pieces, key=lambda p: scores[p], reverse=True)[:target_size]
+    # chars must survive the final cut for full coverage
+    for ch in chars:
+        if ch not in ordered:
+            ordered.append(ch)
+    return ordered, [scores[p] for p in ordered]
 
 
 def _bpe_train(word_freqs: Counter, num_merges: int) -> List[str]:
@@ -174,47 +253,34 @@ def train_sentencepiece_model(
         covered += c
 
     specials = ["<unk>", "<s>", "</s>"]
-    budget = max(vocab_size - len(specials) - len(kept_chars), 0)
-    if max_sentencepiece_length == 0:
-        merges = []
-    else:
-        merges = _bpe_train(word_freqs, budget)
-        if max_sentencepiece_length > 0:
-            merges = [m for m in merges if len(m) <= max_sentencepiece_length]
-    merges = merges[:budget]
-
-    pieces = specials + merges + kept_chars
-    types = [UNKNOWN, CONTROL, CONTROL] + [NORMAL] * (len(pieces) - 3)
+    budget = max(vocab_size - len(specials), 0)
 
     if tokenizer_type == "bpe":
+        char_budget = max(budget - len(kept_chars), 0)
+        if max_sentencepiece_length == 0:
+            merges = []
+        else:
+            merges = _bpe_train(word_freqs, char_budget)
+            if max_sentencepiece_length > 0:
+                merges = [m for m in merges if len(m) <= max_sentencepiece_length]
+        merges = merges[:char_budget]
+        pieces = specials + merges + kept_chars
         # score = -merge_rank; single chars after merges
         scores = [0.0, 0.0, 0.0] + [-float(i) for i in range(len(merges))]
         scores += [-float(len(merges) + i) for i in range(len(kept_chars))]
         model_type = BPE
     else:
-        # unigram-style: log relative frequency of each piece in the corpus
-        piece_counts: Counter = Counter()
-        tmp = SentencePieceModel(
-            pieces=pieces,
-            scores=[0.0] * len(pieces),
-            types=types,
-            model_type=BPE,
-            normalizer_name=normalizer,
-        )
-        # provisional BPE scores for counting segmentation
-        tmp.scores = [0.0, 0.0, 0.0] + [-float(i) for i in range(len(pieces) - 3)]
-        for w, f in word_freqs.items():
-            for p in tmp._encode_bpe(w):
-                piece_counts[p] += f
-        total_c = sum(piece_counts.values()) or 1
-        scores = []
-        for i, p in enumerate(pieces):
-            if i < 3:
-                scores.append(0.0)
-            else:
-                c = piece_counts.get(p, 0)
-                scores.append(math.log((c + 0.5) / total_c))
+        # Viterbi-EM unigram training
+        max_len = max_sentencepiece_length if max_sentencepiece_length > 0 else 8
+        body, body_scores = _unigram_train(word_freqs, budget, max_piece_len=max_len)
+        # restrict to the coverage-kept character set
+        keep = set(kept_chars)
+        filtered = [(p, s) for p, s in zip(body, body_scores) if len(p) > 1 or p in keep]
+        pieces = specials + [p for p, _ in filtered]
+        scores = [0.0, 0.0, 0.0] + [s for _, s in filtered]
         model_type = UNIGRAM
+
+    types = [UNKNOWN, CONTROL, CONTROL] + [NORMAL] * (len(pieces) - 3)
 
     proto.pieces, proto.scores, proto.types = pieces, scores, types
     proto.model_type = model_type
