@@ -17,7 +17,6 @@ Output layout is channels-last ``(batch, frames, features)``.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import flax.linen as nn

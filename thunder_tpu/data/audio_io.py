@@ -11,7 +11,6 @@ the host — the TPU only ever sees float32 waveform arrays.
 from __future__ import annotations
 
 import struct
-import wave
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Tuple, Union

@@ -20,7 +20,6 @@ tests/test_engine.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax

@@ -18,11 +18,10 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from thunder_tpu.audio.frontend import FilterbankFeatures, Wav2Vec2Preprocess
 from thunder_tpu.models.citrinet import CitrinetEncoder

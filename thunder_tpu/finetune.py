@@ -19,8 +19,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import jax
 
-from thunder_tpu.models.decoders import Conv1dDecoder
-from thunder_tpu.module import CTCModel, CTCModule
+from thunder_tpu.module import CTCModule
 from thunder_tpu.registry import load_pretrained
 from thunder_tpu.text.transform import BatchTextTransformer
 
@@ -58,11 +57,6 @@ def finetune_ctc_module(
     else:
         text_transform = BatchTextTransformer(tokens, **text_kwargs)
         decoder = decoder_builder(num_classes=text_transform.num_tokens, **decoder_kwargs)
-        model = CTCModel(
-            audio_transform=base.model.audio_transform,
-            encoder=base.model.encoder,
-            decoder=decoder,
-        )
         fresh = CTCModule.create(
             jax.random.PRNGKey(seed),
             audio_transform=base.model.audio_transform,

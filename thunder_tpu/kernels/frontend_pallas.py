@@ -32,7 +32,6 @@ numerically (see tests/test_kernels.py) and runs in interpreter mode off-TPU.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -17,12 +17,11 @@ Dense projections so HF weights map 1:1 (see compat/hf.py).
 from __future__ import annotations
 
 from dataclasses import field
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from thunder_tpu.ops.masking import lengths_to_mask
 

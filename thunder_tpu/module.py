@@ -16,7 +16,6 @@ JAX/TPU:
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["quantize_variables", "dequantize_variables", "quantization_summary"]

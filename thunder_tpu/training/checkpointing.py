@@ -7,7 +7,6 @@ saves of ``{params, batch_stats, opt_state, step}``.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Optional
 
