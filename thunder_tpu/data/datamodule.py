@@ -90,12 +90,18 @@ class DataLoader:
     def __iter__(self) -> Iterator[Batch]:
         batches = self._batch_indices()
         self.epoch += 1
+        prefetch = 2  # batches in flight beyond the one being consumed
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            # prefetch two batches ahead of consumption
-            futures = []
-            for b in batches:
-                futures.append([pool.submit(self.dataset.__getitem__, i) for i in b])
-            for batch_futures in futures:
+            window: list = []
+            nxt = 0
+            while nxt < len(batches) and len(window) <= prefetch:
+                window.append([pool.submit(self.dataset.__getitem__, i) for i in batches[nxt]])
+                nxt += 1
+            while window:
+                batch_futures = window.pop(0)
+                if nxt < len(batches):
+                    window.append([pool.submit(self.dataset.__getitem__, i) for i in batches[nxt]])
+                    nxt += 1
                 samples = [f.result() for f in batch_futures]
                 yield asr_collate(samples, pad_multiple=self.pad_multiple)
 

@@ -66,6 +66,17 @@ class _BlockPlan:
     se: Optional[Dict[str, Any]]
 
 
+# plans travel as jit ARGUMENTS (weights as pytree leaves), never as traced
+# constants — closure-captured weights get baked into the HLO payload, which
+# breaks large models (and bloats every compile)
+jax.tree_util.register_dataclass(
+    _RepeatPlan,
+    data_fields=["dw", "pw", "kernel", "scale", "bias"],
+    meta_fields=["kind", "kernel_size", "stride", "dilation", "relu", "fuse"],
+)
+jax.tree_util.register_dataclass(_BlockPlan, data_fields=["repeats", "res", "se"], meta_fields=[])
+
+
 class InferenceEngine:
     """Compile-once greedy-CTC inference over a CTCModule's weights."""
 
@@ -106,29 +117,38 @@ class InferenceEngine:
                 config=encoder.config, mask_input=encoder.mask_input, dtype=self.dtype
             )
             dec_params = module.variables["params"].get("decoder")
+            if dec_params is not None:
+                dec_params = {
+                    "kernel": jnp.asarray(dec_params["dense"]["kernel"], self.dtype),
+                    "bias": jnp.asarray(dec_params["dense"]["bias"], jnp.float32),
+                }
+            enc_params = module.variables["params"]["encoder"]
 
-            def forward(audio, lengths):
+            @jax.jit
+            def forward(enc_params, dec_params, audio, lengths):
                 feats, flens = self.frontend.apply({}, audio, lengths, train=False)
-                h, out_lengths = fast_encoder.apply(
-                    {"params": module.variables["params"]["encoder"]}, feats, flens, train=False
-                )
+                h, out_lengths = fast_encoder.apply({"params": enc_params}, feats, flens, train=False)
                 if dec_params is None:
                     logits = h.astype(jnp.float32)
                 else:
-                    k = jnp.asarray(dec_params["dense"]["kernel"], self.dtype)
-                    b = jnp.asarray(dec_params["dense"]["bias"], jnp.float32)
-                    logits = jnp.matmul(h, k, preferred_element_type=jnp.float32) + b
+                    logits = (
+                        jnp.matmul(h, dec_params["kernel"], preferred_element_type=jnp.float32)
+                        + dec_params["bias"]
+                    )
                 preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return logits, preds, out_lengths
 
-            self._infer = jax.jit(forward)
+            self._infer = lambda audio, lengths: forward(enc_params, dec_params, audio, lengths)
             return
 
         self._plan = self._build_plan(encoder, module.variables)
         dec = module.variables["params"]["decoder"]["conv"]
         self._dec_kernel = jnp.asarray(np.asarray(dec["kernel"])[0], dtype=self.dtype)  # (C, V)
         self._dec_bias = jnp.asarray(dec["bias"], dtype=jnp.float32)
-        self._infer = jax.jit(self._forward)
+        jitted = jax.jit(self._forward_with)
+        self._infer = lambda audio, lengths: jitted(
+            self._plan, self._dec_kernel, self._dec_bias, audio, lengths
+        )
 
     # ------------------------------------------------------------------
     # planning
@@ -265,11 +285,11 @@ class InferenceEngine:
         y = jnp.matmul(y.astype(self.dtype), se["fc2"], preferred_element_type=jnp.float32)
         return x * jax.nn.sigmoid(y).astype(x.dtype)[:, None, :]
 
-    def _forward(self, audio, lengths):
+    def _forward_with(self, plan, dec_kernel, dec_bias, audio, lengths):
         feats, feat_lengths = self.frontend.apply({}, audio, lengths, train=False)
         x = feats.astype(self.dtype)
         out_lengths = feat_lengths
-        for block in self._plan:
+        for block in plan:
             inp, inp_lengths = x, out_lengths
             for rp in block.repeats:
                 x, out_lengths = self._apply_repeat(rp, x, out_lengths)
@@ -279,7 +299,7 @@ class InferenceEngine:
                 res, _ = self._apply_repeat(block.res, inp, inp_lengths)
                 x = x + res
             x = jnp.maximum(x, 0.0)
-        logits = jnp.matmul(x, self._dec_kernel, preferred_element_type=jnp.float32) + self._dec_bias
+        logits = jnp.matmul(x, dec_kernel, preferred_element_type=jnp.float32) + dec_bias
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return logits, preds, out_lengths
 

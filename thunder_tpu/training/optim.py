@@ -26,6 +26,7 @@ __all__ = [
     "adamw",
     "sgd",
     "onecycle",
+    "reduce_on_plateau",
     "build_optimizer",
     "finetune_schedule_transform",
 ]
@@ -50,28 +51,44 @@ def onecycle(max_lr: float, total_steps: int, pct_start: float = 0.3, div_factor
     )
 
 
+def reduce_on_plateau(**kwargs) -> optax.GradientTransformation:
+    """ReduceLROnPlateau-equivalent (optax.contrib); chain after the optimizer
+    and feed it the loss via ``extra_args`` (see optax.contrib docs)."""
+    return optax.contrib.reduce_on_plateau(**kwargs)
+
+
 def build_optimizer(
     optimizer_builder: Callable[..., optax.GradientTransformation] = adamw,
     optimizer_kwargs: Optional[Dict[str, Any]] = None,
     lr_scheduler_builder: Optional[Callable[..., optax.Schedule]] = None,
     lr_scheduler_kwargs: Optional[Dict[str, Any]] = None,
     total_steps: Optional[int] = None,
+    steps_per_epoch: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """Builders + kwargs -> one optax transformation.
 
     A kwarg literally named ``total_steps_arg`` names which other kwarg should
-    receive ``total_steps`` (reference `module.py:165-172`).
+    receive ``total_steps`` (reference `module.py:165-172`).  A scheduler
+    kwarg ``interval="epoch"`` makes the schedule advance once per epoch
+    (reference's lr_scheduler interval, `module.py:62,185-189`); the default
+    is per-step.
     """
     optimizer_kwargs = dict(optimizer_kwargs or {})
     lr_scheduler_kwargs = dict(lr_scheduler_kwargs or {})
+    interval = lr_scheduler_kwargs.pop("interval", "step")
     for kwargs in (optimizer_kwargs, lr_scheduler_kwargs):
         arg = kwargs.pop("total_steps_arg", None)
         if arg:
             if total_steps is None:
                 raise ValueError("total_steps_arg requested but total_steps unknown")
-            kwargs[arg] = total_steps
+            kwargs[arg] = total_steps if interval == "step" else max(total_steps // max(steps_per_epoch or 1, 1), 1)
     if lr_scheduler_builder is not None:
         schedule = lr_scheduler_builder(**lr_scheduler_kwargs)
+        if interval == "epoch":
+            if not steps_per_epoch:
+                raise ValueError('interval="epoch" requires steps_per_epoch')
+            base = schedule
+            schedule = lambda step: base(step // steps_per_epoch)
         optimizer_kwargs["learning_rate"] = schedule
     return optimizer_builder(**optimizer_kwargs)
 

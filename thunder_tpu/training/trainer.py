@@ -138,6 +138,8 @@ class Trainer:
     lr_scheduler_builder: Optional[Callable] = None
     lr_scheduler_kwargs: Dict[str, Any] = field(default_factory=dict)
     callbacks: List[Any] = field(default_factory=list)
+    #: clip global gradient norm before the optimizer (None = off)
+    gradient_clip_norm: Optional[float] = None
     checkpoint_dir: Optional[str] = None
     mesh: Optional[Any] = None
     model_parallel: int = 1
@@ -170,7 +172,10 @@ class Trainer:
             self.lr_scheduler_builder,
             self.lr_scheduler_kwargs,
             total_steps=total_steps,
+            steps_per_epoch=steps_per_epoch,
         )
+        if self.gradient_clip_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(self.gradient_clip_norm), tx)
         for cb in self.callbacks:
             if isinstance(cb, FinetuneEncoderDecoder):
                 tx = cb.wrap(tx, steps_per_epoch)
