@@ -46,6 +46,9 @@ class Wav2Vec2Config:
         num_conv_pos_embeddings: int = 128,
         num_conv_pos_embedding_groups: int = 16,
         layer_norm_eps: float = 1e-5,
+        hidden_dropout: float = 0.1,
+        attention_dropout: float = 0.1,
+        feat_proj_dropout: float = 0.1,
     ):
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -60,6 +63,9 @@ class Wav2Vec2Config:
         self.num_conv_pos_embeddings = num_conv_pos_embeddings
         self.num_conv_pos_embedding_groups = num_conv_pos_embedding_groups
         self.layer_norm_eps = layer_norm_eps
+        self.hidden_dropout = hidden_dropout
+        self.attention_dropout = attention_dropout
+        self.feat_proj_dropout = feat_proj_dropout
 
     @classmethod
     def from_hf(cls, hf_config) -> "Wav2Vec2Config":
@@ -77,6 +83,9 @@ class Wav2Vec2Config:
             num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
             num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
             layer_norm_eps=hf_config.layer_norm_eps,
+            hidden_dropout=getattr(hf_config, "hidden_dropout", 0.1),
+            attention_dropout=getattr(hf_config, "attention_dropout", 0.1),
+            feat_proj_dropout=getattr(hf_config, "feat_proj_dropout", 0.1),
         )
 
 
@@ -135,6 +144,7 @@ class _Attention(nn.Module):
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
         scores = jnp.where(key_mask[:, None, None, :], scores, neg)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(rate=cfg.attention_dropout, deterministic=not train)(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v))
         out = out.reshape(x.shape[0], x.shape[1], h)
         return dense("out_proj")(out)
@@ -149,17 +159,18 @@ class _EncoderLayer(nn.Module):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
         attn = _Attention(cfg, dtype=self.dtype, name="attention")
+        drop = lambda v: nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(v)
         if cfg.do_stable_layer_norm:
-            x = x + attn(ln("layer_norm")(x), key_mask, train=train)
+            x = x + drop(attn(ln("layer_norm")(x), key_mask, train=train))
             y = ln("final_layer_norm")(x)
             y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(y)
             y = nn.gelu(y, approximate=False)
-            y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y)
+            y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
             return x + y
-        x = ln("layer_norm")(x + attn(x, key_mask, train=train))
+        x = ln("layer_norm")(x + drop(attn(x, key_mask, train=train)))
         y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y)
+        y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
         return ln("final_layer_norm")(x + y)
 
 
@@ -189,6 +200,7 @@ class Wav2Vec2Encoder(nn.Module):
         # feature projection
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="fp_layer_norm")(feats)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(h)
+        h = nn.Dropout(rate=cfg.feat_proj_dropout, deterministic=not train)(h)
 
         mask = lengths_to_mask(out_lengths, h.shape[1])
         if self.mask_input:

@@ -69,9 +69,14 @@ class BatchTextTransformer:
             encoded.append(self.vocab.numericalize(toks))
         lengths = np.asarray([len(e) for e in encoded], dtype=np.int32)
         width = pad_to if pad_to is not None else max(1, int(lengths.max(initial=1)))
+        if int(lengths.max(initial=0)) > width:
+            raise ValueError(
+                f"pad_to={width} is smaller than the longest encoded text "
+                f"({int(lengths.max())} tokens); truncating would corrupt CTC targets"
+            )
         batch = np.full((len(encoded), width), self.vocab.pad_idx, dtype=np.int32)
         for i, e in enumerate(encoded):
-            batch[i, : len(e)] = e[:width]
+            batch[i, : len(e)] = e
         if return_length:
             return batch, lengths
         return batch

@@ -104,8 +104,17 @@ def make_eval_step(model, blank_idx: int) -> Callable:
     return eval_step
 
 
-def _pad_targets(width: int, multiple: int = 32) -> int:
-    return max(multiple, -(-width // multiple) * multiple)
+def _encode_targets(text_transform, texts, multiple: int = 32):
+    """Encode texts and pad the id array to a width bucket (bounds the number
+    of distinct jit shapes the train step compiles for)."""
+    targets, target_lengths = text_transform.encode(texts)
+    width = max(multiple, -(-targets.shape[1] // multiple) * multiple)
+    if width > targets.shape[1]:
+        targets = np.pad(
+            targets, ((0, 0), (0, width - targets.shape[1])),
+            constant_values=text_transform.vocab.pad_idx,
+        )
+    return targets, target_lengths
 
 
 def _pad_batch_for_mesh(batch, mesh):
@@ -214,9 +223,7 @@ class Trainer:
         t0 = time.perf_counter()
         for epoch in range(self.max_epochs):
             for audio, audio_lengths, texts in train_loader:
-                targets, target_lengths = module.text_transform.encode(
-                    texts, pad_to=_pad_targets(max(len(t) for t in texts) + 2)
-                )
+                targets, target_lengths = _encode_targets(module.text_transform, texts)
                 batch = (audio, audio_lengths, targets, target_lengths)
                 if data_shard is not None:
                     batch = _pad_batch_for_mesh(batch, mesh)
@@ -254,9 +261,7 @@ class Trainer:
         cer_m, wer_m = CharErrorRate(), WordErrorRate()
         losses = []
         for audio, audio_lengths, texts in val_loader:
-            targets, target_lengths = module.text_transform.encode(
-                texts, pad_to=_pad_targets(max(len(t) for t in texts) + 2)
-            )
+            targets, target_lengths = _encode_targets(module.text_transform, texts)
             loss, preds, out_lengths = eval_step(module.variables, audio, audio_lengths, targets, target_lengths)
             losses.append(float(loss))
             collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
