@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from thunder_tpu.ops import (
@@ -73,6 +74,25 @@ def test_preemphasis_matches_reference_math():
     got = np.asarray(preemphasis(jnp.asarray(x), 0.97))
     want = np.concatenate([x[:, :1], x[:, 1:] - 0.97 * x[:, :-1]], axis=1)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mel_filterbank_matches_transformers():
+    """Cross-validate the slaney mel matrix against HF transformers'
+    independent implementation (same algorithm torchaudio implements for the
+    reference's melscale_fbanks call, `quartznet/transform.py:227-239`)."""
+    audio_utils = pytest.importorskip("transformers.audio_utils")
+    for n_freqs, n_mels, sr in [(257, 64, 16000), (513, 80, 16000), (201, 40, 8000)]:
+        theirs = audio_utils.mel_filter_bank(
+            num_frequency_bins=n_freqs,
+            num_mel_filters=n_mels,
+            min_frequency=0.0,
+            max_frequency=sr / 2,
+            sampling_rate=sr,
+            norm="slaney",
+            mel_scale="slaney",
+        )
+        ours = mel_filterbank(n_freqs, n_mels, sr)
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
 def test_mel_filterbank_properties():
