@@ -156,9 +156,19 @@ def load_huggingface_checkpoint(model_name: str, **model_kwargs) -> CTCModule:
     params = dict(module.variables["params"])
     params["encoder"] = hf_state_to_variables(state, config)
     if decoder is not None and hasattr(model, "lm_head"):
+        lm_kernel = np.ascontiguousarray(model.lm_head.weight.detach().numpy().T)
+        if lm_kernel.shape[-1] != text_transform.num_tokens:
+            # fail loudly like the reference's strict load_state_dict
+            # (`huggingface/compatibility.py:90`) instead of installing a
+            # head misaligned with the tokenizer-derived vocabulary
+            raise ValueError(
+                f"lm_head emits {lm_kernel.shape[-1]} classes but the tokenizer "
+                f"vocabulary has {text_transform.num_tokens}; refusing to "
+                "install a misaligned CTC head"
+            )
         params["decoder"] = {
             "dense": {
-                "kernel": np.ascontiguousarray(model.lm_head.weight.detach().numpy().T),
+                "kernel": lm_kernel,
                 "bias": model.lm_head.bias.detach().numpy(),
             }
         }

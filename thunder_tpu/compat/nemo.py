@@ -191,7 +191,7 @@ def _conv_to_flax(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
 
 
-def nemo_key_map(key: str, separable_blocks: Dict[int, bool], repeats: Dict[int, int]):
+def nemo_key_map(key: str, separable_blocks: Dict[int, bool]):
     """Map one NeMo state-dict key to (collection, flax path tuple, transform).
 
     NeMo layout (torch ModuleList indices; act/drop layers hold no params):
@@ -272,7 +272,7 @@ def nemo_key_map(key: str, separable_blocks: Dict[int, bool], repeats: Dict[int,
     raise KeyError(f"unrecognized NeMo checkpoint key: {key}")
 
 
-def load_nemo_weights(variables: dict, weights: Dict[str, np.ndarray], separable_blocks, repeats) -> dict:
+def load_nemo_weights(variables: dict, weights: Dict[str, np.ndarray], separable_blocks: Dict[int, bool]) -> dict:
     """Merge a NeMo state dict into freshly-initialized flax variables.
 
     Strict: every checkpoint tensor must land on an existing tree leaf with a
@@ -287,7 +287,7 @@ def load_nemo_weights(variables: dict, weights: Dict[str, np.ndarray], separable
     }
     touched = set()
     for key, value in weights.items():
-        coll, path, transform = nemo_key_map(key, separable_blocks, repeats)
+        coll, path, transform = nemo_key_map(key, separable_blocks)
         if coll is None:
             continue
         value = np.asarray(value, dtype=np.float32)
@@ -314,24 +314,20 @@ def load_nemo_weights(variables: dict, weights: Dict[str, np.ndarray], separable
     }
 
 
-def _block_layout(encoder) -> Tuple[Dict[int, bool], Dict[int, int]]:
-    """(separable?, repeat) per block index, mirroring the encoder builders."""
-    separable, repeats = {}, {}
+def _block_layout(encoder) -> Dict[int, bool]:
+    """separable? per block index, mirroring the encoder builders (the key
+    map derives repeat indices from the ModuleList position itself)."""
+    separable: Dict[int, bool] = {}
     if isinstance(encoder, QuartznetEncoder):
         n_body = len(encoder.filters) * encoder.repeat_blocks
         blocks = 1 + n_body + 2
         for b in range(blocks):
             separable[b] = b != blocks - 1  # final 1x1 block is dense
-            if b == 0 or b >= blocks - 2:
-                repeats[b] = 1
-            else:
-                repeats[b] = encoder.repeat
     else:  # Citrinet
         blocks = 1 + len(encoder.filters) + 1
         for b in range(blocks):
             separable[b] = True
-            repeats[b] = 1 if (b == 0 or b == blocks - 1) else encoder.repeat
-    return separable, repeats
+    return separable
 
 
 def _load_nemo_module(
@@ -372,8 +368,7 @@ def _load_nemo_module(
             sample_len=4000,
         )
         weights = load_torch_checkpoint(str(extract_path / "model_weights.ckpt"))
-        separable, repeats = _block_layout(encoder)
-        variables = load_nemo_weights(module.variables, weights, separable, repeats)
+        variables = load_nemo_weights(module.variables, weights, _block_layout(encoder))
         return module.with_variables(variables)
 
 

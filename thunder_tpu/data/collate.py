@@ -18,6 +18,9 @@ __all__ = ["asr_collate", "bucket_length"]
 
 
 def bucket_length(n: int, pad_multiple: int) -> int:
+    """Round up to the padding bucket — the single source of truth shared
+    with serving (``module.pad_to_bucket`` delegates here) so loading and
+    inference buckets can never diverge."""
     return max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
 
 

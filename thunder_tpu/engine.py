@@ -341,4 +341,5 @@ class InferenceEngine:
         _, preds, out_lengths = self._infer(*self._place(audio, lengths))
         collapsed = collapse_ctc(np.asarray(preds)[:n], np.asarray(out_lengths)[:n])
         tt = self.module.text_transform
-        return [tt.decode_prediction(c[None])[0] for c in collapsed]
+        # repeats already collapsed on ids; decode must not re-collapse
+        return [tt.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]

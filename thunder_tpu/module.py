@@ -48,8 +48,12 @@ class CTCModel(nn.Module):
 
 
 def pad_to_bucket(n: int, multiple: int = 16000) -> int:
-    """Round up to the padding bucket, bounding the number of jit recompiles."""
-    return max(multiple, -(-n // multiple) * multiple)
+    """Round up to the padding bucket, bounding the number of jit recompiles
+    (delegates to the data pipeline's ``bucket_length`` — one rounding policy
+    for loading and serving)."""
+    from thunder_tpu.data.collate import bucket_length
+
+    return bucket_length(n, multiple)
 
 
 @dataclass
@@ -144,7 +148,8 @@ class CTCModule:
             audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
         _, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
         collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
-        return [self.text_transform.decode_prediction(c[None])[0] for c in collapsed]
+        # repeats already collapsed on ids; decode must not re-collapse
+        return [self.text_transform.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]
 
     def predict_long(
         self,

@@ -109,6 +109,16 @@ def normalize_tensor(
       (std + div_guard)``, invalid region zeroed in the output.
     - without a mask: sample std (ddof=1) and ``(x - mean) / sqrt(var +
       div_guard)`` — matching the subtle asymmetry of the reference.
+
+    DELIBERATE DEVIATION: the reference sums squared deviations over *all*
+    positions (each zero-filled pad frame contributes ``mean**2`` to the
+    numerator while ``n`` counts only valid frames), so its statistics — and
+    therefore its batched outputs — depend on how much padding a batch
+    happens to carry.  Here the squared deviations are masked too, making the
+    output invariant to the padding bucket (the property the whole
+    static-shape design tests for; see test_bucket_invariance).  For
+    unpadded/full-length inputs, e.g. the reference's own golden checkpoint
+    tests, the two are identical.
     """
     if mask is not None:
         maskf = mask.astype(x.dtype)

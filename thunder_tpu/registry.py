@@ -50,7 +50,9 @@ def load_pretrained(checkpoint_name: Union[str, BaseCheckpoint], **load_kwargs) 
     if isinstance(checkpoint_name, BaseCheckpoint):
         checkpoint_name = checkpoint_name.name
     name = str(checkpoint_name)
-    if name.endswith(".nemo") and Path(name).exists():
+    if name.endswith(".nemo"):
+        if not Path(name).exists():
+            raise FileNotFoundError(f"checkpoint file not found: {name}")
         import tarfile
 
         with tarfile.open(name) as tar:

@@ -257,7 +257,15 @@ class Trainer:
         return module
 
     def validate(self, module: CTCModule, val_loader, epoch: int = 0) -> Dict[str, float]:
-        eval_step = make_eval_step(module.model, module.blank_idx)
+        # cache the jitted eval step across epochs (a fresh closure each call
+        # would force a full retrace+recompile per validation pass)
+        cache_key = (id(module.model), module.blank_idx)
+        if getattr(self, "_eval_cache", None) is None:
+            self._eval_cache = {}
+        eval_step = self._eval_cache.get(cache_key)
+        if eval_step is None:
+            eval_step = make_eval_step(module.model, module.blank_idx)
+            self._eval_cache[cache_key] = eval_step
         cer_m, wer_m = CharErrorRate(), WordErrorRate()
         losses = []
         for audio, audio_lengths, texts in val_loader:
@@ -265,7 +273,7 @@ class Trainer:
             loss, preds, out_lengths = eval_step(module.variables, audio, audio_lengths, targets, target_lengths)
             losses.append(float(loss))
             collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
-            decoded = [module.text_transform.decode_prediction(c[None])[0] for c in collapsed]
+            decoded = [module.text_transform.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]
             refs = module.text_transform.decode_prediction(targets, remove_repeated=False)
             cer_m.update(decoded, refs)
             wer_m.update(decoded, refs)
