@@ -21,6 +21,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs (e.g. the driver each round) skip
+    # the slow remote compile entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/thunder_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from thunder_tpu.audio import FilterbankFeatures

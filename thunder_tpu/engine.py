@@ -319,6 +319,24 @@ class InferenceEngine:
         logits, preds, out_lengths = self._infer(*self._place(audio, lengths))
         return logits, out_lengths
 
+    def warmup(self, batch_sizes, durations_s, sample_rate: int = 16000) -> int:
+        """Precompile executables for the serving shape grid.
+
+        Call once at deployment startup so no live request pays a compile:
+        every (batch_size, bucketed duration) pair gets traced and compiled.
+        Returns the number of executables warmed.
+        """
+        n = 0
+        for b in batch_sizes:
+            for s in durations_s:
+                samples = pad_to_bucket(int(s * sample_rate), self.pad_multiple)
+                audio = np.zeros((b, samples), dtype=np.float32)
+                lengths = np.full((b,), samples, dtype=np.int32)
+                _, preds, _ = self._infer(*self._place(audio, lengths))
+                np.asarray(preds)  # force execution end-to-end
+                n += 1
+        return n
+
     def predict(self, audio, lengths=None) -> List[str]:
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
