@@ -228,10 +228,9 @@ class SentencePieceModel:
         return symbols
 
     def piece_to_id(self, piece: str) -> int:
-        try:
-            return self.pieces.index(piece)
-        except ValueError:
-            return self.unk_id
+        if not hasattr(self, "_piece_ids") or len(self._piece_ids) != len(self.pieces):
+            self._piece_ids = {p: i for i, p in enumerate(self.pieces)}
+        return self._piece_ids.get(piece, self.unk_id)
 
     # -- serialization ----------------------------------------------------
 
