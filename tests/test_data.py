@@ -132,6 +132,21 @@ def test_dataloader_iterates_batches(wav_dir):
         assert len(texts) == audio.shape[0]
 
 
+def test_dataloader_worker_counts_agree(wav_dir):
+    """Same batches regardless of worker count (reference tests 12 vs 0
+    workers, `tests/test_data.py:29-116`)."""
+    _, manifest, _ = wav_dir
+    ds = ManifestSpeechDataset(manifest)
+    batches = {}
+    for workers in (1, 8):
+        dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=workers)
+        batches[workers] = list(dl)
+    for (a_audio, a_lens, a_texts), (b_audio, b_lens, b_texts) in zip(batches[1], batches[8]):
+        np.testing.assert_array_equal(a_audio, b_audio)
+        np.testing.assert_array_equal(a_lens, b_lens)
+        assert a_texts == b_texts
+
+
 def test_manifest_datamodule(wav_dir):
     _, manifest, _ = wav_dir
     dm = ManifestDatamodule(

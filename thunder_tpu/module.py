@@ -68,8 +68,9 @@ class CTCModule:
     """
 
     model: CTCModel
-    variables: Dict[str, Any]
-    text_transform: Optional[BatchTextTransformer]
+    #: repr=False: printing a module must not dump megabytes of parameters
+    variables: Dict[str, Any] = field(repr=False)
+    text_transform: Optional[BatchTextTransformer] = field(repr=False)
     encoder_final_dimension: Optional[int] = None
     pad_multiple: int = 16000
     _apply_cache: Dict[Tuple, Any] = field(default_factory=dict, repr=False)
