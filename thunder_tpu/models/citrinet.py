@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from thunder_tpu.models.layers import EncoderBlock
+from thunder_tpu.models.layers import EncoderBlock, InitMode
 
 __all__ = ["CitrinetEncoder"]
 
@@ -31,6 +31,7 @@ class CitrinetEncoder(nn.Module):
     feat_in: int = 80
     repeat: int = 5
     dropout: float = 0.0
+    init_mode: str = InitMode.xavier_uniform
     dtype: jnp.dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
 
@@ -42,6 +43,7 @@ class CitrinetEncoder(nn.Module):
             dtype=self.dtype,
             precision=self.precision,
             dropout=self.dropout,
+            init_mode=self.init_mode,
             separable=True,
             squeeze_excite=True,
             stride_last_only=True,

@@ -23,21 +23,55 @@ import jax.numpy as jnp
 from thunder_tpu.ops.conv import conv_output_length, get_same_padding
 from thunder_tpu.ops.masking import apply_mask, lengths_to_mask
 
-__all__ = ["MaskedConv1d", "TorchBatchNorm", "ConvBnAct", "SqueezeExcite", "EncoderBlock"]
+__all__ = ["InitMode", "weight_init", "MaskedConv1d", "TorchBatchNorm", "ConvBnAct", "SqueezeExcite", "EncoderBlock"]
 
 # torch BatchNorm1d(momentum=0.1) == flax BatchNorm(momentum=0.9)
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-3
 
 
+class InitMode:
+    """Weight init schemes (reference ``InitMode``/``init_weights``,
+    `quartznet/blocks.py:46-90`)."""
+
+    xavier_uniform = "xavier_uniform"
+    xavier_normal = "xavier_normal"
+    kaiming_uniform = "kaiming_uniform"
+    kaiming_normal = "kaiming_normal"
+
+
+def weight_init(mode: str = InitMode.xavier_uniform):
+    """flax initializer for an InitMode name (kaiming = relu gain, fan_in)."""
+    table = {
+        InitMode.xavier_uniform: nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+        InitMode.xavier_normal: nn.initializers.variance_scaling(1.0, "fan_avg", "normal"),
+        InitMode.kaiming_uniform: nn.initializers.variance_scaling(2.0, "fan_in", "uniform"),
+        InitMode.kaiming_normal: nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+    }
+    try:
+        return table[mode]
+    except KeyError as err:
+        raise ValueError(f"Unknown Initialization mode: {mode}") from err
+
+
 class TorchBatchNorm(nn.Module):
-    """BatchNorm with exact torch running-stat semantics.
+    """BatchNorm with torch running-stat semantics + masked batch statistics.
 
     torch normalizes with the biased batch variance but updates
     ``running_var`` with the *unbiased* one (ddof=1) — flax's BatchNorm uses
     the biased variance for both, a small but real training-parity gap.
     Collection layout matches flax (params scale/bias, batch_stats mean/var)
     so checkpoint import code is unaffected.
+
+    DELIBERATE DEVIATION: with a ``mask``, train-mode statistics cover only
+    the valid frames.  The reference's BN averages over padded zeros too,
+    which it gets away with because its collate pads to the batch max (a few
+    percent padding); this framework pads to static buckets where a short
+    clip can be mostly padding — unmasked stats then become padding-dominated
+    and eval-mode (running-stat) predictions collapse for clips whose padding
+    fraction differs from the training average (observed on TPU training).
+    Masked statistics are padding-invariant, so train and eval agree for any
+    bucket. Unmasked behavior is unchanged (pass mask=None).
     """
 
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
@@ -45,7 +79,7 @@ class TorchBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, use_running_average: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, use_running_average: bool = True, mask: Optional[jax.Array] = None) -> jax.Array:
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -57,14 +91,20 @@ class TorchBatchNorm(nn.Module):
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.var(xf, axis=reduce_axes)
-            if not self.is_initializing():
+            if mask is None:
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.var(xf, axis=reduce_axes)
                 n = x.size / features
-                unbiased = var * (n / max(n - 1, 1))
-                m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            else:
+                m = mask.astype(jnp.float32)[..., None]  # (B, T, 1)
+                n = jnp.maximum(m.sum(), 1.0)
+                mean = (xf * m).sum(axis=reduce_axes) / n
+                var = (jnp.square(xf - mean) * m).sum(axis=reduce_axes) / n
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
+                mo = self.momentum
+                ra_mean.value = (1 - mo) * ra_mean.value + mo * mean
+                ra_var.value = (1 - mo) * ra_var.value + mo * unbiased
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
@@ -83,6 +123,7 @@ class MaskedConv1d(nn.Module):
     padding: Optional[int] = None  # None -> same padding
     use_bias: bool = False
     use_mask: bool = True
+    init_mode: str = InitMode.xavier_uniform
     dtype: jnp.dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
 
@@ -99,7 +140,7 @@ class MaskedConv1d(nn.Module):
             kernel_dilation=(self.dilation,),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
-            kernel_init=nn.initializers.xavier_uniform(),
+            kernel_init=weight_init(self.init_mode),
             dtype=self.dtype,
             precision=self.precision,
             name="conv",
@@ -123,12 +164,13 @@ class ConvBnAct(nn.Module):
     padding: Optional[int] = None
     activation: bool = True
     dropout: float = 0.0
+    init_mode: str = InitMode.xavier_uniform
     dtype: jnp.dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False):
-        kw = dict(dtype=self.dtype, precision=self.precision)
+        kw = dict(dtype=self.dtype, precision=self.precision, init_mode=self.init_mode)
         if self.separable:
             in_ch = x.shape[-1]
             x, lengths = MaskedConv1d(
@@ -153,7 +195,9 @@ class ConvBnAct(nn.Module):
                 **kw,
             )(x, lengths)
         x = TorchBatchNorm(epsilon=BN_EPS, dtype=self.dtype, name="bn")(
-            x, use_running_average=not train
+            x,
+            use_running_average=not train,
+            mask=lengths_to_mask(lengths, x.shape[1]) if train else None,
         )
         if self.activation:
             x = nn.relu(x)
@@ -212,6 +256,7 @@ class EncoderBlock(nn.Module):
     squeeze_excite: bool = False
     se_reduction_ratio: int = 8
     residual_stride_pow: bool = True  # True: stride**repeat (QuartzNet)
+    init_mode: str = InitMode.xavier_uniform
     dtype: jnp.dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
 
@@ -222,6 +267,7 @@ class EncoderBlock(nn.Module):
             dilation=self.dilation,
             separable=self.separable,
             dropout=self.dropout,
+            init_mode=self.init_mode,
             dtype=self.dtype,
             precision=self.precision,
         )
@@ -256,6 +302,7 @@ class EncoderBlock(nn.Module):
                 stride=res_stride,
                 activation=False,
                 name="res",
+                init_mode=self.init_mode,
                 dtype=self.dtype,
                 precision=self.precision,
             )(x, lengths, train=train)

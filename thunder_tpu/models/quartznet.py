@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from thunder_tpu.models.layers import EncoderBlock
+from thunder_tpu.models.layers import EncoderBlock, InitMode
 
 __all__ = ["QuartznetEncoder"]
 
@@ -31,6 +31,7 @@ class QuartznetEncoder(nn.Module):
     repeat_blocks: int = 1
     repeat: int = 5
     dropout: float = 0.0
+    init_mode: str = InitMode.xavier_uniform
     dtype: jnp.dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
 
@@ -39,7 +40,7 @@ class QuartznetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
-        kw = dict(dtype=self.dtype, precision=self.precision, dropout=self.dropout)
+        kw = dict(dtype=self.dtype, precision=self.precision, dropout=self.dropout, init_mode=self.init_mode)
         blocks = []
         # stem
         blocks.append(
