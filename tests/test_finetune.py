@@ -71,6 +71,43 @@ def test_finetune_decoder_without_tokens_raises(hf_dir):
         finetune_ctc_module(hf_dir, decoder_builder=LinearDecoder)
 
 
+def test_hf_feature_extractor_frozen_during_training(hf_dir, tmp_path):
+    """The reference freezes the wav2vec2 conv feature extractor on load
+    (`huggingface/compatibility.py:27-28`); the Trainer must honor it."""
+    import wave
+
+    from thunder_tpu.data import ManifestDatamodule
+    from thunder_tpu.training import Trainer
+
+    module = finetune_ctc_module(hf_dir, tokens=list("abc "), decoder_builder=LinearDecoder)
+    assert module.frozen_paths == [("encoder", "feature_extractor")]
+
+    items = []
+    for i in range(2):
+        p = tmp_path / f"f{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((np.sin(np.arange(8000) / 15) * 9000).astype(np.int16).tobytes())
+        items.append({"audio_filepath": str(p), "text": "abc", "duration": 0.5})
+    m = tmp_path / "fz.json"
+    m.write_text("\n".join(json.dumps(it) for it in items))
+    dm = ManifestDatamodule(str(m), str(m), str(m), batch_size=2, num_workers=1)
+    dm.setup("fit")
+
+    before = flax.traverse_util.flatten_dict(module.variables["params"]["encoder"]["feature_extractor"])
+    before_tr = flax.traverse_util.flatten_dict(module.variables["params"]["encoder"]["layer0"])
+    trainer = Trainer(max_epochs=2, optimizer_kwargs={"learning_rate": 1e-3}, log_every=1)
+    out = trainer.fit(module, train_loader=dm.train_dataloader())
+    after = flax.traverse_util.flatten_dict(out.variables["params"]["encoder"]["feature_extractor"])
+    after_tr = flax.traverse_util.flatten_dict(out.variables["params"]["encoder"]["layer0"])
+
+    for k in before:
+        np.testing.assert_array_equal(np.asarray(before[k]), np.asarray(after[k]))
+    assert any(not np.array_equal(np.asarray(before_tr[k]), np.asarray(after_tr[k])) for k in before_tr)
+
+
 def test_finetune_then_fast_dev_run(hf_dir, tmp_path):
     import wave
 

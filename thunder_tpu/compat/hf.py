@@ -177,4 +177,8 @@ def load_huggingface_checkpoint(model_name: str, **model_kwargs) -> CTCModule:
         variables["batch_stats"] = module.variables["batch_stats"]
     module = module.with_variables(variables)
     module.pad_multiple = 16000
+    # the reference adapter calls freeze_feature_encoder() on load
+    # (`huggingface/compatibility.py:27-28`); the Trainer honors this
+    # metadata by zeroing updates for the conv feature extractor
+    module.frozen_paths = [("encoder", "feature_extractor")]
     return module

@@ -73,6 +73,8 @@ def finetune_ctc_module(
         if "batch_stats" in base.variables:
             variables["batch_stats"] = base.variables["batch_stats"]
         module = fresh.with_variables(variables)
+        if getattr(base, "frozen_paths", None):
+            module.frozen_paths = base.frozen_paths
     module.hparams = {
         "checkpoint_name": checkpoint_name,
         "checkpoint_kwargs": checkpoint_kwargs,

@@ -29,6 +29,7 @@ __all__ = [
     "reduce_on_plateau",
     "build_optimizer",
     "finetune_schedule_transform",
+    "freeze_subtrees_transform",
 ]
 
 
@@ -91,6 +92,35 @@ def build_optimizer(
             schedule = lambda step: base(step // steps_per_epoch)
         optimizer_kwargs["learning_rate"] = schedule
     return optimizer_builder(**optimizer_kwargs)
+
+
+def freeze_subtrees_transform(
+    optimizer: optax.GradientTransformation, frozen_paths
+) -> optax.GradientTransformation:
+    """Zero the updates for params under the given path prefixes.
+
+    Functional equivalent of torch's ``requires_grad=False`` filtering
+    (reference `module.py:176`) — e.g. the HF adapter's
+    ``freeze_feature_encoder()`` (`huggingface/compatibility.py:27-28`)
+    becomes ``frozen_paths=[("encoder", "feature_extractor")]``.
+    """
+    frozen = [tuple(p) for p in frozen_paths]
+
+    def zero_frozen(path, u):
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        for prefix in frozen:
+            if keys[: len(prefix)] == prefix:
+                return jnp.zeros_like(u)
+        return u
+
+    def init_fn(params):
+        return optimizer.init(params)
+
+    def update_fn(updates, state, params=None, **extra):
+        new_updates, new_state = optimizer.update(updates, state, params, **extra)
+        return jax.tree_util.tree_map_with_path(zero_frozen, new_updates), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def finetune_schedule_transform(

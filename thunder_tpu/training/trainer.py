@@ -188,6 +188,12 @@ class Trainer:
         for cb in self.callbacks:
             if isinstance(cb, FinetuneEncoderDecoder):
                 tx = cb.wrap(tx, steps_per_epoch)
+        frozen_paths = getattr(module, "frozen_paths", None)
+        if frozen_paths:
+            # e.g. HF wav2vec2 checkpoints freeze their conv feature extractor
+            from thunder_tpu.training.optim import freeze_subtrees_transform
+
+            tx = freeze_subtrees_transform(tx, frozen_paths)
 
         mesh = self.mesh
         if mesh is None and self.model_parallel > 1:
