@@ -176,7 +176,6 @@ def load_huggingface_checkpoint(model_name: str, **model_kwargs) -> CTCModule:
     if "batch_stats" in module.variables:
         variables["batch_stats"] = module.variables["batch_stats"]
     module = module.with_variables(variables)
-    module.pad_multiple = 16000
     # the reference adapter calls freeze_feature_encoder() on load
     # (`huggingface/compatibility.py:27-28`); the Trainer honors this
     # metadata by zeroing updates for the conv feature extractor

@@ -73,6 +73,10 @@ class CTCModule:
     text_transform: Optional[BatchTextTransformer] = field(repr=False)
     encoder_final_dimension: Optional[int] = None
     pad_multiple: int = 16000
+    #: param-tree path prefixes whose updates the Trainer zeroes (e.g. HF
+    #: wav2vec2 freezes its conv feature extractor); a declared field so
+    #: ``with_variables``/checkpoint round trips preserve it
+    frozen_paths: Optional[List[Tuple[str, ...]]] = None
     _apply_cache: Dict[Tuple, Any] = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------

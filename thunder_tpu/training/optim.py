@@ -117,6 +117,10 @@ def freeze_subtrees_transform(
         return optimizer.init(params)
 
     def update_fn(updates, state, params=None, **extra):
+        # zero frozen gradients BEFORE the inner chain: like requires_grad=False,
+        # frozen params must not inflate the global-norm clip nor accumulate
+        # optimizer moments
+        updates = jax.tree_util.tree_map_with_path(zero_frozen, updates)
         new_updates, new_state = optimizer.update(updates, state, params, **extra)
         return jax.tree_util.tree_map_with_path(zero_frozen, new_updates), new_state
 
