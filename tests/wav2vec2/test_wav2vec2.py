@@ -151,6 +151,40 @@ def test_wav2vec2_preprocess_matches_hf_extractor():
     np.testing.assert_allclose(np.asarray(out), batch.input_values, atol=1e-3)
 
 
+def test_wav2vec2_bucket_invariance():
+    """Same clip in different padding buckets -> identical valid outputs,
+    even for mask_input=False (base-960h-style) models.  Covers the masked
+    waveform normalization, masked GroupNorm and always-on attention masking
+    (deliberate deviations documented in audio/frontend.py + models/wav2vec2.py)."""
+    import jax as _jax
+
+    from thunder_tpu.audio import Wav2Vec2Preprocess
+    from thunder_tpu.models import LinearDecoder
+    from thunder_tpu.models.wav2vec2 import Wav2Vec2Config as Cfg
+    from thunder_tpu.models.wav2vec2 import Wav2Vec2Encoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+
+    tt = BatchTextTransformer(tokens=list("abcd "))
+    cfg = Cfg(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+              intermediate_size=64, conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2))
+    mod = CTCModule.create(
+        _jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(mask_input=False),
+        encoder=Wav2Vec2Encoder(config=cfg, mask_input=False),
+        decoder=LinearDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    wav = (0.3 * np.random.default_rng(0).standard_normal(5000)).astype(np.float32)
+    narrow = np.pad(wav[None], ((0, 0), (0, 11000)))
+    wide = np.pad(wav[None], ((0, 0), (0, 27000)))
+    l16, ol = mod.forward(narrow, np.array([5000]))
+    l32, _ = mod.forward(wide, np.array([5000]))
+    v = int(np.asarray(ol)[0])
+    np.testing.assert_allclose(np.asarray(l16)[0, :v], np.asarray(l32)[0, :v], atol=1e-5)
+
+
 def test_tokenizer_to_transform(tmp_path):
     from transformers import Wav2Vec2CTCTokenizer
 

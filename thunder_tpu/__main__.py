@@ -37,7 +37,7 @@ def cmd_transcribe(args):
         if sr != args.sample_rate:
             audio = resample(audio, sr, args.sample_rate)
         if audio.shape[-1] > args.sample_rate * args.chunk_seconds and not args.engine:
-            text = module.predict_long(audio, chunk_seconds=args.chunk_seconds)
+            text = module.predict_long(audio, chunk_seconds=args.chunk_seconds, sample_rate=args.sample_rate)
         else:
             text = predictor.predict(np.asarray(audio, dtype=np.float32))[0]
         print(json.dumps({"audio": path, "text": text.strip()}))

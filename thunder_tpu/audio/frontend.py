@@ -26,9 +26,8 @@ import jax.numpy as jnp
 from thunder_tpu.ops.masking import lengths_to_mask, normalize_tensor
 from thunder_tpu.ops.specaugment import spec_augment, spec_cutout
 from thunder_tpu.ops.stft import (
-    mel_filterbank,
+    mel_features,
     next_pow2,
-    power_spectrum,
     power_spectrum_lengths,
     preemphasis,
 )
@@ -99,11 +98,15 @@ class FilterbankFeatures(nn.Module):
                 preemph=self.preemph,
             )
         else:
-            x = preemphasis(x, self.preemph)
-            power = power_spectrum(x, n_fft, self.n_window_stride, self.n_window_size, method=self.stft_method)
-            fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, self.nfilt, self.sample_rate))
-            mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
-            mel = jnp.log(mel + 2.0**-24)
+            mel = mel_features(
+                preemphasis(x, self.preemph),
+                self.sample_rate,
+                n_fft,
+                self.n_window_stride,
+                self.n_window_size,
+                self.nfilt,
+                method=self.stft_method,
+            )
 
         # per-(sample, feature) normalization over valid frames; statistics are
         # stop-gradiented like the reference's no_grad block (transform.py:87)
@@ -131,12 +134,22 @@ class FilterbankFeatures(nn.Module):
 
 
 class Wav2Vec2Preprocess(nn.Module):
-    """Zero-mean/unit-variance waveform normalization (HF-compatible)."""
+    """Zero-mean/unit-variance waveform normalization (HF-compatible).
+
+    DELIBERATE DEVIATION: statistics are always computed over the valid
+    region.  The reference gates masking on ``mask_input`` (the HF
+    feature-extractor flag) and pads only to the batch max, so for
+    mask_input=False models (e.g. wav2vec2-base-960h) its unmasked stats see
+    ~zero padding.  This framework pads to static buckets — unmasked stats
+    would scale a short clip by the bucket fill factor, making transcriptions
+    depend on the padding amount.  For unpadded inputs (the reference's
+    regime) masked and unmasked statistics are identical.
+    """
 
     div_guard: float = 1e-7
     mask_input: bool = False
 
     @nn.compact
     def __call__(self, audio: jax.Array, lengths: jax.Array, train: bool = False):
-        mask = lengths_to_mask(lengths, audio.shape[-1]) if self.mask_input else None
+        mask = lengths_to_mask(lengths, audio.shape[-1])
         return normalize_tensor(audio, mask, div_guard=self.div_guard, axis=-1), lengths

@@ -78,7 +78,10 @@ class CitrinetCheckpoint(BaseCheckpoint):
 
 def _extract_nemo(nemo_path: str, dest: str):
     with tarfile.open(nemo_path) as tar:
-        tar.extractall(dest, filter="data")
+        try:
+            tar.extractall(dest, filter="data")
+        except TypeError:  # filter= needs >= 3.12 (or late 3.10/3.11 backports)
+            tar.extractall(dest)
 
 
 def _cfg_section(conf: dict, key: str) -> dict:

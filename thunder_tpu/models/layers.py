@@ -8,8 +8,8 @@ TPU-first rebuild of the reference block zoo
   matmuls and the channel dim rides the 128-wide lanes;
 - ``(array, lengths)`` pairs instead of wrapper classes — the reference's
   ``MultiSequential``/``Masked`` dissolve into function composition;
-- batch-norm running stats live in flax's ``batch_stats`` collection
-  (torch semantics: eps=1e-3, torch-momentum 0.1 == flax momentum 0.9).
+- batch-norm running stats live in flax's ``batch_stats`` collection with
+  torch semantics (eps=1e-3, torch momentum convention; see TorchBatchNorm).
 """
 
 from __future__ import annotations
@@ -25,8 +25,6 @@ from thunder_tpu.ops.masking import apply_mask, lengths_to_mask
 
 __all__ = ["InitMode", "weight_init", "MaskedConv1d", "TorchBatchNorm", "ConvBnAct", "SqueezeExcite", "EncoderBlock"]
 
-# torch BatchNorm1d(momentum=0.1) == flax BatchNorm(momentum=0.9)
-BN_MOMENTUM = 0.9
 BN_EPS = 1e-3
 
 

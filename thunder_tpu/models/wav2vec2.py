@@ -96,14 +96,42 @@ def feat_extract_output_lengths(lengths, kernels: Sequence[int], strides: Sequen
     return lengths
 
 
+class _MaskedInstanceNorm(nn.Module):
+    """Per-(sample, channel) normalization over valid frames.
+
+    HF's first-layer GroupNorm (groups == channels) normalizes over the whole
+    padded time axis, so its statistics depend on bucket fill — fine for the
+    reference (pads to batch max) but not for static buckets; masking the
+    statistics is identical for unpadded inputs (the HF-parity tests) and
+    padding-invariant otherwise.  Param layout matches nn.GroupNorm.
+    """
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        m = mask.astype(jnp.float32)[:, :, None]
+        n = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+        xf = x.astype(jnp.float32)
+        mean = (xf * m).sum(axis=1, keepdims=True) / n
+        var = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True) / n
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class _FeatureExtractor(nn.Module):
     config: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         x = x[:, :, None]  # (B, T, 1)
+        cur = lengths.astype(jnp.int32)
         for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
             x = nn.Conv(
                 features=dim,
@@ -114,11 +142,13 @@ class _FeatureExtractor(nn.Module):
                 dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
+            cur = (cur - k) // s + 1
             if cfg.feat_extract_norm == "group" and i == 0:
-                # HF GroupNorm(groups == channels) == per-channel instance norm
-                x = nn.GroupNorm(
-                    num_groups=None, group_size=1, epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="gn"
-                )(x)
+                # HF GroupNorm(groups == channels) == per-channel instance
+                # norm; statistics masked to valid frames (see docstring)
+                x = _MaskedInstanceNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="gn")(
+                    x, lengths_to_mask(cur, x.shape[1])
+                )
             elif cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=f"ln{i}")(x)
             x = nn.gelu(x, approximate=False)
@@ -192,7 +222,7 @@ class Wav2Vec2Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
-        feats = _FeatureExtractor(cfg, dtype=self.dtype, name="feature_extractor")(x, train=train)
+        feats = _FeatureExtractor(cfg, dtype=self.dtype, name="feature_extractor")(x, lengths, train=train)
         out_lengths = feat_extract_output_lengths(
             lengths.astype(jnp.int32), cfg.conv_kernel, cfg.conv_stride
         )
@@ -202,13 +232,16 @@ class Wav2Vec2Encoder(nn.Module):
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(h)
         h = nn.Dropout(rate=cfg.feat_proj_dropout, deterministic=not train)(h)
 
+        # Padding is always masked out of attention and zeroed before the
+        # transformer.  The reference only does this when the HF feature
+        # extractor requests attention masks (`huggingface/compatibility.py:
+        # 32-37`) because its collate pads to the batch max; with static
+        # bucket padding an unmasked model would attend bucket fill.  For
+        # unpadded inputs (the reference's regime) this is a no-op, so logit
+        # parity with HF is preserved (tests/wav2vec2).
         mask = lengths_to_mask(out_lengths, h.shape[1])
-        if self.mask_input:
-            # HF zeroes padded positions before the transformer
-            h = jnp.where(mask[:, :, None], h, 0.0)
-            key_mask = mask
-        else:
-            key_mask = jnp.ones_like(mask)
+        h = jnp.where(mask[:, :, None], h, 0.0)
+        key_mask = mask
 
         # convolutional positional embedding (weight-normed conv in HF; the
         # importer folds g*v/||v|| into a plain kernel)
@@ -228,6 +261,8 @@ class Wav2Vec2Encoder(nn.Module):
 
         if not cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
+        # HF applies encoder-level dropout here, after pos-conv (+ LN)
+        h = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(h)
         for i in range(cfg.num_hidden_layers):
             h = _EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(h, key_mask, train=train)
         if cfg.do_stable_layer_norm:

@@ -37,8 +37,15 @@ class _TnAudio(ctypes.Structure):
     ]
 
 
+_FAILED_MARKER = _LIB_PATH.with_suffix(".build_failed")
+
+
 def _build() -> bool:
     if not _SRC.exists():
+        return False
+    if _FAILED_MARKER.exists():
+        # a failed import isn't cached by Python, so without this marker every
+        # `from thunder_tpu.native import ...` would re-run the compiler
         return False
     try:
         subprocess.run(
@@ -49,6 +56,10 @@ def _build() -> bool:
         )
         return _LIB_PATH.exists()
     except Exception:
+        try:
+            _FAILED_MARKER.touch()
+        except OSError:
+            pass
         return False
 
 

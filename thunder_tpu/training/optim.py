@@ -140,21 +140,32 @@ def finetune_schedule_transform(
     model trains normally throughout.
     """
 
-    def encoder_scale(step):
-        return jnp.where(step >= unfreeze_encoder_at_step, 1.0 / encoder_initial_lr_div, 0.0)
-
     def init_fn(params):
         return {"inner": optimizer.init(params), "step": jnp.zeros((), jnp.int32)}
 
     def update_fn(updates, state, params=None, **extra):
-        new_inner_updates, inner_state = optimizer.update(updates, state["inner"], params, **extra)
-        scale = encoder_scale(state["step"])
+        step = state["step"]
+        frozen = step < unfreeze_encoder_at_step
 
-        def scale_encoder(path, u):
-            top = path[0].key if hasattr(path[0], "key") else str(path[0])
-            return u * scale if top == encoder_path else u
+        def map_encoder(fn):
+            def mapper(path, u):
+                top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                return fn(u) if top == encoder_path else u
 
-        new_updates = jax.tree_util.tree_map_with_path(scale_encoder, new_inner_updates)
-        return new_updates, {"inner": inner_state, "step": state["step"] + 1}
+            return mapper
+
+        # zero frozen-phase encoder GRADIENTS before the inner chain, like the
+        # reference's requires_grad filtering: they must not inflate gradient
+        # clipping nor warm optimizer moments while frozen
+        updates = jax.tree_util.tree_map_with_path(
+            map_encoder(lambda u: jnp.where(frozen, jnp.zeros_like(u), u)), updates
+        )
+        new_updates, inner_state = optimizer.update(updates, state["inner"], params, **extra)
+        # after unfreezing, the encoder trains at lr / encoder_initial_lr_div
+        scale = jnp.where(frozen, 0.0, 1.0 / encoder_initial_lr_div)
+        new_updates = jax.tree_util.tree_map_with_path(
+            map_encoder(lambda u: u * scale), new_updates
+        )
+        return new_updates, {"inner": inner_state, "step": step + 1}
 
     return optax.GradientTransformation(init_fn, update_fn)
