@@ -216,3 +216,303 @@ int64_t tn_ctc_collapse(const int32_t* ids, int64_t n, int32_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC decoder (subset: everything LibriSpeech-style files use)
+//
+// Implements the public FLAC bitstream format from the specification:
+// STREAMINFO parsing, frames with fixed or variable blocking, independent /
+// left-side / right-side / mid-side channel decorrelation, CONSTANT /
+// VERBATIM / FIXED(0-4) / LPC subframes, rice and rice2 residual coding with
+// partitions and escape codes, wasted bits. CRCs are skipped (not verified).
+// ---------------------------------------------------------------------------
+
+namespace flac {
+
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte_pos = 0;
+  int bit_pos = 0;  // bits consumed in current byte
+  bool error = false;
+
+  uint64_t read_bits(int n) {
+    uint64_t v = 0;
+    while (n > 0) {
+      if (byte_pos >= size) { error = true; return 0; }
+      int avail = 8 - bit_pos;
+      int take = n < avail ? n : avail;
+      int shift = avail - take;
+      uint32_t bits = (data[byte_pos] >> shift) & ((1u << take) - 1);
+      v = (v << take) | bits;
+      bit_pos += take;
+      n -= take;
+      if (bit_pos == 8) { bit_pos = 0; ++byte_pos; }
+    }
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read_bits(n);
+    if (n > 0 && (v >> (n - 1)) & 1) v |= ~((1ull << n) - 1);  // sign extend
+    return (int64_t)v;
+  }
+
+  uint32_t read_unary() {
+    uint32_t q = 0;
+    while (!error && read_bits(1) == 0) {
+      ++q;
+      if (q > 1u << 24) { error = true; break; }
+    }
+    return q;
+  }
+
+  void align_byte() { if (bit_pos) { bit_pos = 0; ++byte_pos; } }
+};
+
+static int64_t rice_decode(BitReader& br, int k) {
+  uint32_t q = br.read_unary();
+  uint64_t r = k ? br.read_bits(k) : 0;
+  uint64_t v = ((uint64_t)q << k) | r;
+  return (int64_t)(v >> 1) ^ -(int64_t)(v & 1);  // zigzag
+}
+
+// variable-length coded frame number (UTF-8 style, up to 7 bytes)
+static int read_utf8_number(BitReader& br, uint64_t* out) {
+  uint32_t b = (uint32_t)br.read_bits(8);
+  int extra = 0;
+  uint64_t v = 0;
+  if ((b & 0x80) == 0) { v = b; }
+  else if ((b & 0xE0) == 0xC0) { v = b & 0x1F; extra = 1; }
+  else if ((b & 0xF0) == 0xE0) { v = b & 0x0F; extra = 2; }
+  else if ((b & 0xF8) == 0xF0) { v = b & 0x07; extra = 3; }
+  else if ((b & 0xFC) == 0xF8) { v = b & 0x03; extra = 4; }
+  else if ((b & 0xFE) == 0xFC) { v = b & 0x01; extra = 5; }
+  else if (b == 0xFE) { v = 0; extra = 6; }
+  else return -1;
+  for (int i = 0; i < extra; ++i) {
+    uint32_t c = (uint32_t)br.read_bits(8);
+    if ((c & 0xC0) != 0x80) return -1;
+    v = (v << 6) | (c & 0x3F);
+  }
+  *out = v;
+  return 0;
+}
+
+static int decode_residual(BitReader& br, int blocksize, int order, int64_t* out) {
+  int method = (int)br.read_bits(2);
+  if (method > 1) return -1;
+  int plen = method == 0 ? 4 : 5;
+  int escape = method == 0 ? 0xF : 0x1F;
+  int porder = (int)br.read_bits(4);
+  int partitions = 1 << porder;
+  int idx = 0;
+  for (int p = 0; p < partitions; ++p) {
+    int count = blocksize >> porder;
+    if (p == 0) count -= order;
+    if (count < 0) return -1;
+    int k = (int)br.read_bits(plen);
+    if (k == escape) {
+      int bits = (int)br.read_bits(5);
+      for (int i = 0; i < count; ++i) out[idx++] = bits ? br.read_signed(bits) : 0;
+    } else {
+      for (int i = 0; i < count; ++i) out[idx++] = rice_decode(br, k);
+    }
+    if (br.error) return -1;
+  }
+  return 0;
+}
+
+static const int FIXED_COEFFS[5][4] = {
+    {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1},
+};
+
+static int decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) {
+  if (br.read_bits(1) != 0) return -1;  // padding bit
+  int type = (int)br.read_bits(6);
+  int wasted = 0;
+  if (br.read_bits(1)) {  // wasted bits: unary count - 1
+    wasted = 1 + (int)br.read_unary();
+  }
+  int ebps = bps - wasted;
+
+  if (type == 0) {  // CONSTANT
+    int64_t v = br.read_signed(ebps);
+    for (int i = 0; i < blocksize; ++i) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; ++i) out[i] = br.read_signed(ebps);
+  } else if (type >= 8 && type <= 12) {  // FIXED order 0..4
+    int order = type - 8;
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(ebps);
+    std::vector<int64_t> res(blocksize);
+    if (decode_residual(br, blocksize, order, res.data())) return -1;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += (int64_t)FIXED_COEFFS[order][j] * out[i - 1 - j];
+      out[i] = pred + res[i - order];
+    }
+  } else if (type >= 32) {  // LPC, order = (type & 31) + 1
+    int order = (type & 31) + 1;
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(ebps);
+    int precision = (int)br.read_bits(4) + 1;
+    if (precision == 16) return -1;  // invalid code 0b1111
+    int shift = (int)br.read_signed(5);
+    if (shift < 0) return -1;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br.read_signed(precision);
+    std::vector<int64_t> res(blocksize);
+    if (decode_residual(br, blocksize, order, res.data())) return -1;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += coef[j] * out[i - 1 - j];
+      out[i] = (pred >> shift) + res[i - order];
+    }
+  } else {
+    return -1;
+  }
+  if (wasted) {
+    for (int i = 0; i < blocksize; ++i) out[i] <<= wasted;
+  }
+  return br.error ? -1 : 0;
+}
+
+}  // namespace flac
+
+extern "C" int tn_load_flac(const char* path, TnAudio* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(fsize);
+  if (fread(buf.data(), 1, fsize, f) != (size_t)fsize) { fclose(f); return -2; }
+  fclose(f);
+  if (fsize < 42 || memcmp(buf.data(), "fLaC", 4)) return -3;
+
+  flac::BitReader br{buf.data(), (size_t)fsize};
+  br.byte_pos = 4;
+
+  // metadata blocks; STREAMINFO must be first
+  uint32_t sample_rate = 0, channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool last = false, first = true;
+  while (!last) {
+    last = br.read_bits(1);
+    uint32_t type = (uint32_t)br.read_bits(7);
+    uint32_t len = (uint32_t)br.read_bits(24);
+    if (first) {
+      if (type != 0 || len < 34) return -4;
+      br.read_bits(16);  // min blocksize
+      br.read_bits(16);  // max blocksize
+      br.read_bits(24);  // min framesize
+      br.read_bits(24);  // max framesize
+      sample_rate = (uint32_t)br.read_bits(20);
+      channels = (uint32_t)br.read_bits(3) + 1;
+      bps = (uint32_t)br.read_bits(5) + 1;
+      total_samples = br.read_bits(36);
+      br.byte_pos += 16;  // md5
+      first = false;
+    } else {
+      br.byte_pos += len;
+    }
+    if (br.error || br.byte_pos > (size_t)fsize) return -5;
+  }
+  if (channels < 1 || channels > 8 || bps < 4 || bps > 32) return -6;
+
+  std::vector<std::vector<int64_t>> pcm(channels);
+  uint64_t reserve = total_samples ? total_samples : (uint64_t)fsize;
+  for (auto& ch : pcm) ch.reserve(reserve);
+
+  static const uint32_t RATE_CODE[12] = {0, 88200, 176400, 192000, 8000, 16000,
+                                         22050, 24000, 32000, 44100, 48000, 96000};
+  // frames
+  while (br.byte_pos < (size_t)fsize - 1) {
+    uint32_t sync = (uint32_t)br.read_bits(14);
+    if (br.error) break;
+    if (sync != 0x3FFE) return -7;
+    br.read_bits(1);  // reserved
+    br.read_bits(1);  // blocking strategy
+    uint32_t bs_code = (uint32_t)br.read_bits(4);
+    uint32_t sr_code = (uint32_t)br.read_bits(4);
+    uint32_t ch_code = (uint32_t)br.read_bits(4);
+    uint32_t ss_code = (uint32_t)br.read_bits(3);
+    br.read_bits(1);  // reserved
+    uint64_t frame_no;
+    if (flac::read_utf8_number(br, &frame_no)) return -8;
+    uint32_t blocksize;
+    if (bs_code == 1) blocksize = 192;
+    else if (bs_code >= 2 && bs_code <= 5) blocksize = 576u << (bs_code - 2);
+    else if (bs_code == 6) blocksize = (uint32_t)br.read_bits(8) + 1;
+    else if (bs_code == 7) blocksize = (uint32_t)br.read_bits(16) + 1;
+    else if (bs_code >= 8) blocksize = 256u << (bs_code - 8);
+    else return -9;
+    if (sr_code == 12) br.read_bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
+    else if (sr_code == 15) return -10;
+    else if (sr_code != 0 && sr_code < 12 && sample_rate == 0) sample_rate = RATE_CODE[sr_code];
+    uint32_t fbps = bps;
+    static const uint32_t SS_CODE[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+    if (ss_code != 0 && ss_code != 3) fbps = SS_CODE[ss_code];
+    br.read_bits(8);  // header crc8
+
+    uint32_t nch = channels;
+    int mode = 0;  // 0 independent, 1 left/side, 2 right/side, 3 mid/side
+    if (ch_code <= 7) { nch = ch_code + 1; mode = 0; }
+    else if (ch_code == 8) { nch = 2; mode = 1; }
+    else if (ch_code == 9) { nch = 2; mode = 2; }
+    else if (ch_code == 10) { nch = 2; mode = 3; }
+    else return -11;
+    if (nch != channels) return -12;
+
+    std::vector<std::vector<int64_t>> sub(nch, std::vector<int64_t>(blocksize));
+    for (uint32_t c = 0; c < nch; ++c) {
+      uint32_t sbps = fbps;
+      // side channels carry one extra bit
+      if ((mode == 1 && c == 1) || (mode == 2 && c == 0) || (mode == 3 && c == 1)) sbps += 1;
+      if (flac::decode_subframe(br, (int)blocksize, (int)sbps, sub[c].data())) return -13;
+    }
+    br.align_byte();
+    br.byte_pos += 2;  // frame crc16
+    if (br.byte_pos > (size_t)fsize) return -14;
+
+    // stereo decorrelation
+    if (mode == 1) {  // left/side: right = left - side
+      for (uint32_t i = 0; i < blocksize; ++i) {
+        int64_t l = sub[0][i], s = sub[1][i];
+        sub[1][i] = l - s;
+      }
+    } else if (mode == 2) {  // right/side: left = right + side
+      for (uint32_t i = 0; i < blocksize; ++i) {
+        int64_t s = sub[0][i], r = sub[1][i];
+        sub[0][i] = r + s;
+      }
+    } else if (mode == 3) {  // mid/side
+      for (uint32_t i = 0; i < blocksize; ++i) {
+        int64_t mid = sub[0][i], side = sub[1][i];
+        mid = (mid << 1) | (side & 1);
+        sub[0][i] = (mid + side) >> 1;
+        sub[1][i] = (mid - side) >> 1;
+      }
+    }
+    for (uint32_t c = 0; c < nch; ++c) {
+      pcm[c].insert(pcm[c].end(), sub[c].begin(), sub[c].end());
+    }
+    if (total_samples && pcm[0].size() >= total_samples) break;
+  }
+
+  uint64_t frames = total_samples ? total_samples : pcm[0].size();
+  if (frames > pcm[0].size()) frames = pcm[0].size();
+  float* data = (float*)malloc(sizeof(float) * frames * channels);
+  if (!data) return -15;
+  const double scale = 1.0 / (double)(1ll << (bps - 1));
+  for (uint32_t c = 0; c < channels; ++c) {
+    for (uint64_t i = 0; i < frames; ++i) {
+      data[(uint64_t)c * frames + i] = (float)(pcm[c][i] * scale);
+    }
+  }
+  out->data = data;
+  out->channels = (int32_t)channels;
+  out->frames = (int64_t)frames;
+  out->sample_rate = (int32_t)sample_rate;
+  return 0;
+}

@@ -88,9 +88,16 @@ def _decode_pcm(raw: bytes, bits: int, audio_format: int) -> np.ndarray:
 def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     """Decode an audio file -> (float32 (channels, time) array, sample_rate).
 
-    Prefers the native C decoder; falls back to the Python WAV parser.
+    WAV and FLAC are decoded by the native C++ runtime (dispatch by file
+    magic); WAV additionally has a pure-Python fallback.
     """
     path = str(path)
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from thunder_tpu.native import native_load_flac
+
+        return native_load_flac(path)
     try:
         from thunder_tpu.native import native_load_wav
 

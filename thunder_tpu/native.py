@@ -18,6 +18,7 @@ import numpy as np
 __all__ = [
     "native_available",
     "native_load_wav",
+    "native_load_flac",
     "native_wav_info",
     "native_resample",
     "native_edit_distance",
@@ -69,6 +70,8 @@ def _load():
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
     lib.tn_load_wav.restype = ctypes.c_int
+    lib.tn_load_flac.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
+    lib.tn_load_flac.restype = ctypes.c_int
     lib.tn_free_audio.argtypes = [ctypes.POINTER(_TnAudio)]
     lib.tn_wav_info.argtypes = [
         ctypes.c_char_p,
@@ -123,6 +126,20 @@ def native_load_wav(path: str) -> Tuple[np.ndarray, int]:
     rc = _lib.tn_load_wav(str(path).encode(), ctypes.byref(audio))
     if rc != 0:
         raise ValueError(f"native wav decode failed ({rc}) for {path}")
+    try:
+        n = audio.channels * audio.frames
+        flat = np.ctypeslib.as_array(audio.data, shape=(n,)).copy()
+        return flat.reshape(audio.channels, audio.frames), int(audio.sample_rate)
+    finally:
+        _lib.tn_free_audio(ctypes.byref(audio))
+
+
+def native_load_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file -> ((channels, frames) float32, sample_rate)."""
+    audio = _TnAudio()
+    rc = _lib.tn_load_flac(str(path).encode(), ctypes.byref(audio))
+    if rc != 0:
+        raise ValueError(f"native flac decode failed ({rc}) for {path}")
     try:
         n = audio.channels * audio.frames
         flat = np.ctypeslib.as_array(audio.data, shape=(n,)).copy()
