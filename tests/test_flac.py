@@ -67,6 +67,15 @@ def test_flac_through_loader(tmp_path):
     assert out.shape == (1, 6400)  # mono + resampled 8k -> 16k
 
 
+def test_flac_audio_info(tmp_path):
+    from thunder_tpu.data import audio_info
+
+    p = tmp_path / "i.flac"
+    write_flac(str(p), _signal(4000, channels=2), sample_rate=22050)
+    info = audio_info(p)
+    assert (info.sample_rate, info.num_frames, info.num_channels) == (22050, 4000, 2)
+
+
 def test_flac_bad_file_rejected(tmp_path):
     p = tmp_path / "bad.flac"
     p.write_bytes(b"fLaC" + b"\x00" * 10)

@@ -57,9 +57,30 @@ def _parse_wav_header(path: str) -> Tuple[AudioInfo, int, int, int]:
                 f.seek(size + (size % 2), 1)
 
 
+def _parse_flac_streaminfo(path: str) -> AudioInfo:
+    """Read sample rate / frames / channels from the FLAC STREAMINFO block."""
+    with open(path, "rb") as f:
+        header = f.read(4 + 4 + 34)
+    if header[:4] != b"fLaC":
+        raise ValueError(f"not a FLAC file: {path}")
+    # skip the 4-byte metadata block header; STREAMINFO is always first
+    si = header[8:]
+    bits = int.from_bytes(si[10:18], "big")  # rate(20) ch(3) bps(5) total(36)
+    sample_rate = bits >> 44
+    channels = ((bits >> 41) & 0x7) + 1
+    bps = ((bits >> 36) & 0x1F) + 1
+    total = bits & ((1 << 36) - 1)
+    return AudioInfo(sample_rate, total, channels, bps)
+
+
 def audio_info(path: Union[str, Path]) -> AudioInfo:
-    """Header-only metadata read (for duration bucketing)."""
-    info, _, _, _ = _parse_wav_header(str(path))
+    """Header-only metadata read (for duration bucketing); WAV or FLAC."""
+    path = str(path)
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        return _parse_flac_streaminfo(path)
+    info, _, _, _ = _parse_wav_header(path)
     return info
 
 
