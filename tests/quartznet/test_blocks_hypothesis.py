@@ -22,7 +22,7 @@ block_cfgs = st.fixed_dictionaries(
 )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(cfg=block_cfgs)
 def test_block_shapes_and_lengths(cfg):
     if cfg["stride"] > 1 and cfg["residual"]:

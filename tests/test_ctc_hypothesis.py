@@ -12,7 +12,7 @@ from hypothesis import strategies as st
 from thunder_tpu.ops import ctc_loss
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=12, deadline=None)
 @given(
     seed=st.integers(0, 10_000),
     batch=st.integers(1, 4),
