@@ -334,6 +334,7 @@ static int decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) 
   if (br.read_bits(1)) {  // wasted bits: unary count - 1
     wasted = 1 + (int)br.read_unary();
   }
+  if (wasted >= bps) return -1;  // corrupt header; avoids UB shifts below
   int ebps = bps - wasted;
 
   if (type == 0) {  // CONSTANT
@@ -378,12 +379,13 @@ static int decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) 
 
 }  // namespace flac
 
-extern "C" int tn_load_flac(const char* path, TnAudio* out) {
+static int tn_load_flac_impl(const char* path, TnAudio* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
   long fsize = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (fsize <= 0) { fclose(f); return -2; }
   std::vector<uint8_t> buf(fsize);
   if (fread(buf.data(), 1, fsize, f) != (size_t)fsize) { fclose(f); return -2; }
   fclose(f);
@@ -411,6 +413,7 @@ extern "C" int tn_load_flac(const char* path, TnAudio* out) {
       bps = (uint32_t)br.read_bits(5) + 1;
       total_samples = br.read_bits(36);
       br.byte_pos += 16;  // md5
+      br.byte_pos += len - 34;  // tolerate oversized STREAMINFO blocks
       first = false;
     } else {
       br.byte_pos += len;
@@ -420,7 +423,11 @@ extern "C" int tn_load_flac(const char* path, TnAudio* out) {
   if (channels < 1 || channels > 8 || bps < 4 || bps > 32) return -6;
 
   std::vector<std::vector<int64_t>> pcm(channels);
+  // decoded samples can never exceed ~8 per compressed byte; cap the hint so
+  // a corrupt 36-bit total_samples cannot demand absurd allocations
   uint64_t reserve = total_samples ? total_samples : (uint64_t)fsize;
+  uint64_t cap = (uint64_t)fsize * 8ull / (channels ? channels : 1);
+  if (reserve > cap) reserve = cap;
   for (auto& ch : pcm) ch.reserve(reserve);
 
   static const uint32_t RATE_CODE[12] = {0, 88200, 176400, 192000, 8000, 16000,
@@ -515,4 +522,13 @@ extern "C" int tn_load_flac(const char* path, TnAudio* out) {
   out->frames = (int64_t)frames;
   out->sample_rate = (int32_t)sample_rate;
   return 0;
+}
+
+extern "C" int tn_load_flac(const char* path, TnAudio* out) {
+  // exceptions must not cross the C ABI into ctypes (std::terminate)
+  try {
+    return tn_load_flac_impl(path, out);
+  } catch (...) {
+    return -20;
+  }
 }

@@ -63,13 +63,24 @@ def _parse_flac_streaminfo(path: str) -> AudioInfo:
         header = f.read(4 + 4 + 34)
     if header[:4] != b"fLaC":
         raise ValueError(f"not a FLAC file: {path}")
-    # skip the 4-byte metadata block header; STREAMINFO is always first
+    if len(header) < 42:
+        raise ValueError(f"truncated FLAC header: {path}")
+    if header[4] & 0x7F != 0:  # first metadata block must be STREAMINFO
+        raise ValueError(f"FLAC file missing STREAMINFO: {path}")
     si = header[8:]
     bits = int.from_bytes(si[10:18], "big")  # rate(20) ch(3) bps(5) total(36)
     sample_rate = bits >> 44
     channels = ((bits >> 41) & 0x7) + 1
     bps = ((bits >> 36) & 0x1F) + 1
     total = bits & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError(f"invalid FLAC sample rate in {path}")
+    if total == 0:
+        # spec-legal "unknown length": fall back to a full decode
+        from thunder_tpu.native import native_load_flac
+
+        audio, rate = native_load_flac(path)
+        return AudioInfo(rate, audio.shape[1], audio.shape[0], bps)
     return AudioInfo(sample_rate, total, channels, bps)
 
 
