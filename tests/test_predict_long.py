@@ -37,6 +37,18 @@ def test_predict_long_chunks(module):
     assert 0.5 < ratio < 2.0
 
 
+def test_engine_predict_long_matches_module(module):
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+
+    engine = InferenceEngine(module, compute_dtype=jnp.float32)
+    audio = (np.random.default_rng(2).standard_normal(4 * 16000) * 0.2).astype(np.float32)
+    assert engine.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5) == module.predict_long(
+        audio, chunk_seconds=1.5, overlap_seconds=0.5
+    )
+
+
 def test_predict_long_requires_text_transform(module):
     from dataclasses import replace
 

@@ -337,6 +337,33 @@ class InferenceEngine:
                 n += 1
         return n
 
+    def predict_long(
+        self,
+        audio,
+        chunk_seconds: float = 20.0,
+        overlap_seconds: float = 2.0,
+        sample_rate: int = 16000,
+    ) -> str:
+        """Chunked long-audio transcription on the optimized engine path."""
+        from thunder_tpu.module import chunked_transcribe
+
+        if self.module.text_transform is None:
+            raise ValueError("predict_long requires a text_transform")
+
+        def infer(padded, lengths):
+            _, preds, out_lengths = self._infer(*self._place(padded, lengths))
+            return preds, out_lengths
+
+        return chunked_transcribe(
+            infer,
+            self.module.text_transform,
+            audio,
+            chunk_seconds=chunk_seconds,
+            overlap_seconds=overlap_seconds,
+            sample_rate=sample_rate,
+            short_path=lambda a: self.predict(a)[0],
+        )
+
     def predict(self, audio, lengths=None) -> List[str]:
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:

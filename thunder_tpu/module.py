@@ -26,7 +26,46 @@ import numpy as np
 from thunder_tpu.ops.ctc import calculate_ctc, collapse_ctc
 from thunder_tpu.text.transform import BatchTextTransformer
 
-__all__ = ["CTCModel", "CTCModule", "pad_to_bucket"]
+__all__ = ["CTCModel", "CTCModule", "pad_to_bucket", "chunked_transcribe"]
+
+
+def chunked_transcribe(
+    infer_fn,
+    text_transform,
+    audio,
+    chunk_seconds: float = 20.0,
+    overlap_seconds: float = 2.0,
+    sample_rate: int = 16000,
+    short_path=None,
+):
+    """Overlapped-chunk greedy decoding of long audio.
+
+    ``infer_fn(padded_audio, lengths) -> (pred_ids, out_lengths)``; interior
+    chunk boundaries drop half the overlap's frames on each side, the id
+    streams are stitched and collapsed once.
+    """
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    chunk = int(chunk_seconds * sample_rate)
+    overlap = int(overlap_seconds * sample_rate)
+    if audio.shape[0] <= chunk and short_path is not None:
+        return short_path(audio)
+    step = max(chunk - overlap, 1)
+    starts = list(range(0, max(audio.shape[0] - overlap, 1), step))
+    pieces = []
+    for idx, start in enumerate(starts):
+        seg = audio[start : start + chunk]
+        seg_len = seg.shape[0]
+        padded = np.zeros((1, chunk), dtype=np.float32)
+        padded[0, :seg_len] = seg
+        preds, out_lengths = infer_fn(padded, np.asarray([seg_len], dtype=np.int32))
+        ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
+        fps = ids.shape[0] / max(seg_len, 1)
+        trim = int(overlap / 2 * fps)
+        lo = trim if idx > 0 else 0
+        hi = ids.shape[0] - trim if (idx < len(starts) - 1 and trim > 0) else ids.shape[0]
+        pieces.append(ids[lo:hi])
+    joined = np.concatenate(pieces)
+    return text_transform.decode_prediction(joined[None])[0]
 
 
 class CTCModel(nn.Module):
@@ -172,30 +211,20 @@ class CTCModule:
         """
         if self.text_transform is None:
             raise ValueError("predict_long requires a text_transform")
-        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-        chunk = int(chunk_seconds * sample_rate)
-        overlap = int(overlap_seconds * sample_rate)
-        if audio.shape[0] <= chunk:
-            return self.predict(audio)[0]
-        step = chunk - overlap
-        starts = list(range(0, max(audio.shape[0] - overlap, 1), step))
-        pieces = []
-        for idx, start in enumerate(starts):
-            seg = audio[start : start + chunk]
-            seg_len = seg.shape[0]
-            padded = np.zeros((1, chunk), dtype=np.float32)
-            padded[0, :seg_len] = seg
-            _, preds, out_lengths = self._eval_fn()(
-                self.variables, jnp.asarray(padded), jnp.asarray([seg_len], dtype=jnp.int32)
-            )
-            ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
-            fps = ids.shape[0] / max(seg_len, 1)
-            trim = int(overlap / 2 * fps)
-            lo = trim if idx > 0 else 0
-            hi = ids.shape[0] - trim if (idx < len(starts) - 1 and trim > 0) else ids.shape[0]
-            pieces.append(ids[lo:hi])
-        joined = np.concatenate(pieces)
-        return self.text_transform.decode_prediction(joined[None])[0]
+
+        def infer(padded, lengths):
+            _, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(padded), jnp.asarray(lengths))
+            return preds, out_lengths
+
+        return chunked_transcribe(
+            infer,
+            self.text_transform,
+            audio,
+            chunk_seconds=chunk_seconds,
+            overlap_seconds=overlap_seconds,
+            sample_rate=sample_rate,
+            short_path=lambda a: self.predict(a)[0],
+        )
 
     # ------------------------------------------------------------------
     # loss (used by the training loop, exposed for API parity)
