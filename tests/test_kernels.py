@@ -41,3 +41,18 @@ def test_frontend_module_fused_flag_matches_xla(sample_audio):
     out, lens = plain.apply({}, jnp.asarray(audio), jnp.asarray(lengths))
     assert out.shape[0] == audio.shape[0]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_log_mel_3x_precision_close():
+    # the TPU default: 3-pass bf16 DFT split; CPU interpret run pins its
+    # accuracy envelope against the exact-f32 XLA pipeline
+    import jax.numpy as jnp
+    from thunder_tpu.kernels.frontend_pallas import fused_log_mel
+    from thunder_tpu.ops.stft import mel_features
+
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray((rng.standard_normal((2, 16000)) * 0.1).astype(np.float32))
+    got = fused_log_mel(audio, interpret=True, dft_precision="3x")
+    want = mel_features(preemphasis(audio, 0.97), 16000, 512, 160, 320, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+    assert float(np.abs(np.asarray(got) - np.asarray(want)).mean()) < 2e-3
