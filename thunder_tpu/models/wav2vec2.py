@@ -25,7 +25,46 @@ import jax.numpy as jnp
 
 from thunder_tpu.ops.masking import lengths_to_mask
 
-__all__ = ["Wav2Vec2Config", "Wav2Vec2Encoder", "feat_extract_output_lengths"]
+__all__ = ["Wav2Vec2Config", "Wav2Vec2Encoder", "feat_extract_output_lengths", "gelu"]
+
+
+# minimax odd-polynomial fit of Phi(x) = 0.5*(1+erf(x/sqrt(2))) on [-4, 4],
+# |x|-weighted so the *gelu* absolute error equioscillates; exact 0/1 tails.
+_GELU_COEFFS = (
+    3.9532497308e-01,
+    -6.1340755325e-02,
+    7.4120497122e-03,
+    -5.5134104003e-04,
+    2.2377131731e-05,
+    -3.7642009188e-07,
+)
+
+
+def _fast_gelu(x: jax.Array) -> jax.Array:
+    """Polynomial exact-gelu approximation, max abs error 2.0e-3.
+
+    XLA's ``erf`` on TPU is a slow software expansion (~10x the cost of a
+    short polynomial per element — measured 5.8 ms vs 0.6 ms per pass over
+    393M elements on v5e); for bf16 compute the 2.0e-3 approximation error
+    sits below bf16 activation rounding (~4e-3 at |x|~1), so the fast path
+    is numerically free at serving precision.
+    """
+    f = x.astype(jnp.float32)
+    t = jnp.clip(f, -4.0, 4.0)
+    t2 = t * t
+    p = jnp.asarray(_GELU_COEFFS[-1], jnp.float32)
+    for c in _GELU_COEFFS[-2::-1]:
+        p = p * t2 + c
+    phi = 0.5 + t * p
+    phi = jnp.where(f > 4.0, 1.0, jnp.where(f < -4.0, 0.0, phi))
+    return (f * phi).astype(x.dtype)
+
+
+def gelu(x: jax.Array, dtype=None) -> jax.Array:
+    """Exact (erf) gelu for f32 parity; fast polynomial for bf16 compute."""
+    if (dtype or x.dtype) == jnp.bfloat16:
+        return _fast_gelu(x)
+    return nn.gelu(x, approximate=False)
 
 
 class Wav2Vec2Config:
@@ -151,8 +190,26 @@ class _FeatureExtractor(nn.Module):
                 )
             elif cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=f"ln{i}")(x)
-            x = nn.gelu(x, approximate=False)
+            x = gelu(x, self.dtype)
         return x
+
+
+def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
+    """Fused flash attention on the TPU bf16 inference path for long inputs.
+
+    Measured on v5e at B=16, T=768, dh=64: the Pallas flash kernel with tuned
+    block sizes (1.21 ms) only *ties* the unfused XLA attention core
+    (~1.2-1.4 ms) — the head dim of 64 wastes half the MXU lanes — so short
+    sequences keep the simpler unfused path.  Past ~1k frames the unfused
+    (B, H, T, T) f32 score tensor becomes the bottleneck (3 GB at T=2000)
+    and flash's linear memory wins.  Training always uses the unfused path
+    (attention-prob dropout needs materialized probabilities)."""
+    return (
+        dtype == jnp.bfloat16
+        and not train
+        and seq_len >= 1024
+        and jax.default_backend() == "tpu"
+    )
 
 
 class _Attention(nn.Module):
@@ -170,14 +227,67 @@ class _Attention(nn.Module):
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
         split = lambda t: t.reshape(t.shape[0], t.shape[1], heads, dh)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k), preferred_element_type=jnp.float32)
-        neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
-        scores = jnp.where(key_mask[:, None, None, :], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(rate=cfg.attention_dropout, deterministic=not train)(probs)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v))
+        if _use_flash_attention(self.dtype, train, x.shape[1]):
+            out = _flash_mha(split(q), split(k), split(v), key_mask)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k), preferred_element_type=jnp.float32)
+            neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
+            scores = jnp.where(key_mask[:, None, None, :], scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(rate=cfg.attention_dropout, deterministic=not train)(probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v))
         out = out.reshape(x.shape[0], x.shape[1], h)
         return dense("out_proj")(out)
+
+
+def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array) -> jax.Array:
+    """jax's Pallas TPU flash-attention over (B, T, H, dh) inputs.
+
+    Padding is excluded by giving padded positions segment id 1 (valid = 0):
+    valid queries then never attend padded keys; padded query rows attend
+    only padding and are zeroed downstream by the caller's length masking.
+    q must already carry the dh**-0.5 scale (HF convention).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, t, heads, dh = q.shape
+    t_pad = -(-t // 128) * 128
+    pad = t_pad - t
+
+    def to_bhtd(a):
+        a = jnp.pad(a, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else a
+        return a.transpose(0, 2, 1, 3)
+
+    seg = jnp.pad(~key_mask, ((0, 0), (0, pad)), constant_values=True).astype(jnp.int32)
+    # measured on v5e: default 128-blocks run 3.3x slower than q=256 with a
+    # full-length k panel at these shapes.  blocks must divide the (128-padded)
+    # sequence length, so take the largest 128-multiple divisors under the cap.
+    def _block(cap):
+        best = 128
+        for d in range(128, cap + 1, 128):
+            if t_pad % d == 0:
+                best = d
+        return best
+
+    bq = _block(min(256, t_pad))
+    bk = _block(min(1024, t_pad))
+    blocks = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        to_bhtd(q), to_bhtd(k), to_bhtd(v),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        sm_scale=1.0,
+        block_sizes=blocks,
+    )
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :t] if pad else out
 
 
 class _EncoderLayer(nn.Module):
@@ -194,12 +304,12 @@ class _EncoderLayer(nn.Module):
             x = x + drop(attn(ln("layer_norm")(x), key_mask, train=train))
             y = ln("final_layer_norm")(x)
             y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(y)
-            y = nn.gelu(y, approximate=False)
+            y = gelu(y, self.dtype)
             y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
             return x + y
         x = ln("layer_norm")(x + drop(attn(x, key_mask, train=train)))
         y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y, self.dtype)
         y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
         return ln("final_layer_norm")(x + y)
 
@@ -256,7 +366,7 @@ class Wav2Vec2Encoder(nn.Module):
         )(h)
         if k % 2 == 0:  # HF SamePad removes the trailing frame for even kernels
             pos = pos[:, : h.shape[1], :]
-        pos = nn.gelu(pos, approximate=False)
+        pos = gelu(pos, self.dtype)
         h = h + pos
 
         if not cfg.do_stable_layer_norm:
