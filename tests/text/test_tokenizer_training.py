@@ -1,0 +1,109 @@
+"""Unigram EM trainer internals: lattice expectations and EM guarantees."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from thunder_tpu.text.tokenizer import (
+    _digamma,
+    _lattice_expectations,
+    _unigram_train,
+    _viterbi_segment,
+)
+
+
+def brute_force_expectations(word, scores, max_len):
+    """Enumerate all segmentations; return (logZ, expected piece counts)."""
+    segs = []
+
+    def rec(i, cur):
+        if i == len(word):
+            segs.append(list(cur))
+            return
+        for j in range(i + 1, min(len(word), i + max_len) + 1):
+            piece = word[i:j]
+            if piece in scores or j == i + 1:
+                cur.append(piece)
+                rec(j, cur)
+                cur.pop()
+
+    rec(0, [])
+    weights = []
+    for seg in segs:
+        lp = sum(scores.get(p, -20.0) for p in seg)
+        weights.append(math.exp(lp))
+    z = sum(weights)
+    counts = Counter()
+    for seg, w in zip(segs, weights):
+        for p in seg:
+            counts[p] += w / z
+    return math.log(z), counts
+
+
+def test_lattice_expectations_match_brute_force():
+    scores = {"a": -1.0, "b": -1.5, "ab": -1.2, "ba": -2.0, "aba": -2.5, "bb": -1.8}
+    for word in ["abab", "abba", "aabba", "bababa"]:
+        counts = Counter()
+        ll = _lattice_expectations(word, 2.0, scores, 3, counts)
+        want_ll, want_counts = brute_force_expectations(word, scores, 3)
+        assert ll == pytest.approx(2.0 * want_ll, rel=1e-9)
+        for p in set(want_counts) | set(counts):
+            assert counts[p] == pytest.approx(2.0 * want_counts[p], abs=1e-9), p
+
+
+def test_em_corpus_likelihood_monotone_at_fixed_vocab():
+    # run the E/M update manually on a fixed vocabulary: the EM guarantee
+    # (non-decreasing corpus likelihood) must hold for the plain-ML M-step
+    word_freqs = Counter(
+        {"hello": 5, "help": 3, "hero": 2, "low": 4, "lower": 2, "yellow": 3}
+    )
+    max_len = 4
+    vocab = set()
+    for w in word_freqs:
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_len) + 1):
+                vocab.add(w[i:j])
+    scores = {p: -math.log(len(vocab)) for p in vocab}
+    prev = -math.inf
+    for _ in range(6):
+        counts = Counter()
+        ll = sum(
+            _lattice_expectations(w, f, scores, max_len, counts)
+            for w, f in word_freqs.items()
+        )
+        assert ll >= prev - 1e-9
+        prev = ll
+        total = sum(counts.values())
+        scores = {
+            p: math.log(counts[p] / total) if counts.get(p, 0) > 0 else -1e18
+            for p in vocab
+        }
+
+
+def test_digamma_matches_reference_values():
+    # spot values (Abramowitz & Stegun): psi(1) = -gamma, psi(2) = 1 - gamma
+    gamma = 0.5772156649015329
+    assert _digamma(1.0) == pytest.approx(-gamma, abs=5e-9)
+    assert _digamma(2.0) == pytest.approx(1.0 - gamma, abs=5e-9)
+    assert _digamma(10.5) == pytest.approx(2.3030010342976863, abs=1e-9)
+
+
+def test_unigram_train_finds_frequent_substrings():
+    words = Counter({"▁thunder": 50, "▁thunderbolt": 20, "▁under": 30, "▁wonder": 25})
+    pieces, scores = _unigram_train(words, target_size=40, max_piece_len=6)
+    assert len(pieces) == len(scores)
+    joined = set(pieces)
+    # a frequent multi-char unit must surface
+    assert any(p in joined for p in ("under", "nder", "▁thun", "unde"))
+    # every character is covered
+    chars = set("".join(words))
+    assert chars <= joined
+    # scores sorted descending for the multi-char head of the list
+    multi = [s for p, s in zip(pieces, scores) if len(p) > 1]
+    assert multi == sorted(multi, reverse=True)
+    # segmentation with the trained scores reconstructs words
+    table = dict(zip(pieces, scores))
+    for w in words:
+        seg = _viterbi_segment(w, table, 6)
+        assert "".join(seg) == w

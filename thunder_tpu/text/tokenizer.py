@@ -8,9 +8,9 @@ tokenizer.py:26-150`), but with an in-repo sentencepiece-compatible engine
   checkpoints included) and segments text into pieces.
 - ``train_sentencepiece_model`` — trains a subword model and writes
   ``tokenizer.model`` / ``tokenizer.vocab`` in sentencepiece's formats.
-  ``tokenizer_type="unigram"`` runs Viterbi-EM (substring-seeded vocabulary,
-  expectation by Viterbi counts, usefulness pruning — the sentencepiece
-  algorithm with Viterbi in place of full forward-backward);
+  ``tokenizer_type="unigram"`` runs the sentencepiece algorithm: substring
+  seeding, full forward-backward EM (lattice expected counts, Bayesian
+  digamma M-step, monotone corpus likelihood) and usefulness pruning;
   ``tokenizer_type="bpe"`` runs classic merge training.
 - ``word_tokenizer`` / ``char_tokenizer`` / ``get_most_frequent_tokens``.
 """
@@ -115,10 +115,97 @@ def _viterbi_segment(word: str, scores: dict, max_len: int) -> List[str]:
     return out
 
 
+def _logsumexp(vals: List[float]) -> float:
+    m = max(vals)
+    if m <= -1e17:
+        return -1e18
+    return m + math.log(sum(math.exp(v - m) for v in vals))
+
+
+_CHAR_FALLBACK = -20.0  # unseen single character
+
+
+def _lattice_expectations(word: str, freq: float, scores: dict, max_len: int, counts: Counter):
+    """Forward-backward over the segmentation lattice of one word.
+
+    Accumulates ``freq``-weighted expected piece counts into ``counts`` and
+    returns the word's marginal log-likelihood contribution ``freq * log Z``.
+    """
+    n = len(word)
+    NEG = -1e18
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(1, n + 1):
+        acc = []
+        for i in range(max(0, j - max_len), j):
+            s = scores.get(word[i:j])
+            if s is None:
+                if j - i == 1:
+                    s = _CHAR_FALLBACK
+                else:
+                    continue
+            if alpha[i] > NEG / 2:
+                acc.append(alpha[i] + s)
+        if acc:
+            alpha[j] = _logsumexp(acc)
+    z = alpha[n]
+    if z <= NEG / 2:
+        return 0.0
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = []
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            s = scores.get(word[i:j])
+            if s is None:
+                if j - i == 1:
+                    s = _CHAR_FALLBACK
+                else:
+                    continue
+            if beta[j] > NEG / 2:
+                acc.append(s + beta[j])
+        if acc:
+            beta[i] = _logsumexp(acc)
+    for i in range(n):
+        if alpha[i] <= NEG / 2:
+            continue
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            piece = word[i:j]
+            s = scores.get(piece)
+            if s is None:
+                if j - i == 1:
+                    s = _CHAR_FALLBACK
+                    piece = word[i:j]
+                else:
+                    continue
+            if beta[j] <= NEG / 2:
+                continue
+            gamma = math.exp(alpha[i] + s + beta[j] - z)
+            if gamma > 1e-12:
+                counts[piece] += freq * gamma
+    return freq * z
+
+
+def _digamma(x: float) -> float:
+    """Digamma via the standard shift + asymptotic series (sentencepiece's
+    Bayesian M-step uses exp(digamma(c) - digamma(sum)))."""
+    r = 0.0
+    while x < 7.0:
+        r -= 1.0 / x
+        x += 1.0
+    x -= 0.5
+    xx = 1.0 / x
+    xx2 = xx * xx
+    xx4 = xx2 * xx2
+    return r + math.log(x) + (1.0 / 24.0) * xx2 - (7.0 / 960.0) * xx4 + (31.0 / 8064.0) * xx4 * xx2
+
+
 def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8, em_iters: int = 4):
-    """Viterbi-EM unigram training (the sentencepiece algorithm, with Viterbi
-    counts in place of full forward-backward expectations and count-based
-    pruning).
+    """Unigram LM training with full forward-backward EM (the sentencepiece
+    algorithm): substring-seeded vocabulary, lattice expected counts in the
+    E-step, Bayesian digamma M-step, and usefulness pruning between EM
+    rounds.  Corpus log-likelihood is monotone non-decreasing across EM
+    iterations at fixed vocabulary (pinned by tests).
 
     Returns ``(pieces, scores)`` sorted by descending score, single
     characters always retained.
@@ -138,19 +225,21 @@ def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8
     scores = {p: math.log(seed[p] / total) for p in pieces}
 
     for it in range(em_iters):
-        # E: Viterbi counts
+        # E: expected piece counts over every word's segmentation lattice
         counts: Counter = Counter()
         for word, freq in word_freqs.items():
-            for piece in _viterbi_segment(word, scores, max_piece_len):
-                counts[piece] += freq
-        # M + prune: keep the most useful pieces, chars always survive
-        total = sum(counts.values()) or 1
+            _lattice_expectations(word, freq, scores, max_piece_len, counts)
+        # M: Bayesianified maximum likelihood (digamma smoothing)
+        total = sum(counts.values()) or 1.0
+        dg_total = _digamma(total)
+        # prune between rounds: keep the most useful pieces, chars survive
         used = [p for p in counts if len(p) > 1]
         used.sort(key=lambda p: counts[p] * len(p), reverse=True)
         keep_multi = used[: max(target_size - len(chars), 0)]
         pieces = set(keep_multi) | chars
         scores = {
-            p: math.log((counts.get(p, 0) + 0.5) / (total + 0.5 * len(pieces))) for p in pieces
+            p: (_digamma(counts[p]) - dg_total) if counts.get(p, 0.0) > 1e-6 else math.log(0.5 / total)
+            for p in pieces
         }
 
     ordered = sorted(pieces, key=lambda p: scores[p], reverse=True)[:target_size]
@@ -270,7 +359,7 @@ def train_sentencepiece_model(
         scores += [-float(len(merges) + i) for i in range(len(kept_chars))]
         model_type = BPE
     else:
-        # Viterbi-EM unigram training
+        # forward-backward EM unigram training
         max_len = max_sentencepiece_length if max_sentencepiece_length > 0 else 8
         body, body_scores = _unigram_train(word_freqs, budget, max_piece_len=max_len)
         # restrict to the coverage-kept character set
