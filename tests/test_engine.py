@@ -107,3 +107,34 @@ def test_engine_wav2vec2_matches_module():
     np.testing.assert_array_equal(np.asarray(got_lens), np.asarray(want_lens))
     np.testing.assert_allclose(np.asarray(got_logits), np.asarray(want_logits), atol=2e-4)
     assert engine.predict(audio, lengths) == m.predict(audio, lengths)
+
+
+def test_engine_generic_encoder_fallback():
+    """Any (x, lengths, train)-contract encoder gets the jitted fallback path."""
+    import flax.linen as nn
+
+    from thunder_tpu.models import LinearDecoder
+
+    class TinyEncoder(nn.Module):
+        features: int = 16
+
+        @nn.compact
+        def __call__(self, x, lengths, train=False):
+            y = nn.Dense(self.features)(x)
+            return nn.relu(y), lengths
+
+    tt = BatchTextTransformer(tokens=list("ab "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=TinyEncoder(),
+        decoder=LinearDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+    engine = InferenceEngine(module)
+    wav = np.random.default_rng(0).standard_normal((2, 16000)).astype(np.float32) * 0.1
+    lengths = np.array([16000, 9000], np.int32)
+    got = engine.predict(wav, lengths)
+    want = module.predict(wav, lengths)
+    assert got == want

@@ -96,10 +96,6 @@ class InferenceEngine:
         self.mesh = mesh
 
         encoder = module.model.encoder
-        if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder, Wav2Vec2Encoder)):
-            raise ValueError(
-                "InferenceEngine supports QuartzNet/Citrinet/wav2vec2 encoders; use module.forward for others"
-            )
         on_tpu = jax.default_backend() == "tpu"
         self.dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
         # measured on v5e: XLA's depthwise conv beats the fused Pallas repeat
@@ -139,6 +135,22 @@ class InferenceEngine:
                 return logits, preds, out_lengths
 
             self._infer = lambda audio, lengths: forward(enc_params, dec_params, audio, lengths)
+            return
+
+        if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder)):
+            # generic fallback: any (x, lengths, train)-contract encoder gets
+            # the jitted module forward + on-device argmax, so the serving
+            # API (predict/warmup/predict_long/mesh placement) still works —
+            # only the BN-folding/bf16 hand-scheduled fast path is skipped
+            variables = module.variables
+
+            @jax.jit
+            def generic(variables, audio, lengths):
+                logits, out_lengths = module.model.apply(variables, audio, lengths, train=False)
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return logits, preds, out_lengths
+
+            self._infer = lambda audio, lengths: generic(variables, audio, lengths)
             return
 
         self._plan = self._build_plan(encoder, module.variables)
