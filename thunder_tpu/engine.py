@@ -139,18 +139,12 @@ class InferenceEngine:
 
         if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder)):
             # generic fallback: any (x, lengths, train)-contract encoder gets
-            # the jitted module forward + on-device argmax, so the serving
-            # API (predict/warmup/predict_long/mesh placement) still works —
-            # only the BN-folding/bf16 hand-scheduled fast path is skipped
-            variables = module.variables
-
-            @jax.jit
-            def generic(variables, audio, lengths):
-                logits, out_lengths = module.model.apply(variables, audio, lengths, train=False)
-                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return logits, preds, out_lengths
-
-            self._infer = lambda audio, lengths: generic(variables, audio, lengths)
+            # the module's jitted eval fn (shared compile cache), so the
+            # serving API (predict/warmup/predict_long/mesh placement) still
+            # works — only the BN-folding/bf16 fast path is skipped
+            self._infer = lambda audio, lengths: module._eval_fn()(
+                module.variables, audio, lengths
+            )
             return
 
         self._plan = self._build_plan(encoder, module.variables)

@@ -51,27 +51,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(tile_ref, basis_ref, mel_ref, out_ref, *, hop_p, n_chunk_steps, dft_precision):
+def _kernel(tile_ref, basis_ref, basis_lo_ref, mel_ref, out_ref, *, hop_p, n_chunk_steps, dft_precision):
     # windowed DFT via c static-sliced matmuls; real | imag halves
     y = jnp.zeros((FRAME_TILE, basis_ref.shape[1]), dtype=jnp.float32)
     for j in range(n_chunk_steps):
         a = tile_ref[0, 0, j : j + FRAME_TILE, :]
-        b = basis_ref[j * hop_p : (j + 1) * hop_p, :]
         if dft_precision == "3x":
             # manual bf16_3x split (Mosaic has no Precision.HIGH): f32-grade
             # accuracy at half the HIGHEST (6-pass) MXU cost — measured
-            # max log-mel deviation 5.4e-3 on v5e, ~2.4 ms saved at batch 64
+            # max log-mel deviation 5.4e-3 on v5e, ~2.4 ms saved at batch 64.
+            # the basis hi/lo halves are loop-invariant and precomputed by
+            # the caller; only the audio tile splits in-kernel.
+            bh = basis_ref[j * hop_p : (j + 1) * hop_p, :]
+            bl = basis_lo_ref[j * hop_p : (j + 1) * hop_p, :]
             ah = a.astype(jnp.bfloat16)
             al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-            bh = b.astype(jnp.bfloat16)
-            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
             y = y + jnp.dot(ah, bh, preferred_element_type=jnp.float32)
             y = y + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
             y = y + jnp.dot(al, bh, preferred_element_type=jnp.float32)
         else:
             y = y + jnp.dot(
                 a,
-                b,
+                basis_ref[j * hop_p : (j + 1) * hop_p, :],
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -109,6 +110,8 @@ def fused_log_mel(
     """
     if dft_precision == "auto":
         dft_precision = "3x" if (jax.default_backend() == "tpu" and not interpret) else "highest"
+    if dft_precision not in ("3x", "highest"):
+        raise ValueError(f"dft_precision must be auto|3x|highest, got {dft_precision!r}")
     batch, time = audio.shape
     hop = hop_length
     num_frames = time // hop + 1
@@ -156,6 +159,16 @@ def fused_log_mel(
     melmat = np.zeros((freqs_padded, mels_padded), dtype=np.float32)
     melmat[:n_freqs, :n_mels] = mel_filterbank(n_freqs, n_mels, sample_rate)
 
+    if dft_precision == "3x":
+        basis_hi = basis.astype(np.dtype(jnp.bfloat16))
+        basis_lo = (basis - basis_hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
+        basis_ops = (jnp.asarray(basis_hi), jnp.asarray(basis_lo))
+        basis_dt = jnp.bfloat16
+    else:
+        # a dummy lo operand keeps the kernel signature uniform
+        basis_ops = (jnp.asarray(basis), jnp.zeros((1, 2 * freqs_padded), jnp.float32))
+        basis_dt = jnp.float32
+
     grid = (batch, n_tiles)
 
     out = pl.pallas_call(
@@ -164,11 +177,12 @@ def fused_log_mel(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, n_tile_chunks, hop_p), lambda b, f: (b, f, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_chunk_steps * hop_p, 2 * freqs_padded), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(basis_ops[0].shape, lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(basis_ops[1].shape, lambda b, f: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((freqs_padded, mels_padded), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, FRAME_TILE, mels_padded), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tiles, jnp.asarray(basis), jnp.asarray(melmat))
+    )(tiles, basis_ops[0], basis_ops[1], jnp.asarray(melmat))
 
     return out[:, :num_frames, :n_mels]

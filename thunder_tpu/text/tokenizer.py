@@ -175,7 +175,6 @@ def _lattice_expectations(word: str, freq: float, scores: dict, max_len: int, co
             if s is None:
                 if j - i == 1:
                     s = _CHAR_FALLBACK
-                    piece = word[i:j]
                 else:
                     continue
             if beta[j] <= NEG / 2:
@@ -204,8 +203,10 @@ def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8
     """Unigram LM training with full forward-backward EM (the sentencepiece
     algorithm): substring-seeded vocabulary, lattice expected counts in the
     E-step, Bayesian digamma M-step, and usefulness pruning between EM
-    rounds.  Corpus log-likelihood is monotone non-decreasing across EM
-    iterations at fixed vocabulary (pinned by tests).
+    rounds.  (The classic EM monotonicity guarantee holds for the plain-ML
+    M-step over a fixed vocabulary — pinned by tests against the lattice
+    expectations; the shipped digamma update optimizes the Bayesianified
+    objective and re-prunes between rounds, like sentencepiece's trainer.)
 
     Returns ``(pieces, scores)`` sorted by descending score, single
     characters always retained.
