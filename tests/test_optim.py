@@ -48,3 +48,18 @@ def test_total_steps_arg_without_total_steps_raises():
 def test_reduce_on_plateau_available():
     tx = reduce_on_plateau(factor=0.5, patience=2)
     assert isinstance(tx, optax.GradientTransformation) or hasattr(tx, "update")
+
+
+def test_onecycle_finite_at_tiny_total_steps():
+    """optax's cosine_onecycle NaNs for total_steps <= 3 (0/0 interval);
+    the wrapper must stay finite — tiny runs (fast_dev_run, 2-step example
+    datasets) previously trained with NaN LR and corrupted every param."""
+    import numpy as np
+
+    from thunder_tpu.training import onecycle
+
+    for total in (1, 2, 3, 4, 10):
+        sched = onecycle(3e-3, total)
+        vals = [float(sched(i)) for i in range(total + 1)]
+        assert all(np.isfinite(v) for v in vals), (total, vals)
+        assert max(vals) <= 3e-3 * 1.0001

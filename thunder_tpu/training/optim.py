@@ -20,6 +20,8 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import math
+
 import optax
 
 __all__ = [
@@ -42,9 +44,18 @@ def sgd(learning_rate=1e-3, momentum=0.0, **kw) -> optax.GradientTransformation:
 
 
 def onecycle(max_lr: float, total_steps: int, pct_start: float = 0.3, div_factor: float = 25.0, final_div_factor: float = 1e4):
-    """OneCycleLR-equivalent schedule (cosine annealing variant)."""
+    """OneCycleLR-equivalent schedule (cosine annealing variant).
+
+    ``optax.cosine_onecycle_schedule`` divides by the warmup/decay interval
+    widths, which round to zero for ``total_steps <= 3`` — the schedule then
+    returns NaN and silently corrupts every parameter on the first update
+    (observed via ``total_steps_arg`` auto-fill on tiny runs: fast_dev_run,
+    2-step example datasets).  Clamp to the smallest total with both
+    intervals >= 1 step; tiny runs get a slightly stretched cycle instead.
+    """
+    min_total = math.ceil(max(1.0 / pct_start, 1.0 / (1.0 - pct_start)))
     return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
+        transition_steps=max(total_steps, min_total),
         peak_value=max_lr,
         pct_start=pct_start,
         div_factor=div_factor,
