@@ -203,3 +203,31 @@ def test_feat_extract_output_lengths():
     lens = feat_extract_output_lengths(np.array([4000, 2500]), (10, 3, 3), (5, 2, 2))
     np.testing.assert_array_equal(lens, [(((4000 - 10) // 5 + 1 - 3) // 2 + 1 - 3) // 2 + 1,
                                          (((2500 - 10) // 5 + 1 - 3) // 2 + 1 - 3) // 2 + 1])
+
+
+def test_flash_mha_matches_reference_attention():
+    """The long-sequence flash path (segment-id masking, tuned blocks) must
+    match unfused masked attention on the valid region; interpret mode makes
+    jax's Pallas kernel runnable on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from thunder_tpu.models.wav2vec2 import _flash_mha
+
+    B, T, H, D = 2, 1024, 2, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, D)) * 0.1, jnp.float32)
+    lengths = np.array([1024, 700])
+    key_mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
+
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_mha(q, k, v, key_mask)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    scores = jnp.where(key_mask[:, None, None, :], scores, jnp.finfo(jnp.float32).min)
+    want = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(scores, axis=-1), v)
+    for b, L in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :L], np.asarray(want)[b, :L], atol=1e-5
+        )
