@@ -147,6 +147,7 @@ class InferenceEngine:
             )
             return
 
+        self._feat_pad = 0  # set by _build_plan when the stem channels are padded
         self._plan = self._build_plan(encoder, module.variables)
         dec = module.variables["params"]["decoder"]["conv"]
         self._dec_kernel = jnp.asarray(np.asarray(dec["kernel"])[0], dtype=self.dtype)  # (C, V)
@@ -193,6 +194,19 @@ class InferenceEngine:
                     dw = np.asarray(rp["depthwise"]["conv"]["kernel"])[:, 0, :]  # (k, C)
                     pw = np.asarray(rp["pointwise"]["conv"]["kernel"])[0]  # (C, C_out)
                     c_in, c_out = pw.shape
+                    if c_in < 128:
+                        # stem-like repeats: sub-128 input channels leave VPU
+                        # lanes idle in XLA's depthwise emitter (standalone:
+                        # ~1.9 ms -> ~0.45 ms at batch 64x15 s when padded to
+                        # C=128; end-to-end the 15x5 flagship is neutral
+                        # within bench noise, smaller encoders benefit more).
+                        # Zero-pad the channel dim to a full lane tile —
+                        # padded channels multiply zero taps, so the result
+                        # is exact; the engine pads the features once.
+                        dw = np.pad(dw, ((0, 0), (0, 128 - c_in)))
+                        pw = np.pad(pw, ((0, 128 - c_in), (0, 0)))
+                        self._feat_pad = 128 - c_in
+                        c_in = 128
                     fuse = (
                         self.use_pallas
                         and stride_r == 1
@@ -303,6 +317,9 @@ class InferenceEngine:
     def _forward_with(self, plan, dec_kernel, dec_bias, audio, lengths):
         feats, feat_lengths = self.frontend.apply({}, audio, lengths, train=False)
         x = feats.astype(self.dtype)
+        if self._feat_pad:
+            # stem channels zero-padded to a full 128 lane tile (see plan)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, self._feat_pad)))
         out_lengths = feat_lengths
         mask_cache: Dict[int, Any] = {}
         for block in plan:
