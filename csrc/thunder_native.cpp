@@ -215,6 +215,148 @@ int64_t tn_ctc_collapse(const int32_t* ids, int64_t n, int32_t* out) {
   return m;
 }
 
+// ---------------------------------------------------------------------------
+// CTC prefix beam search (Hannun et al., 2014)
+//
+// Exact host-side decode summing posterior probability over all alignments
+// of each label prefix.  Prefixes live in a trie (parent, token) so beams
+// are integer node ids; per-step merging is a hash map over node ids.
+// Validated against the numpy reference in thunder_tpu/ops/ctc_beam.py
+// (tests/test_ctc_beam.py), which is itself pinned to brute-force alignment
+// enumeration.
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+#include <unordered_map>
+#include <limits>
+
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+
+inline double log_add(double a, double b) {
+  if (a == kNegInf) return b;
+  if (b == kNegInf) return a;
+  const double m = a > b ? a : b;
+  return m + std::log1p(std::exp(-std::fabs(a - b)));
+}
+
+struct BeamProbs {
+  double pb = kNegInf;   // ends in blank
+  double pnb = kNegInf;  // ends in non-blank
+};
+
+}  // namespace
+
+extern "C" {
+
+// logp: (T x V) row-major log-softmax (float32).  Writes the best label
+// sequence into out (capacity out_cap) and its total log-prob into
+// *out_score; returns the sequence length, or -1 on error / truncation.
+int64_t tn_ctc_beam_search(const float* logp, int64_t T, int64_t V,
+                           int32_t blank, int32_t beam_width,
+                           float prune_logp, int32_t max_tokens_per_step,
+                           int32_t* out, int64_t out_cap,
+                           double* out_score) {
+  try {
+    if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
+    // trie: node 0 is the empty prefix
+    std::vector<int32_t> parent{-1};
+    std::vector<int32_t> token{-1};
+    std::unordered_map<int64_t, int32_t> child;  // (node * V + tok) -> node
+    auto get_child = [&](int32_t node, int32_t tok) -> int32_t {
+      const int64_t key = static_cast<int64_t>(node) * V + tok;
+      auto it = child.find(key);
+      if (it != child.end()) return it->second;
+      const int32_t id = static_cast<int32_t>(parent.size());
+      parent.push_back(node);
+      token.push_back(tok);
+      child.emplace(key, id);
+      return id;
+    };
+
+    std::unordered_map<int32_t, BeamProbs> beams;
+    beams[0] = BeamProbs{0.0, kNegInf};
+    std::vector<int32_t> keep;
+    keep.reserve(V);
+    std::vector<std::pair<int32_t, BeamProbs>> ranked;
+
+    for (int64_t t = 0; t < T; ++t) {
+      const float* step = logp + t * V;
+      keep.clear();
+      for (int32_t v = 0; v < V; ++v)
+        if (step[v] >= prune_logp) keep.push_back(v);
+      if (max_tokens_per_step > 0 &&
+          static_cast<int32_t>(keep.size()) > max_tokens_per_step) {
+        // cap to the top-K emissions; always retain the blank
+        std::partial_sort(keep.begin(), keep.begin() + max_tokens_per_step,
+                          keep.end(), [step](int32_t a, int32_t b) {
+                            return step[a] > step[b];
+                          });
+        keep.resize(max_tokens_per_step);
+        if (std::find(keep.begin(), keep.end(), blank) == keep.end() &&
+            step[blank] >= prune_logp)
+          keep.push_back(blank);
+        std::sort(keep.begin(), keep.end());
+      }
+      if (keep.empty()) continue;
+
+      std::unordered_map<int32_t, BeamProbs> next;
+      next.reserve(beams.size() * (keep.size() + 1));
+      for (const auto& kv : beams) {
+        const int32_t node = kv.first;
+        const double pb = kv.second.pb, pnb = kv.second.pnb;
+        const double total = log_add(pb, pnb);
+        const int32_t last = token[node];  // -1 at root
+        for (int32_t v : keep) {
+          const double p = step[v];
+          if (v == blank) {
+            BeamProbs& tgt = next[node];
+            tgt.pb = log_add(tgt.pb, total + p);
+          } else if (v == last) {
+            BeamProbs& same = next[node];
+            same.pnb = log_add(same.pnb, pnb + p);
+            const int32_t ext = get_child(node, v);
+            BeamProbs& e = next[ext];
+            e.pnb = log_add(e.pnb, pb + p);
+          } else {
+            const int32_t ext = get_child(node, v);
+            BeamProbs& e = next[ext];
+            e.pnb = log_add(e.pnb, total + p);
+          }
+        }
+      }
+      ranked.assign(next.begin(), next.end());
+      const size_t k = std::min<size_t>(beam_width, ranked.size());
+      std::partial_sort(ranked.begin(), ranked.begin() + k, ranked.end(),
+                        [](const std::pair<int32_t, BeamProbs>& a,
+                           const std::pair<int32_t, BeamProbs>& b) {
+                          return log_add(a.second.pb, a.second.pnb) >
+                                 log_add(b.second.pb, b.second.pnb);
+                        });
+      beams.clear();
+      for (size_t i = 0; i < k; ++i) beams.emplace(ranked[i].first, ranked[i].second);
+    }
+
+    int32_t best = 0;
+    double best_score = kNegInf;
+    for (const auto& kv : beams) {
+      const double s = log_add(kv.second.pb, kv.second.pnb);
+      if (s > best_score) { best_score = s; best = kv.first; }
+    }
+    if (out_score) *out_score = best_score;
+    std::vector<int32_t> seq;
+    for (int32_t n = best; n != 0; n = parent[n]) seq.push_back(token[n]);
+    if (static_cast<int64_t>(seq.size()) > out_cap) return -1;
+    std::reverse(seq.begin(), seq.end());
+    std::copy(seq.begin(), seq.end(), out);
+    return static_cast<int64_t>(seq.size());
+  } catch (...) {
+    return -1;
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

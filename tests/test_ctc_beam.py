@@ -1,0 +1,160 @@
+"""CTC prefix beam search: brute-force exactness, native parity, decode API."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from thunder_tpu.ops.ctc_beam import beam_search_decode, prefix_beam_search
+
+
+def brute_force_posteriors(logp, blank):
+    """Sum alignment probabilities per collapsed labeling by enumeration."""
+    T, V = logp.shape
+    scores = {}
+    for path in itertools.product(range(V), repeat=T):
+        lp = sum(logp[t, v] for t, v in enumerate(path))
+        collapsed = []
+        prev = None
+        for v in path:
+            if v != prev and v != blank:
+                collapsed.append(v)
+            prev = v
+        key = tuple(collapsed)
+        scores[key] = np.logaddexp(scores.get(key, -np.inf), lp)
+    return scores
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_prefix_beam_search_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    T, V = 6, 3
+    logits = rng.standard_normal((T, V)) * 2.0
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    blank = V - 1
+
+    truth = brute_force_posteriors(logp, blank)
+    best_true = max(truth.items(), key=lambda kv: kv[1])
+
+    # wide beam: the search is exact (every reachable prefix is kept)
+    hyps = prefix_beam_search(logp, blank, beam_width=500)
+    assert hyps[0][0] == best_true[0]
+    assert hyps[0][1] == pytest.approx(best_true[1], abs=1e-6)
+    # every returned hypothesis score matches the true posterior
+    for prefix, score in hyps[:10]:
+        assert score == pytest.approx(truth[prefix], abs=1e-6)
+
+
+def test_beam_improves_or_matches_greedy_posterior():
+    rng = np.random.default_rng(7)
+    T, V = 40, 8
+    logits = (rng.standard_normal((T, V)) * 1.5).astype(np.float32)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    blank = V - 1
+
+    # greedy labeling
+    ids = logp.argmax(-1)
+    greedy = []
+    prev = None
+    for v in ids:
+        if v != prev and v != blank:
+            greedy.append(int(v))
+        prev = v
+
+    def posterior(prefix):
+        # score a specific labeling via a constrained prefix search
+        hyps = dict(prefix_beam_search(logp, blank, beam_width=2000))
+        return hyps.get(tuple(prefix), -np.inf)
+
+    hyps = prefix_beam_search(logp, blank, beam_width=64)
+    assert hyps[0][1] >= posterior(greedy) - 1e-9
+
+
+def test_beam_search_decode_batched_and_pruned():
+    rng = np.random.default_rng(3)
+    B, T, V = 3, 30, 12
+    logits = (rng.standard_normal((B, T, V)) * 3).astype(np.float32)
+    lengths = [30, 21, 9]
+    outs = beam_search_decode(logits, lengths, blank=V - 1, beam_width=8, use_native=False)
+    assert len(outs) == B
+    for ids in outs:
+        assert ids.dtype == np.int32
+        assert all(0 <= i < V - 1 for i in ids.tolist())
+    # pruning at -inf vs default must agree on a peaked distribution
+    peaked = (logits * 4).astype(np.float32)
+    a = beam_search_decode(peaked, lengths, blank=V - 1, beam_width=8, prune_logp=-np.inf, use_native=False)
+    b = beam_search_decode(peaked, lengths, blank=V - 1, beam_width=8, use_native=False)
+    for x, y in zip(a, b):
+        assert x.tolist() == y.tolist()
+
+
+def test_native_beam_search_matches_numpy_reference():
+    from thunder_tpu.native import native_available, native_ctc_beam_search
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        T, V = 60, 29
+        logits = rng.standard_normal((T, V)).astype(np.float32) * 2
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        got = native_ctc_beam_search(logp, V - 1, 16, return_score=True)
+        ids, score = got
+        hyps = prefix_beam_search(logp, V - 1, 16)
+        assert tuple(ids.tolist()) == hyps[0][0]
+        assert score == pytest.approx(hyps[0][1], abs=1e-4)
+
+
+def test_module_predict_beam_width():
+    import jax
+    import jax.numpy as jnp
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+
+    tt = BatchTextTransformer(tokens=list("ab "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+    wav = np.random.default_rng(0).standard_normal((2, 16000)).astype(np.float32) * 0.1
+    lengths = np.array([16000, 9000], np.int32)
+    greedy = module.predict(wav, lengths)
+    beam1 = module.predict(wav, lengths, beam_width=1)
+    beam8 = module.predict(wav, lengths, beam_width=8)
+    assert len(beam1) == len(beam8) == len(greedy) == 2
+    # all are valid strings over the vocab
+    for s in beam1 + beam8:
+        assert set(s) <= set("ab ")
+
+
+def test_engine_predict_beam_width():
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.engine import InferenceEngine
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+
+    tt = BatchTextTransformer(tokens=list("ab "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+    engine = InferenceEngine(module)
+    wav = np.random.default_rng(1).standard_normal((2, 16000)).astype(np.float32) * 0.1
+    lengths = np.array([16000, 8000], np.int32)
+    beam = engine.predict(wav, lengths, beam_width=8)
+    # engine and module run the same weights: beam decodes must agree (f32 CPU)
+    assert beam == module.predict(wav, lengths, beam_width=8)

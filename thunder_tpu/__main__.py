@@ -39,7 +39,9 @@ def cmd_transcribe(args):
         if audio.shape[-1] > args.sample_rate * args.chunk_seconds and not args.engine:
             text = module.predict_long(audio, chunk_seconds=args.chunk_seconds, sample_rate=args.sample_rate)
         else:
-            text = predictor.predict(np.asarray(audio, dtype=np.float32))[0]
+            text = predictor.predict(
+                np.asarray(audio, dtype=np.float32), beam_width=args.beam_width
+            )[0]
         print(json.dumps({"audio": path, "text": text.strip()}))
 
 
@@ -109,6 +111,8 @@ def main(argv=None):
     p.add_argument("--engine", action="store_true", help="use the optimized inference engine")
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--chunk-seconds", type=float, default=20.0)
+    p.add_argument("--beam-width", type=int, default=None,
+                   help="CTC prefix beam search width (default: greedy)")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("train", help="finetune a checkpoint on NeMo manifests")

@@ -194,7 +194,9 @@ class InferenceEngine:
                     dw = np.asarray(rp["depthwise"]["conv"]["kernel"])[:, 0, :]  # (k, C)
                     pw = np.asarray(rp["pointwise"]["conv"]["kernel"])[0]  # (C, C_out)
                     c_in, c_out = pw.shape
-                    if c_in < 128:
+                    if c_in < 128 and self.dtype == jnp.bfloat16:
+                        # (bf16 fast path only: f32 keeps the module's exact
+                        # summation order for bitwise-stable comparisons)
                         # stem-like repeats: sub-128 input channels leave VPU
                         # lanes idle in XLA's depthwise emitter (standalone:
                         # ~1.9 ms -> ~0.45 ms at batch 64x15 s when padded to
@@ -397,7 +399,9 @@ class InferenceEngine:
             short_path=lambda a: self.predict(a)[0],
         )
 
-    def predict(self, audio, lengths=None) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0) -> List[str]:
+        """Greedy decode by default; ``beam_width`` switches to host-side CTC
+        prefix beam search over the logits (see ops/ctc_beam.py)."""
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
@@ -416,8 +420,19 @@ class InferenceEngine:
                 extra = -(-n // d) * d - n
                 audio = np.pad(audio, ((0, extra), (0, 0)))
                 lengths = np.pad(lengths, (0, extra), constant_values=1)
-        _, preds, out_lengths = self._infer(*self._place(audio, lengths))
-        collapsed = collapse_ctc(np.asarray(preds)[:n], np.asarray(out_lengths)[:n])
+        logits, preds, out_lengths = self._infer(*self._place(audio, lengths))
         tt = self.module.text_transform
+        if beam_width:
+            from thunder_tpu.ops.ctc_beam import beam_search_decode
+
+            hyps = beam_search_decode(
+                np.asarray(logits, np.float32)[:n],
+                np.asarray(out_lengths)[:n],
+                blank=self.module.blank_idx,
+                beam_width=beam_width,
+                prune_logp=prune_logp,
+            )
+            return [tt.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
+        collapsed = collapse_ctc(np.asarray(preds)[:n], np.asarray(out_lengths)[:n])
         # repeats already collapsed on ids; decode must not re-collapse
         return [tt.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]

@@ -173,8 +173,13 @@ class CTCModule:
 
     __call__ = forward
 
-    def predict(self, audio, lengths=None) -> List[str]:
-        """Audio batch -> transcriptions (greedy CTC decode).
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0) -> List[str]:
+        """Audio batch -> transcriptions.
+
+        Greedy CTC decode by default (`module.py:88-100` reference parity);
+        pass ``beam_width`` for host-side prefix beam search over the logits
+        (ops/ctc_beam.py — C++ runtime when available), which sums posterior
+        probability over alignments instead of taking the argmax path.
 
         Pads time to a bucket multiple so repeated calls with nearby lengths
         reuse the same compiled executable.
@@ -190,7 +195,18 @@ class CTCModule:
         bucket = pad_to_bucket(audio.shape[-1], self.pad_multiple)
         if bucket != audio.shape[-1]:
             audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
-        _, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
+        logits, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
+        if beam_width:
+            from thunder_tpu.ops.ctc_beam import beam_search_decode
+
+            hyps = beam_search_decode(
+                np.asarray(logits, np.float32),
+                np.asarray(out_lengths),
+                blank=self.blank_idx,
+                beam_width=beam_width,
+                prune_logp=prune_logp,
+            )
+            return [self.text_transform.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
         collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
         # repeats already collapsed on ids; decode must not re-collapse
         return [self.text_transform.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]

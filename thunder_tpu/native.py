@@ -104,6 +104,19 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.tn_ctc_collapse.restype = ctypes.c_int64
+    lib.tn_ctc_beam_search.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.tn_ctc_beam_search.restype = ctypes.c_int64
     return lib
 
 
@@ -202,3 +215,46 @@ def native_ctc_collapse(ids: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out[:m].copy()
+
+
+def native_ctc_beam_search(
+    logp: np.ndarray,
+    blank: int,
+    beam_width: int = 16,
+    prune_logp: float = float("-inf"),
+    max_tokens_per_step: int = 0,
+    return_score: bool = False,
+):
+    """CTC prefix beam search over one utterance's (T, V) log-softmax.
+
+    Returns the best collapsed label sequence (int32 array), optionally with
+    its total log-probability; ``None`` if the native library is missing or
+    errors (callers fall back to the numpy reference in ops/ctc_beam.py).
+    """
+    if _lib is None:
+        return None
+    logp = np.ascontiguousarray(logp, dtype=np.float32)
+    t, v = logp.shape
+    out = np.empty((t + 1,), np.int32)
+    score = ctypes.c_double(0.0)
+    # -inf is not representable as a c_float literal through ctypes on all
+    # platforms; clamp to the most negative finite float (identical effect)
+    pl = float(prune_logp)
+    if pl == float("-inf"):
+        pl = -3.0e38
+    n = _lib.tn_ctc_beam_search(
+        logp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t,
+        v,
+        int(blank),
+        int(beam_width),
+        pl,
+        int(max_tokens_per_step or 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(out),
+        ctypes.byref(score),
+    )
+    if n < 0:
+        return None
+    ids = out[:n].copy()
+    return (ids, score.value) if return_score else ids

@@ -28,3 +28,4 @@ from thunder_tpu.ops.ctc import (  # noqa: F401
     greedy_decode,
 )
 from thunder_tpu.ops.specaugment import spec_augment, spec_cutout  # noqa: F401
+from thunder_tpu.ops.ctc_beam import beam_search_decode, prefix_beam_search  # noqa: F401
