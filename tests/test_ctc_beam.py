@@ -158,3 +158,43 @@ def test_engine_predict_beam_width():
     beam = engine.predict(wav, lengths, beam_width=8)
     # engine and module run the same weights: beam decodes must agree (f32 CPU)
     assert beam == module.predict(wav, lengths, beam_width=8)
+
+
+def test_lm_shallow_fusion_steers_ambiguous_decode():
+    from thunder_tpu.text.lm import NGramLM
+
+    V, blank = 4, 3  # tokens 0,1,2 + blank
+    # logits truly ambiguous between [0,1] and [0,2]
+    T = 4
+    logp = np.full((T, V), -10.0, np.float32)
+    logp[0, 0] = -0.1
+    logp[1, blank] = -0.1
+    logp[2, 1] = -0.69
+    logp[2, 2] = -0.70  # near-tie, [0,1] barely wins acoustically
+    logp[3, blank] = -0.1
+
+    base = prefix_beam_search(logp, blank, beam_width=8)
+    assert base[0][0] == (0, 1)
+
+    # LM trained on sequences ending 0->2 flips the near-tie
+    lm = NGramLM(order=2).fit([[0, 2]] * 50 + [[0, 1]] * 1)
+    fused = prefix_beam_search(logp, blank, beam_width=8, lm=lm, lm_weight=1.0)
+    assert fused[0][0] == (0, 2)
+
+    # zero weight reduces to the acoustic-only result
+    off = prefix_beam_search(logp, blank, beam_width=8, lm=lm, lm_weight=0.0)
+    assert off[0][0] == base[0][0]
+    assert off[0][1] == pytest.approx(base[0][1])
+
+
+def test_ngram_lm_backoff_scores():
+    from thunder_tpu.text.lm import NGramLM
+
+    lm = NGramLM(order=3).fit([[1, 2, 3], [1, 2, 4], [1, 2, 3]])
+    # trigram: P(3 | 1,2) = 2/3, P(4 | 1,2) = 1/3
+    assert lm.score([1, 2], 3) == pytest.approx(np.log(2 / 3))
+    assert lm.score([1, 2], 4) == pytest.approx(np.log(1 / 3))
+    # unseen trigram backs off toward the bigram with the backoff penalty
+    assert lm.score([9, 2], 3) == pytest.approx(np.log(0.4) + lm.score([2], 3))
+    # unseen everything hits the OOV floor (+ two backoffs)
+    assert lm.score([7, 8], 9) == pytest.approx(2 * np.log(0.4) + lm.oov_logp)

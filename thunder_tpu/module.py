@@ -173,7 +173,7 @@ class CTCModule:
 
     __call__ = forward
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5) -> List[str]:
         """Audio batch -> transcriptions.
 
         Greedy CTC decode by default (`module.py:88-100` reference parity);
@@ -205,6 +205,8 @@ class CTCModule:
                 blank=self.blank_idx,
                 beam_width=beam_width,
                 prune_logp=prune_logp,
+                lm=lm,
+                lm_weight=lm_weight,
             )
             return [self.text_transform.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
         collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))

@@ -38,6 +38,8 @@ def prefix_beam_search(
     beam_width: int = 16,
     prune_logp: float = _NEG_INF,
     max_tokens_per_step: Optional[int] = None,
+    lm=None,
+    lm_weight: float = 0.5,
 ) -> List[Tuple[Tuple[int, ...], float]]:
     """Exact prefix beam search over one utterance.
 
@@ -51,6 +53,9 @@ def prefix_beam_search(
         max_tokens_per_step: additionally cap candidates to the top-K
             emissions per frame (the blank is always kept) — bounds the cost
             on large vocabularies even when the floor does not bite.
+        lm: optional shallow-fusion scorer ``lm(prefix_ids, token) -> logp``
+            (e.g. :class:`thunder_tpu.text.lm.NGramLM`), added with weight
+            ``lm_weight`` each time a prefix is extended by ``token``.
 
     Returns:
         Up to ``beam_width`` ``(prefix, log_prob)`` pairs, best first, where
@@ -84,13 +89,15 @@ def prefix_beam_search(
                 p = float(step[v])
                 if v == blank:
                     acc(prefix, pb=total + p)
-                elif v == last:
+                    continue
+                bonus = lm_weight * lm(prefix, v) if lm is not None else 0.0
+                if v == last:
                     # repeat emission collapses into the same prefix...
                     acc(prefix, pnb=pnb + p)
                     # ...unless separated by blank: extends the prefix
-                    acc(prefix + (v,), pnb=pb + p)
+                    acc(prefix + (v,), pnb=pb + p + bonus)
                 else:
-                    acc(prefix + (v,), pnb=total + p)
+                    acc(prefix + (v,), pnb=total + p + bonus)
         ranked = sorted(nxt.items(), key=lambda kv: -_logaddexp(*kv[1]))
         beams = dict(ranked[:beam_width])
     out = [(prefix, _logaddexp(pb, pnb)) for prefix, (pb, pnb) in beams.items()]
@@ -105,6 +112,8 @@ def beam_search_decode(
     beam_width: int = 16,
     prune_logp: float = -12.0,
     max_tokens_per_step: int = 50,
+    lm=None,
+    lm_weight: float = 0.5,
     use_native: bool = True,
 ) -> List[np.ndarray]:
     """Batched best-path decode: ``(B, T, V)`` logits -> list of id arrays.
@@ -125,7 +134,7 @@ def beam_search_decode(
     logp = logits - m - np.log(np.exp(logits - m).sum(axis=-1, keepdims=True))
 
     native = None
-    if use_native:
+    if use_native and lm is None:  # LM fusion runs the python scorer
         from thunder_tpu.native import native_ctc_beam_search
 
         native = native_ctc_beam_search
@@ -138,7 +147,7 @@ def beam_search_decode(
             if ids is not None:
                 out.append(ids)
                 continue
-        hyps = prefix_beam_search(lp, blank, beam_width, prune_logp, max_tokens_per_step)
+        hyps = prefix_beam_search(lp, blank, beam_width, prune_logp, max_tokens_per_step, lm=lm, lm_weight=lm_weight)
         best = hyps[0][0] if hyps else ()
         out.append(np.asarray(best, np.int32))
     return out

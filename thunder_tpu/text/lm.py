@@ -1,0 +1,88 @@
+"""Token-level n-gram language model for shallow-fusion beam decoding.
+
+A small, dependency-free LM over *token ids* (chars or sentencepiece pieces —
+whatever the model's vocabulary is), with stupid backoff (Brants et al.,
+2007).  Pairs with :func:`thunder_tpu.ops.ctc_beam.prefix_beam_search` via
+the ``lm=`` hook: each prefix extension is scored
+``lm_weight * lm(prefix_ids, next_id)``.
+
+The reference framework has no LM support (greedy decode only); this is a
+beyond-parity serving feature.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Dict, Iterable, Sequence, Tuple
+
+__all__ = ["NGramLM"]
+
+
+class NGramLM:
+    """Stupid-backoff n-gram LM over integer token sequences.
+
+    ``score(context, token)`` returns ``log P(token | context)`` using the
+    longest matching context, multiplying by the backoff factor per level
+    skipped.  Unseen unigrams get a floor of ``log(oov_logp)``.
+    """
+
+    def __init__(self, order: int = 4, backoff: float = 0.4, oov_logp: float = -12.0):
+        if order < 1:
+            raise ValueError("order must be >= 1")
+        self.order = order
+        self.backoff = backoff
+        self.oov_logp = oov_logp
+        # counts[n] maps an n-gram tuple to its count; context totals cached
+        self._counts: Dict[int, Dict[Tuple[int, ...], int]] = {
+            n: defaultdict(int) for n in range(1, order + 1)
+        }
+        self._context_totals: Dict[Tuple[int, ...], int] = defaultdict(int)
+        self._total_unigrams = 0
+
+    def fit(self, sequences: Iterable[Sequence[int]]) -> "NGramLM":
+        for seq in sequences:
+            seq = tuple(int(t) for t in seq)
+            for i in range(len(seq)):
+                for n in range(1, self.order + 1):
+                    if i + n > len(seq):
+                        break
+                    gram = seq[i : i + n]
+                    self._counts[n][gram] += 1
+                    if n > 1:
+                        self._context_totals[gram[:-1]] += 0  # ensure key type
+            self._total_unigrams += len(seq)
+        # context totals: count of each (n-1)-gram as a prefix of n-grams
+        for n in range(2, self.order + 1):
+            for gram, c in self._counts[n].items():
+                self._context_totals[gram[:-1]] += c
+        return self
+
+    @classmethod
+    def from_texts(cls, texts: Iterable[str], text_transform, order: int = 4, **kw) -> "NGramLM":
+        """Fit from transcripts through a ``BatchTextTransformer`` vocabulary."""
+        import numpy as np
+
+        seqs = []
+        for t in texts:
+            ids, lens = text_transform.encode([t])
+            seqs.append(np.asarray(ids)[0, : int(np.asarray(lens)[0])].tolist())
+        return cls(order=order, **kw).fit(seqs)
+
+    def score(self, context: Sequence[int], token: int) -> float:
+        """log P(token | context) with stupid backoff."""
+        ctx = tuple(int(t) for t in context)[-(self.order - 1) :] if self.order > 1 else ()
+        penalty = 0.0
+        while True:
+            gram = ctx + (int(token),)
+            c = self._counts[len(gram)].get(gram)
+            if c:
+                denom = self._context_totals[ctx] if ctx else self._total_unigrams
+                return penalty + math.log(c / denom)
+            if not ctx:
+                return penalty + self.oov_logp
+            ctx = ctx[1:]
+            penalty += math.log(self.backoff)
+
+    def __call__(self, context: Sequence[int], token: int) -> float:
+        return self.score(context, token)
