@@ -54,6 +54,9 @@ class FilterbankFeatures(nn.Module):
     #: None -> use the fused Pallas kernel on TPU, XLA elsewhere;
     #: True/False force it
     use_fused_kernel: bool | None = None
+    #: fused-kernel DFT precision: "auto" (3-pass bf16 on TPU, exact f32
+    #: elsewhere), "3x", or "highest"
+    dft_precision: str = "auto"
     div_guard: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
@@ -96,6 +99,7 @@ class FilterbankFeatures(nn.Module):
                 win_length=self.n_window_size,
                 n_mels=self.nfilt,
                 preemph=self.preemph,
+                dft_precision=self.dft_precision,
             )
         else:
             mel = mel_features(
