@@ -1,0 +1,84 @@
+"""StreamingTranscriber must reproduce chunked_transcribe exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thunder_tpu.audio import FilterbankFeatures
+from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+from thunder_tpu.module import CTCModule, chunked_transcribe
+from thunder_tpu.streaming import StreamingTranscriber
+from thunder_tpu.text import BatchTextTransformer
+
+
+@pytest.fixture(scope="module")
+def module():
+    tt = BatchTextTransformer(tokens=list("abc "))
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(filters=(64,), kernel_sizes=(11,), repeat=2, repeat_blocks=1),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+
+
+def reference(module, audio, chunk_s, overlap_s):
+    def infer(padded, lengths):
+        _, preds, out_lengths = module._eval_fn()(
+            module.variables, jnp.asarray(padded), jnp.asarray(lengths)
+        )
+        return preds, out_lengths
+
+    return chunked_transcribe(
+        infer, module.text_transform, audio,
+        chunk_seconds=chunk_s, overlap_seconds=overlap_s, sample_rate=16000,
+    )
+
+
+@pytest.mark.parametrize(
+    "total_s,push_sizes",
+    [
+        (3.7, [1600, 4000, 16000, 7000]),      # ragged pushes
+        (4.0, [16000]),                          # exact chunk-grid boundary
+        (1.0, [16000]),                          # shorter than one chunk
+        (2.0, [100]),                            # exactly one chunk, tiny pushes
+    ],
+)
+def test_streaming_matches_chunked(module, total_s, push_sizes):
+    chunk_s, overlap_s = 2.0, 0.5
+    rng = np.random.default_rng(int(total_s * 10))
+    audio = (rng.standard_normal(int(total_s * 16000)) * 0.2).astype(np.float32)
+
+    want = reference(module, audio, chunk_s, overlap_s)
+
+    st = StreamingTranscriber(module, chunk_seconds=chunk_s, overlap_seconds=overlap_s)
+    i = 0
+    k = 0
+    partials = []
+    while i < len(audio):
+        n = push_sizes[k % len(push_sizes)]
+        partials.append(st.push(audio[i : i + n]))
+        i += n
+        k += 1
+    got = st.flush()
+    assert got == want
+    # partials are stable prefixes of the final transcript
+    for p in partials:
+        assert want.startswith(p)
+
+
+def test_streaming_engine_predictor(module):
+    from thunder_tpu.engine import InferenceEngine
+
+    engine = InferenceEngine(module, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(int(3.2 * 16000)) * 0.2).astype(np.float32)
+    st = StreamingTranscriber(engine, chunk_seconds=2.0, overlap_seconds=0.5)
+    st.push(audio)
+    got = st.flush()
+    assert got == reference(module, audio, 2.0, 0.5)
+    with pytest.raises(RuntimeError):
+        st.push(audio[:100])
