@@ -198,3 +198,22 @@ def test_ngram_lm_backoff_scores():
     assert lm.score([9, 2], 3) == pytest.approx(np.log(0.4) + lm.score([2], 3))
     # unseen everything hits the OOV floor (+ two backoffs)
     assert lm.score([7, 8], 9) == pytest.approx(2 * np.log(0.4) + lm.oov_logp)
+
+
+def test_fully_pruned_frame_skipped_not_wiped():
+    """A frame where every token is below the floor must be skipped (C++
+    behavior), not wipe the beam set and return an empty transcript."""
+    V, blank, T = 29, 28, 12
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((T, V)).astype(np.float32) * 3
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    logp[5, :] = np.log(1.0 / V)  # flat frame: all ~ -3.37
+
+    strict = prefix_beam_search(logp, blank, beam_width=8, prune_logp=-3.0)
+    assert strict and strict[0][0] != ()
+
+    from thunder_tpu.native import native_available, native_ctc_beam_search
+
+    if native_available():
+        ids = native_ctc_beam_search(logp, blank, 8, -3.0)
+        assert tuple(ids.tolist()) == strict[0][0]

@@ -138,3 +138,28 @@ def test_engine_generic_encoder_fallback():
     got = engine.predict(wav, lengths)
     want = module.predict(wav, lengths)
     assert got == want
+
+
+def test_engine_bf16_sub128_interior_channels():
+    """Lane padding must apply only to the stem repeat: interior sub-128
+    repeats take previous outputs at the true channel count (a padded plan
+    there computed silently wrong results on the TPU bf16 path)."""
+    tt = BatchTextTransformer(tokens=list("ab "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(filters=(64, 64), kernel_sizes=(11, 13), repeat=3, repeat_blocks=1),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+    engine = InferenceEngine(module, compute_dtype=jnp.bfloat16)  # padding active
+    wav = np.random.default_rng(0).standard_normal((2, 16000)).astype(np.float32) * 0.2
+    lengths = np.array([16000, 9000], np.int32)
+    logits_bf16, _, _ = engine._infer(jnp.asarray(wav), jnp.asarray(lengths))
+    logits_f32, _ = module.forward(wav, lengths)
+    a = np.asarray(logits_bf16, np.float32).ravel()
+    b = np.asarray(logits_f32, np.float32).ravel()
+    # bf16 noise is small; the padding bug scrambled channels entirely
+    denom = np.abs(b).max()
+    assert np.abs(a - b).max() / denom < 0.1

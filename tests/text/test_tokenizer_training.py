@@ -107,3 +107,12 @@ def test_unigram_train_finds_frequent_substrings():
     for w in words:
         seg = _viterbi_segment(w, table, 6)
         assert "".join(seg) == w
+
+
+def test_ngram_lm_incremental_fit_matches_single_fit():
+    from thunder_tpu.text.lm import NGramLM
+
+    a = NGramLM(order=3).fit([[1, 2, 3], [2, 3, 4]]).fit([[1, 2, 4]])
+    b = NGramLM(order=3).fit([[1, 2, 3], [2, 3, 4], [1, 2, 4]])
+    for ctx, tok in [((1, 2), 3), ((1, 2), 4), ((2,), 3), ((), 1), ((9, 9), 5)]:
+        assert a.score(ctx, tok) == pytest.approx(b.score(ctx, tok))

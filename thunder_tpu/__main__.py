@@ -11,6 +11,7 @@ convenience layer over the Python API:
 from __future__ import annotations
 
 import argparse
+import sys
 import json
 
 
@@ -37,6 +38,12 @@ def cmd_transcribe(args):
         if sr != args.sample_rate:
             audio = resample(audio, sr, args.sample_rate)
         if audio.shape[-1] > args.sample_rate * args.chunk_seconds and not args.engine:
+            if args.beam_width:
+                print(
+                    "warning: --beam-width is ignored for long audio "
+                    "(chunked decoding is greedy)",
+                    file=sys.stderr,
+                )
             text = module.predict_long(audio, chunk_seconds=args.chunk_seconds, sample_rate=args.sample_rate)
         else:
             text = predictor.predict(

@@ -55,7 +55,7 @@ class FilterbankFeatures(nn.Module):
     #: True/False force it
     use_fused_kernel: bool | None = None
     #: fused-kernel DFT precision: "auto" (3-pass bf16 on TPU, exact f32
-    #: elsewhere), "3x", or "highest"
+    #: elsewhere), "3x", or "highest"; only affects the fused Pallas path
     dft_precision: str = "auto"
     div_guard: float = 1e-5
     dtype: jnp.dtype = jnp.float32
@@ -63,6 +63,10 @@ class FilterbankFeatures(nn.Module):
     def __post_init__(self):
         if self.num_cutout_masks > 0 and (self.num_freq_masks + self.num_time_masks > 0):
             raise ValueError("Cutout and SpecAugment can't be used at the same time.")
+        if self.dft_precision not in ("auto", "3x", "highest"):
+            raise ValueError(
+                f"dft_precision must be auto|3x|highest, got {self.dft_precision!r}"
+            )
         if self.n_window_size <= 0 or self.n_window_stride <= 0:
             raise ValueError(
                 "FilterbankFeatures got an invalid value for either n_window_size "

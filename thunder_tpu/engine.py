@@ -194,7 +194,11 @@ class InferenceEngine:
                     dw = np.asarray(rp["depthwise"]["conv"]["kernel"])[:, 0, :]  # (k, C)
                     pw = np.asarray(rp["pointwise"]["conv"]["kernel"])[0]  # (C, C_out)
                     c_in, c_out = pw.shape
-                    if c_in < 128 and self.dtype == jnp.bfloat16:
+                    if b == 0 and r == 0 and c_in < 128 and self.dtype == jnp.bfloat16:
+                        # ONLY the stem's first repeat reads the (padded)
+                        # frontend features; interior sub-128 repeats must
+                        # stay unpadded — their inputs are previous repeats'
+                        # outputs at the true channel count.
                         # (bf16 fast path only: f32 keeps the module's exact
                         # summation order for bitwise-stable comparisons)
                         # stem-like repeats: sub-128 input channels leave VPU

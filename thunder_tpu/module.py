@@ -29,6 +29,21 @@ from thunder_tpu.text.transform import BatchTextTransformer
 __all__ = ["CTCModel", "CTCModule", "pad_to_bucket", "chunked_transcribe"]
 
 
+def trim_chunk_ids(ids, seg_len: int, overlap: int, is_first: bool, is_last: bool):
+    """Drop half the overlap's frames from interior chunk boundaries.
+
+    The single source of truth for the overlapped-chunk stitch arithmetic —
+    shared by :func:`chunked_transcribe` and
+    :class:`thunder_tpu.streaming.StreamingTranscriber` (whose contract is
+    exact equality with the batch path).
+    """
+    fps = ids.shape[0] / max(seg_len, 1)
+    trim = int(overlap / 2 * fps)
+    lo = 0 if is_first else trim
+    hi = ids.shape[0] - trim if (not is_last and trim > 0) else ids.shape[0]
+    return ids[lo:hi]
+
+
 def chunked_transcribe(
     infer_fn,
     text_transform,
@@ -59,11 +74,9 @@ def chunked_transcribe(
         padded[0, :seg_len] = seg
         preds, out_lengths = infer_fn(padded, np.asarray([seg_len], dtype=np.int32))
         ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
-        fps = ids.shape[0] / max(seg_len, 1)
-        trim = int(overlap / 2 * fps)
-        lo = trim if idx > 0 else 0
-        hi = ids.shape[0] - trim if (idx < len(starts) - 1 and trim > 0) else ids.shape[0]
-        pieces.append(ids[lo:hi])
+        pieces.append(
+            trim_chunk_ids(ids, seg_len, overlap, is_first=idx == 0, is_last=idx == len(starts) - 1)
+        )
     joined = np.concatenate(pieces)
     return text_transform.decode_prediction(joined[None])[0]
 

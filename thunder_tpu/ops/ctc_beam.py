@@ -98,6 +98,9 @@ def prefix_beam_search(
                     acc(prefix + (v,), pnb=pb + p + bonus)
                 else:
                     acc(prefix + (v,), pnb=total + p + bonus)
+        if not nxt:
+            # every token pruned this frame: skip it (matches the C++ runtime)
+            continue
         ranked = sorted(nxt.items(), key=lambda kv: -_logaddexp(*kv[1]))
         beams = dict(ranked[:beam_width])
     out = [(prefix, _logaddexp(pb, pnb)) for prefix, (pb, pnb) in beams.items()]

@@ -78,16 +78,16 @@ class StreamingTranscriber:
     # -- internals -----------------------------------------------------
 
     def _decode_chunk(self, start: int, seg: np.ndarray, last: bool) -> None:
+        from thunder_tpu.module import trim_chunk_ids
+
         seg_len = seg.shape[0]
         padded = np.zeros((1, self.chunk), np.float32)
         padded[0, :seg_len] = seg
         preds, out_lengths = self._infer(padded, np.asarray([seg_len], np.int32))
         ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
-        fps = ids.shape[0] / max(seg_len, 1)
-        trim = int(self.overlap / 2 * fps)
-        lo = trim if start > 0 else 0
-        hi = ids.shape[0] - trim if (not last and trim > 0) else ids.shape[0]
-        self._pieces.append(ids[lo:hi])
+        self._pieces.append(
+            trim_chunk_ids(ids, seg_len, self.overlap, is_first=start == 0, is_last=last)
+        )
 
     def _drain(self, flush: bool = False) -> None:
         total = self._buffer_start + self._buffer.shape[0]
@@ -141,10 +141,20 @@ class StreamingTranscriber:
 
     @property
     def partial_text(self) -> str:
+        # cache keyed on completed-chunk count: pushes that complete no chunk
+        # (the common small-push case) return in O(1) instead of re-decoding
+        # the whole id history
+        key = len(self._pieces)
+        if getattr(self, "_partial_cache", None) and self._partial_cache[0] == key:
+            return self._partial_cache[1]
         ids = self._joined()
-        if ids.shape[0] <= 1:
-            return ""
-        return self._module.text_transform.decode_prediction(ids[None, :-1])[0]
+        text = (
+            ""
+            if ids.shape[0] <= 1
+            else self._module.text_transform.decode_prediction(ids[None, :-1])[0]
+        )
+        self._partial_cache = (key, text)
+        return text
 
     @property
     def text(self) -> str:

@@ -47,12 +47,11 @@ class NGramLM:
                 for n in range(1, self.order + 1):
                     if i + n > len(seq):
                         break
-                    gram = seq[i : i + n]
-                    self._counts[n][gram] += 1
-                    if n > 1:
-                        self._context_totals[gram[:-1]] += 0  # ensure key type
+                    self._counts[n][seq[i : i + n]] += 1
             self._total_unigrams += len(seq)
-        # context totals: count of each (n-1)-gram as a prefix of n-grams
+        # rebuild context totals from scratch so repeated fit() calls
+        # (incremental corpora) don't double-count earlier batches
+        self._context_totals = defaultdict(int)
         for n in range(2, self.order + 1):
             for gram, c in self._counts[n].items():
                 self._context_totals[gram[:-1]] += c
