@@ -79,8 +79,20 @@ def _kernel(tile_ref, basis_ref, basis_lo_ref, mel_ref, out_ref, *, hop_p, n_chu
     half = y.shape[-1] // 2
     power = y[:, :half] * y[:, :half] + y[:, half:] * y[:, half:]
 
-    # mel projection + log floor
-    mel = jnp.dot(power, mel_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    # mel projection + log floor (same precision strategy as the DFT)
+    if dft_precision == "3x":
+        mel_w = mel_ref[:, :]
+        ph = power.astype(jnp.bfloat16)
+        pl_ = (power - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+        mh = mel_w.astype(jnp.bfloat16)
+        ml = (mel_w - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        mel = (
+            jnp.dot(ph, mh, preferred_element_type=jnp.float32)
+            + jnp.dot(ph, ml, preferred_element_type=jnp.float32)
+            + jnp.dot(pl_, mh, preferred_element_type=jnp.float32)
+        )
+    else:
+        mel = jnp.dot(power, mel_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     out_ref[0, :, :] = jnp.log(mel + 2.0**-24)
 
 
