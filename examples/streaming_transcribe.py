@@ -42,8 +42,11 @@ def main():
     print("final (streamed):", st.flush())
 
     if args.beam_width:
-        print("final (beam):    ", engine.predict_long(wav) if len(wav) > args.chunk_seconds * 16000
-              else engine.predict(wav, beam_width=args.beam_width)[0])
+        if len(wav) > args.chunk_seconds * 16000:
+            print("final (chunked, greedy):",
+                  engine.predict_long(wav, chunk_seconds=args.chunk_seconds))
+        else:
+            print("final (beam):", engine.predict(wav, beam_width=args.beam_width)[0])
 
 
 if __name__ == "__main__":

@@ -175,11 +175,9 @@ def fused_log_mel(
         basis_hi = basis.astype(np.dtype(jnp.bfloat16))
         basis_lo = (basis - basis_hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
         basis_ops = (jnp.asarray(basis_hi), jnp.asarray(basis_lo))
-        basis_dt = jnp.bfloat16
     else:
         # a dummy lo operand keeps the kernel signature uniform
         basis_ops = (jnp.asarray(basis), jnp.zeros((1, 2 * freqs_padded), jnp.float32))
-        basis_dt = jnp.float32
 
     grid = (batch, n_tiles)
 

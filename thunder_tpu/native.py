@@ -68,6 +68,15 @@ def _load():
     if not _LIB_PATH.exists() and not _build():
         raise ImportError("thunder_tpu native library unavailable (build failed)")
     lib = ctypes.CDLL(str(_LIB_PATH))
+    if not hasattr(lib, "tn_ctc_beam_search"):
+        # stale .so from an older source revision: rebuild once so missing
+        # symbols surface as ImportError (callers' fallback guard), never as
+        # AttributeError mid-call
+        if not _build():
+            raise ImportError("thunder_tpu native library is stale and rebuild failed")
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        if not hasattr(lib, "tn_ctc_beam_search"):
+            raise ImportError("thunder_tpu native library is stale (missing symbols)")
     lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
     lib.tn_load_wav.restype = ctypes.c_int
     lib.tn_load_flac.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]

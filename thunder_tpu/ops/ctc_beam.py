@@ -138,9 +138,12 @@ def beam_search_decode(
 
     native = None
     if use_native and lm is None:  # LM fusion runs the python scorer
-        from thunder_tpu.native import native_ctc_beam_search
+        try:
+            from thunder_tpu.native import native_ctc_beam_search
 
-        native = native_ctc_beam_search
+            native = native_ctc_beam_search
+        except ImportError:
+            native = None
 
     out = []
     for b in range(B):

@@ -59,13 +59,24 @@ class NGramLM:
 
     @classmethod
     def from_texts(cls, texts: Iterable[str], text_transform, order: int = 4, **kw) -> "NGramLM":
-        """Fit from transcripts through a ``BatchTextTransformer`` vocabulary."""
+        """Fit from transcripts through a ``BatchTextTransformer`` vocabulary.
+
+        Start/end/pad/blank ids are stripped: CTC beam prefixes never contain
+        them, so training on them would leave sentence-initial n-grams
+        reachable only through a BOS the scorer never sees.
+        """
         import numpy as np
 
+        vocab = text_transform.vocab
+        drop = {vocab.blank_idx, vocab.pad_idx}
+        for tok in (vocab.start_token, vocab.end_token):
+            if tok is not None and tok in vocab.stoi:
+                drop.add(vocab.stoi[tok])
         seqs = []
         for t in texts:
             ids, lens = text_transform.encode([t])
-            seqs.append(np.asarray(ids)[0, : int(np.asarray(lens)[0])].tolist())
+            seq = np.asarray(ids)[0, : int(np.asarray(lens)[0])].tolist()
+            seqs.append([i for i in seq if i not in drop])
         return cls(order=order, **kw).fit(seqs)
 
     def score(self, context: Sequence[int], token: int) -> float:
