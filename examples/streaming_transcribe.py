@@ -43,8 +43,9 @@ def main():
 
     if args.beam_width:
         if len(wav) > args.chunk_seconds * 16000:
-            print("final (chunked, greedy):",
-                  engine.predict_long(wav, chunk_seconds=args.chunk_seconds))
+            print("final (chunked beam):",
+                  engine.predict_long(wav, chunk_seconds=args.chunk_seconds,
+                                      beam_width=args.beam_width))
         else:
             print("final (beam):", engine.predict(wav, beam_width=args.beam_width)[0])
 

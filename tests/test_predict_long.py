@@ -55,3 +55,20 @@ def test_predict_long_requires_text_transform(module):
     bare = replace(module, text_transform=None, _apply_cache={})
     with pytest.raises(ValueError):
         bare.predict_long(np.zeros(32000, np.float32))
+
+
+def test_predict_long_beam(module):
+    """Chunk-level beam decoding on long audio: runs, returns vocab text, and
+    engine/module (f32) agree; greedy default unchanged."""
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+
+    audio = (np.random.default_rng(3).standard_normal(4 * 16000) * 0.2).astype(np.float32)
+    greedy = module.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5)
+    beam = module.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8)
+    assert isinstance(beam, str)
+    engine = InferenceEngine(module, compute_dtype=jnp.float32)
+    assert engine.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8) == beam
+    # default path unaffected
+    assert module.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5) == greedy

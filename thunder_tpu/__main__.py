@@ -38,13 +38,12 @@ def cmd_transcribe(args):
         if sr != args.sample_rate:
             audio = resample(audio, sr, args.sample_rate)
         if audio.shape[-1] > args.sample_rate * args.chunk_seconds and not args.engine:
-            if args.beam_width:
-                print(
-                    "warning: --beam-width is ignored for long audio "
-                    "(chunked decoding is greedy)",
-                    file=sys.stderr,
-                )
-            text = module.predict_long(audio, chunk_seconds=args.chunk_seconds, sample_rate=args.sample_rate)
+            text = module.predict_long(
+                audio,
+                chunk_seconds=args.chunk_seconds,
+                sample_rate=args.sample_rate,
+                beam_width=args.beam_width,
+            )
         else:
             text = predictor.predict(
                 np.asarray(audio, dtype=np.float32), beam_width=args.beam_width

@@ -382,8 +382,13 @@ class InferenceEngine:
         chunk_seconds: float = 20.0,
         overlap_seconds: float = 2.0,
         sample_rate: int = 16000,
+        beam_width: Optional[int] = None,
+        **beam_kwargs,
     ) -> str:
-        """Chunked long-audio transcription on the optimized engine path."""
+        """Chunked long-audio transcription on the optimized engine path.
+
+        ``beam_width`` beam-decodes each chunk's trimmed frame window (see
+        :func:`thunder_tpu.module.chunked_transcribe`)."""
         from thunder_tpu.module import chunked_transcribe
 
         if self.module.text_transform is None:
@@ -393,6 +398,10 @@ class InferenceEngine:
             _, preds, out_lengths = self._infer(*self._place(padded, lengths))
             return preds, out_lengths
 
+        def logits_fn(padded, lengths):
+            logits, _, out_lengths = self._infer(*self._place(padded, lengths))
+            return logits, out_lengths
+
         return chunked_transcribe(
             infer,
             self.module.text_transform,
@@ -400,7 +409,11 @@ class InferenceEngine:
             chunk_seconds=chunk_seconds,
             overlap_seconds=overlap_seconds,
             sample_rate=sample_rate,
-            short_path=lambda a: self.predict(a)[0],
+            short_path=lambda a: self.predict(a, beam_width=beam_width, **beam_kwargs)[0],
+            logits_fn=logits_fn,
+            blank_idx=self.module.blank_idx,
+            beam_width=beam_width,
+            beam_kwargs=beam_kwargs or None,
         )
 
     def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5) -> List[str]:

@@ -52,12 +52,24 @@ def chunked_transcribe(
     overlap_seconds: float = 2.0,
     sample_rate: int = 16000,
     short_path=None,
+    logits_fn=None,
+    blank_idx: Optional[int] = None,
+    beam_width: Optional[int] = None,
+    beam_kwargs: Optional[dict] = None,
 ):
-    """Overlapped-chunk greedy decoding of long audio.
+    """Overlapped-chunk decoding of long audio.
 
     ``infer_fn(padded_audio, lengths) -> (pred_ids, out_lengths)``; interior
     chunk boundaries drop half the overlap's frames on each side, the id
-    streams are stitched and collapsed once.
+    streams are stitched and collapsed once (greedy — exact reference
+    semantics).
+
+    With ``beam_width`` (requires ``logits_fn(padded, lengths) ->
+    (logits, out_lengths)`` and ``blank_idx``), each chunk's *trimmed* frame
+    window is prefix-beam-searched independently and the label sequences are
+    concatenated. Chunk-local beam search cannot merge a token straddling a
+    boundary the way the greedy id-stitch can, but the trims place cuts half
+    an overlap away from chunk edges where context is full.
     """
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
     chunk = int(chunk_seconds * sample_rate)
@@ -66,18 +78,35 @@ def chunked_transcribe(
         return short_path(audio)
     step = max(chunk - overlap, 1)
     starts = list(range(0, max(audio.shape[0] - overlap, 1), step))
+    use_beam = bool(beam_width)
+    if use_beam and (logits_fn is None or blank_idx is None):
+        raise ValueError("beam_width requires logits_fn and blank_idx")
     pieces = []
     for idx, start in enumerate(starts):
         seg = audio[start : start + chunk]
         seg_len = seg.shape[0]
         padded = np.zeros((1, chunk), dtype=np.float32)
         padded[0, :seg_len] = seg
-        preds, out_lengths = infer_fn(padded, np.asarray([seg_len], dtype=np.int32))
-        ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
-        pieces.append(
-            trim_chunk_ids(ids, seg_len, overlap, is_first=idx == 0, is_last=idx == len(starts) - 1)
-        )
+        first, last = idx == 0, idx == len(starts) - 1
+        if use_beam:
+            logits, out_lengths = logits_fn(padded, np.asarray([seg_len], dtype=np.int32))
+            win = np.asarray(logits, np.float32)[0, : int(np.asarray(out_lengths)[0])]
+            win = trim_chunk_ids(win, seg_len, overlap, is_first=first, is_last=last)
+            from thunder_tpu.ops.ctc_beam import beam_search_decode
+
+            hyp = beam_search_decode(
+                win[None], [win.shape[0]], blank=blank_idx, beam_width=beam_width,
+                **(beam_kwargs or {}),
+            )[0]
+            pieces.append(hyp)
+        else:
+            preds, out_lengths = infer_fn(padded, np.asarray([seg_len], dtype=np.int32))
+            ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
+            pieces.append(trim_chunk_ids(ids, seg_len, overlap, is_first=first, is_last=last))
     joined = np.concatenate(pieces)
+    if use_beam:
+        # chunk hypotheses are already collapsed label sequences
+        return text_transform.decode_prediction(joined[None].astype(np.int64), remove_repeated=False)[0]
     return text_transform.decode_prediction(joined[None])[0]
 
 
@@ -232,6 +261,8 @@ class CTCModule:
         chunk_seconds: float = 20.0,
         overlap_seconds: float = 2.0,
         sample_rate: int = 16000,
+        beam_width: Optional[int] = None,
+        **beam_kwargs,
     ) -> str:
         """Transcribe arbitrarily long audio by overlapped chunking.
 
@@ -247,6 +278,10 @@ class CTCModule:
             _, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(padded), jnp.asarray(lengths))
             return preds, out_lengths
 
+        def logits_fn(padded, lengths):
+            logits, _, out_lengths = self._eval_fn()(self.variables, jnp.asarray(padded), jnp.asarray(lengths))
+            return logits, out_lengths
+
         return chunked_transcribe(
             infer,
             self.text_transform,
@@ -254,7 +289,11 @@ class CTCModule:
             chunk_seconds=chunk_seconds,
             overlap_seconds=overlap_seconds,
             sample_rate=sample_rate,
-            short_path=lambda a: self.predict(a)[0],
+            short_path=lambda a: self.predict(a, beam_width=beam_width, **beam_kwargs)[0],
+            logits_fn=logits_fn,
+            blank_idx=self.blank_idx,
+            beam_width=beam_width,
+            beam_kwargs=beam_kwargs or None,
         )
 
     # ------------------------------------------------------------------
