@@ -145,3 +145,14 @@ def test_checkpoint_save_restore(tiny_module, manifest, tmp_path):
     restored = restore_module_variables(path, tiny_module)
     after = np.asarray(restored.forward(audio, np.array([8000]))[0])
     np.testing.assert_allclose(before, after)
+
+
+def test_validate_with_beam_width(tiny_module, manifest):
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=0)
+    dm.setup()
+    val_loader = dm.val_dataloader()
+    mg = Trainer(max_epochs=1).validate(tiny_module, val_loader)
+    mb = Trainer(max_epochs=1, eval_beam_width=4).validate(tiny_module, val_loader)
+    for m in (mg, mb):
+        assert 0.0 <= m["metrics/cer"]
+        assert np.isfinite(m["loss/val_loss"])

@@ -159,6 +159,10 @@ class Trainer:
     #: optional checkpoint path (from save_checkpoint) to resume params /
     #: optimizer state / step count from
     resume_from: Optional[str] = None
+    #: decode validation predictions with CTC prefix beam search of this
+    #: width (None = greedy, the reference's semantics); WER/CER then
+    #: reflect serving-quality decoding
+    eval_beam_width: Optional[int] = None
 
     logs: List[Dict[str, float]] = field(default_factory=list)
 
@@ -278,6 +282,23 @@ class Trainer:
             targets, target_lengths = _encode_targets(module.text_transform, texts)
             loss, preds, out_lengths = eval_step(module.variables, audio, audio_lengths, targets, target_lengths)
             losses.append(float(loss))
+            if self.eval_beam_width:
+                from thunder_tpu.ops.ctc_beam import beam_search_decode
+
+                logits, _ = module.forward(audio, audio_lengths)
+                hyps = beam_search_decode(
+                    np.asarray(logits, np.float32), np.asarray(out_lengths),
+                    blank=module.blank_idx, beam_width=self.eval_beam_width,
+                )
+                decoded = [
+                    module.text_transform.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else ""
+                    for h in hyps
+                ]
+                cer_m.update(decoded, module.text_transform.decode_prediction(targets, remove_repeated=False))
+                wer_m.update(decoded, module.text_transform.decode_prediction(targets, remove_repeated=False))
+                if self.fast_dev_run:
+                    break
+                continue
             collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
             decoded = [module.text_transform.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]
             refs = module.text_transform.decode_prediction(targets, remove_repeated=False)
