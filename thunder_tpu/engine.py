@@ -7,10 +7,11 @@ variables:
 
 - batchnorm folded into per-channel scale/bias at build time (eval-mode
   running stats — `quartznet/blocks.py:222` semantics);
-- every stride-1 separable repeat runs as one fused Pallas kernel
-  (:mod:`thunder_tpu.kernels.separable_conv`): depthwise + pointwise + BN +
-  ReLU without HBM round trips;
-- strided/dilated/dense blocks and squeeze-excite stay on XLA;
+- conv stack on XLA in the compute dtype with bf16 epilogues and cached
+  0/1 multiply masks; sub-128 stem channels zero-padded to a full lane
+  tile on the bf16 path (measured fastest on v5e — the fused Pallas repeat
+  kernels in :mod:`thunder_tpu.kernels` tie XLA's depthwise emitter and
+  stay opt-in via ``use_pallas``);
 - compute in bf16 on TPU (f32 accumulation in the MXU), f32 elsewhere.
 
 Numerics are validated against the flax ``model.apply`` path in
