@@ -2,13 +2,14 @@
 
 import json
 import wave
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 from thunder_tpu.__main__ import main
 
-FIXTURE = "tests/fixtures/tiny_quartznet.nemo"
+FIXTURE = str(Path(__file__).parent / "fixtures" / "tiny_quartznet.nemo")
 
 
 @pytest.fixture()
@@ -36,11 +37,28 @@ def test_cli_transcribe_greedy_and_beam(wav_path, capsys):
 
 
 def test_cli_transcribe_long_beam(wav_path, capsys):
-    # force the chunked path with a chunk shorter than the clip
-    main(["transcribe", "--checkpoint", FIXTURE, "--chunk-seconds", "0.4",
+    # force a genuinely multi-chunk grid (clip 0.75 s, chunks 0.3 s,
+    # CLI-derived overlap 0.075 s) and pin against the library path
+    main(["transcribe", "--checkpoint", FIXTURE, "--chunk-seconds", "0.3",
           "--beam-width", "4", wav_path])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert isinstance(rec["text"], str)
+
+    from thunder_tpu.registry import load_pretrained
+    from thunder_tpu.data import AudioFileLoader
+
+    module = load_pretrained(FIXTURE)
+    wav = np.asarray(AudioFileLoader(sample_rate=16000)(wav_path), np.float32).reshape(-1)
+    want = module.predict_long(wav, chunk_seconds=0.3, overlap_seconds=0.075, beam_width=4)
+    assert rec["text"] == want
+
+
+def test_chunked_transcribe_rejects_overlap_ge_chunk():
+    from thunder_tpu.module import chunked_transcribe
+    from thunder_tpu.streaming import StreamingTranscriber
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunked_transcribe(lambda *_: None, None, np.zeros(32000, np.float32),
+                           chunk_seconds=0.4, overlap_seconds=2.0)
 
 
 def test_cli_export(tmp_path, capsys):

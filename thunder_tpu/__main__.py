@@ -37,10 +37,12 @@ def cmd_transcribe(args):
         audio = audio.mean(axis=0) if audio.shape[0] > 1 else audio[0]
         if sr != args.sample_rate:
             audio = resample(audio, sr, args.sample_rate)
-        if audio.shape[-1] > args.sample_rate * args.chunk_seconds and not args.engine:
-            text = module.predict_long(
+        if audio.shape[-1] > args.sample_rate * args.chunk_seconds:
+            overlap = min(2.0, args.chunk_seconds / 4)
+            text = predictor.predict_long(
                 audio,
                 chunk_seconds=args.chunk_seconds,
+                overlap_seconds=overlap,
                 sample_rate=args.sample_rate,
                 beam_width=args.beam_width,
             )

@@ -417,7 +417,7 @@ class InferenceEngine:
             beam_kwargs=beam_kwargs or None,
         )
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5, **beam_kwargs) -> List[str]:
         """Greedy decode by default; ``beam_width`` switches to host-side CTC
         prefix beam search over the logits (see ops/ctc_beam.py)."""
         audio = np.asarray(audio, dtype=np.float32)
@@ -451,6 +451,7 @@ class InferenceEngine:
                 prune_logp=prune_logp,
                 lm=lm,
                 lm_weight=lm_weight,
+                **beam_kwargs,
             )
             return [tt.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
         collapsed = collapse_ctc(np.asarray(preds)[:n], np.asarray(out_lengths)[:n])

@@ -76,6 +76,11 @@ def chunked_transcribe(
     overlap = int(overlap_seconds * sample_rate)
     if audio.shape[0] <= chunk and short_path is not None:
         return short_path(audio)
+    if overlap >= chunk:
+        raise ValueError(
+            f"overlap_seconds ({overlap_seconds}) must be smaller than "
+            f"chunk_seconds ({chunk_seconds}) — the chunk grid would drop audio"
+        )
     step = max(chunk - overlap, 1)
     starts = list(range(0, max(audio.shape[0] - overlap, 1), step))
     use_beam = bool(beam_width)
@@ -215,7 +220,7 @@ class CTCModule:
 
     __call__ = forward
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5, **beam_kwargs) -> List[str]:
         """Audio batch -> transcriptions.
 
         Greedy CTC decode by default (`module.py:88-100` reference parity);
@@ -249,6 +254,7 @@ class CTCModule:
                 prune_logp=prune_logp,
                 lm=lm,
                 lm_weight=lm_weight,
+                **beam_kwargs,
             )
             return [self.text_transform.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
         collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))

@@ -68,7 +68,9 @@ class StreamingTranscriber:
         self._infer = infer
         self.chunk = int(chunk_seconds * sample_rate)
         self.overlap = int(overlap_seconds * sample_rate)
-        self.step = max(self.chunk - self.overlap, 1)
+        if self.overlap >= self.chunk:
+            raise ValueError("overlap_seconds must be smaller than chunk_seconds")
+        self.step = self.chunk - self.overlap
         self._buffer = np.zeros((0,), np.float32)
         self._buffer_start = 0  # absolute sample index of _buffer[0]
         self._next_start = 0  # next chunk-grid position to decode

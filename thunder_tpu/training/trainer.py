@@ -99,7 +99,7 @@ def make_eval_step(model, blank_idx: int) -> Callable:
         logits, out_lengths = model.apply(variables, audio, audio_lengths, train=False)
         loss = calculate_ctc(logits, targets, out_lengths, target_lengths, blank_idx)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return loss, preds, out_lengths
+        return loss, logits, preds, out_lengths
 
     return eval_step
 
@@ -280,12 +280,11 @@ class Trainer:
         losses = []
         for audio, audio_lengths, texts in val_loader:
             targets, target_lengths = _encode_targets(module.text_transform, texts)
-            loss, preds, out_lengths = eval_step(module.variables, audio, audio_lengths, targets, target_lengths)
+            loss, logits, preds, out_lengths = eval_step(module.variables, audio, audio_lengths, targets, target_lengths)
             losses.append(float(loss))
             if self.eval_beam_width:
                 from thunder_tpu.ops.ctc_beam import beam_search_decode
 
-                logits, _ = module.forward(audio, audio_lengths)
                 hyps = beam_search_decode(
                     np.asarray(logits, np.float32), np.asarray(out_lengths),
                     blank=module.blank_idx, beam_width=self.eval_beam_width,
@@ -294,8 +293,9 @@ class Trainer:
                     module.text_transform.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else ""
                     for h in hyps
                 ]
-                cer_m.update(decoded, module.text_transform.decode_prediction(targets, remove_repeated=False))
-                wer_m.update(decoded, module.text_transform.decode_prediction(targets, remove_repeated=False))
+                refs = module.text_transform.decode_prediction(targets, remove_repeated=False)
+                cer_m.update(decoded, refs)
+                wer_m.update(decoded, refs)
                 if self.fast_dev_run:
                     break
                 continue
