@@ -4,7 +4,8 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of
 scart97/thunder-speech (reference: /root/reference/src/thunder):
 
 - end-to-end CTC speech recognition: audio -> mel filterbank (or wav2vec2)
-  preprocessing -> conv/transformer encoder -> CTC decoder -> greedy text
+  preprocessing -> conv/transformer encoder -> CTC decoder -> greedy text,
+  prefix beam search (+ shallow-fusion n-gram LM), or streaming push/flush
 - NeMo (.nemo) and HuggingFace checkpoint import
 - finetuning (frozen encoder schedules, vocab swaps)
 - data pipeline with NeMo-manifest datasets
@@ -29,6 +30,8 @@ _LAZY = {
     "finetune_ctc_module": "thunder_tpu.finetune",
     "InferenceEngine": "thunder_tpu.engine",
     "Trainer": "thunder_tpu.training",
+    "StreamingTranscriber": "thunder_tpu.streaming",
+    "NGramLM": "thunder_tpu.text.lm",
 }
 
 
