@@ -44,12 +44,16 @@ def test_cli_transcribe_long_beam(wav_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     from thunder_tpu.registry import load_pretrained
-    from thunder_tpu.data import AudioFileLoader
+    from thunder_tpu.data import load_audio
 
     module = load_pretrained(FIXTURE)
-    wav = np.asarray(AudioFileLoader(sample_rate=16000)(wav_path), np.float32).reshape(-1)
-    want = module.predict_long(wav, chunk_seconds=0.3, overlap_seconds=0.075, beam_width=4)
-    assert rec["text"] == want
+    wav, sr = load_audio(wav_path)  # the CLI's own loader (no DC removal)
+    assert sr == 16000
+    want = module.predict_long(
+        np.asarray(wav, np.float32).reshape(-1),
+        chunk_seconds=0.3, overlap_seconds=0.075, beam_width=4,
+    )
+    assert rec["text"] == want.strip()
 
 
 def test_chunked_transcribe_rejects_overlap_ge_chunk():
@@ -59,6 +63,27 @@ def test_chunked_transcribe_rejects_overlap_ge_chunk():
     with pytest.raises(ValueError, match="overlap"):
         chunked_transcribe(lambda *_: None, None, np.zeros(32000, np.float32),
                            chunk_seconds=0.4, overlap_seconds=2.0)
+
+
+def test_streaming_rejects_overlap_ge_chunk():
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.streaming import StreamingTranscriber
+    from thunder_tpu.text import BatchTextTransformer
+
+    tt = BatchTextTransformer(tokens=list("ab "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0), audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(filters=(64,), kernel_sizes=(11,), repeat=1, repeat_blocks=1),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens), text_transform=tt, sample_len=1600,
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        StreamingTranscriber(module, chunk_seconds=0.4, overlap_seconds=2.0)
+    with pytest.raises(TypeError, match="beam_width"):
+        module.predict(np.zeros((1, 1600), np.float32), use_native=False)
 
 
 def test_cli_export(tmp_path, capsys):

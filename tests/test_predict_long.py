@@ -23,7 +23,7 @@ def module():
 
 def test_predict_long_short_audio_equals_predict(module):
     audio = (np.random.default_rng(0).standard_normal(12000) * 0.2).astype(np.float32)
-    assert module.predict_long(audio, chunk_seconds=2.0) == module.predict(audio)[0]
+    assert module.predict_long(audio, chunk_seconds=2.0, overlap_seconds=0.5) == module.predict(audio)[0]
 
 
 def test_predict_long_chunks(module):

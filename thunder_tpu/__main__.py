@@ -38,7 +38,11 @@ def cmd_transcribe(args):
         if sr != args.sample_rate:
             audio = resample(audio, sr, args.sample_rate)
         if audio.shape[-1] > args.sample_rate * args.chunk_seconds:
-            overlap = min(2.0, args.chunk_seconds / 4)
+            overlap = (
+                args.overlap_seconds
+                if args.overlap_seconds is not None
+                else min(2.0, args.chunk_seconds / 4)
+            )
             text = predictor.predict_long(
                 audio,
                 chunk_seconds=args.chunk_seconds,
@@ -119,6 +123,8 @@ def main(argv=None):
     p.add_argument("--engine", action="store_true", help="use the optimized inference engine")
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--chunk-seconds", type=float, default=20.0)
+    p.add_argument("--overlap-seconds", type=float, default=None,
+                   help="chunk overlap (default: min(2s, chunk/4))")
     p.add_argument("--beam-width", type=int, default=None,
                    help="CTC prefix beam search width (default: greedy)")
     p.set_defaults(fn=cmd_transcribe)

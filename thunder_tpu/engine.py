@@ -420,6 +420,8 @@ class InferenceEngine:
     def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5, **beam_kwargs) -> List[str]:
         """Greedy decode by default; ``beam_width`` switches to host-side CTC
         prefix beam search over the logits (see ops/ctc_beam.py)."""
+        if beam_kwargs and not beam_width:
+            raise TypeError(f"unexpected keyword arguments without beam_width: {sorted(beam_kwargs)}")
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]

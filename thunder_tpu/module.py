@@ -74,14 +74,14 @@ def chunked_transcribe(
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
     chunk = int(chunk_seconds * sample_rate)
     overlap = int(overlap_seconds * sample_rate)
-    if audio.shape[0] <= chunk and short_path is not None:
-        return short_path(audio)
     if overlap >= chunk:
         raise ValueError(
             f"overlap_seconds ({overlap_seconds}) must be smaller than "
             f"chunk_seconds ({chunk_seconds}) — the chunk grid would drop audio"
         )
-    step = max(chunk - overlap, 1)
+    if audio.shape[0] <= chunk and short_path is not None:
+        return short_path(audio)
+    step = chunk - overlap
     starts = list(range(0, max(audio.shape[0] - overlap, 1), step))
     use_beam = bool(beam_width)
     if use_beam and (logits_fn is None or blank_idx is None):
@@ -233,6 +233,8 @@ class CTCModule:
         """
         if self.text_transform is None:
             raise ValueError("predict requires a text_transform (checkpoint had no tokenizer)")
+        if beam_kwargs and not beam_width:
+            raise TypeError(f"unexpected keyword arguments without beam_width: {sorted(beam_kwargs)}")
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
