@@ -72,3 +72,29 @@ def test_predict_long_beam(module):
     assert engine.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8) == beam
     # default path unaffected
     assert module.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5) == greedy
+
+
+def test_beam_kwargs_without_beam_width_raise(module):
+    """Beam-only args must raise consistently for short and long audio
+    (advisor finding: behavior used to depend on audio length)."""
+    from thunder_tpu.engine import InferenceEngine
+    from thunder_tpu.text.lm import NGramLM
+
+    audio = np.zeros(8000, np.float32)
+    lm = NGramLM(order=2)
+    lm.fit([[1, 2]])
+    for call in (
+        lambda: module.predict(audio, lm=lm),
+        lambda: module.predict(audio, prune_logp=-5.0),
+        lambda: module.predict(audio, lm_weight=0.3),
+        lambda: module.predict(audio, bogus=1),
+        lambda: module.predict_long(audio, prune_logp=-5.0),
+        lambda: module.predict_long(np.zeros(80000, np.float32), chunk_seconds=2.0, lm=lm),
+    ):
+        with pytest.raises(TypeError):
+            call()
+    engine = InferenceEngine(module)
+    with pytest.raises(TypeError):
+        engine.predict(audio, lm=lm)
+    with pytest.raises(TypeError):
+        engine.predict_long(np.zeros(80000, np.float32), chunk_seconds=2.0, prune_logp=-5.0)

@@ -31,7 +31,7 @@ from thunder_tpu.kernels.separable_conv import fused_separable_conv
 from thunder_tpu.models.citrinet import CitrinetEncoder
 from thunder_tpu.models.layers import BN_EPS
 from thunder_tpu.models.quartznet import QuartznetEncoder
-from thunder_tpu.module import CTCModule, pad_to_bucket
+from thunder_tpu.module import _BEAM_UNSET, CTCModule, check_beam_args, pad_to_bucket
 from thunder_tpu.ops.conv import conv1d, conv_output_length, get_same_padding
 from thunder_tpu.ops.ctc import collapse_ctc
 from thunder_tpu.ops.masking import apply_mask, lengths_to_mask
@@ -394,6 +394,7 @@ class InferenceEngine:
 
         if self.module.text_transform is None:
             raise ValueError("predict_long requires a text_transform")
+        check_beam_args(beam_width, beam_kwargs)
 
         def infer(padded, lengths):
             _, preds, out_lengths = self._infer(*self._place(padded, lengths))
@@ -417,11 +418,14 @@ class InferenceEngine:
             beam_kwargs=beam_kwargs or None,
         )
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5, **beam_kwargs) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, **beam_kwargs) -> List[str]:
         """Greedy decode by default; ``beam_width`` switches to host-side CTC
         prefix beam search over the logits (see ops/ctc_beam.py)."""
-        if beam_kwargs and not beam_width:
-            raise TypeError(f"unexpected keyword arguments without beam_width: {sorted(beam_kwargs)}")
+        check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
+        if prune_logp is _BEAM_UNSET:
+            prune_logp = -12.0
+        if lm_weight is _BEAM_UNSET:
+            lm_weight = 0.5
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]

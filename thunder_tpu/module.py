@@ -28,6 +28,29 @@ from thunder_tpu.text.transform import BatchTextTransformer
 
 __all__ = ["CTCModel", "CTCModule", "pad_to_bucket", "chunked_transcribe"]
 
+#: sentinel distinguishing "caller passed a value" from the documented default,
+#: so beam-only kwargs raise without beam_width instead of silently running greedy
+_BEAM_UNSET = object()
+
+
+def check_beam_args(beam_width, beam_kwargs, prune_logp=_BEAM_UNSET, lm=None, lm_weight=_BEAM_UNSET):
+    """Raise TypeError when beam-search-only arguments arrive without beam_width.
+
+    Shared by ``CTCModule.predict``/``predict_long`` and the engine's
+    equivalents so short and long audio behave identically.
+    """
+    if beam_width:
+        return
+    stray = sorted(beam_kwargs or ())
+    if prune_logp is not _BEAM_UNSET:
+        stray.append("prune_logp")
+    if lm is not None:
+        stray.append("lm")
+    if lm_weight is not _BEAM_UNSET:
+        stray.append("lm_weight")
+    if stray:
+        raise TypeError(f"beam-search arguments without beam_width: {sorted(stray)}")
+
 
 def trim_chunk_ids(ids, seg_len: int, overlap: int, is_first: bool, is_last: bool):
     """Drop half the overlap's frames from interior chunk boundaries.
@@ -220,7 +243,7 @@ class CTCModule:
 
     __call__ = forward
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = -12.0, lm=None, lm_weight: float = 0.5, **beam_kwargs) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, **beam_kwargs) -> List[str]:
         """Audio batch -> transcriptions.
 
         Greedy CTC decode by default (`module.py:88-100` reference parity);
@@ -233,8 +256,11 @@ class CTCModule:
         """
         if self.text_transform is None:
             raise ValueError("predict requires a text_transform (checkpoint had no tokenizer)")
-        if beam_kwargs and not beam_width:
-            raise TypeError(f"unexpected keyword arguments without beam_width: {sorted(beam_kwargs)}")
+        check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
+        if prune_logp is _BEAM_UNSET:
+            prune_logp = -12.0
+        if lm_weight is _BEAM_UNSET:
+            lm_weight = 0.5
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
@@ -281,6 +307,7 @@ class CTCModule:
         """
         if self.text_transform is None:
             raise ValueError("predict_long requires a text_transform")
+        check_beam_args(beam_width, beam_kwargs)
 
         def infer(padded, lengths):
             _, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(padded), jnp.asarray(lengths))

@@ -246,8 +246,8 @@ def native_ctc_beam_search(
     t, v = logp.shape
     out = np.empty((t + 1,), np.int32)
     score = ctypes.c_double(0.0)
-    # -inf is not representable as a c_float literal through ctypes on all
-    # platforms; clamp to the most negative finite float (identical effect)
+    # clamp -inf to the most negative finite float purely for portability;
+    # the C++ side compares with >= so the effect is identical either way
     pl = float(prune_logp)
     if pl == float("-inf"):
         pl = -3.0e38

@@ -51,8 +51,9 @@ def prefix_beam_search(
             ``log_probs[t, v] < prune_logp`` are not expanded (exact when
             ``-inf``; common speed/quality tradeoff around ``-10``).
         max_tokens_per_step: additionally cap candidates to the top-K
-            emissions per frame (the blank is always kept) — bounds the cost
-            on large vocabularies even when the floor does not bite.
+            emissions per frame (the blank is kept whenever it passes the
+            prune floor) — bounds the cost on large vocabularies even when
+            the floor does not bite.
         lm: optional shallow-fusion scorer ``lm(prefix_ids, token) -> logp``
             (e.g. :class:`thunder_tpu.text.lm.NGramLM`), added with weight
             ``lm_weight`` each time a prefix is extended by ``token``.

@@ -24,7 +24,7 @@ class NGramLM:
 
     ``score(context, token)`` returns ``log P(token | context)`` using the
     longest matching context, multiplying by the backoff factor per level
-    skipped.  Unseen unigrams get a floor of ``log(oov_logp)``.
+    skipped.  Unseen unigrams get a floor of ``oov_logp`` (a log-probability).
     """
 
     def __init__(self, order: int = 4, backoff: float = 0.4, oov_logp: float = -12.0):
