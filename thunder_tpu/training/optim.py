@@ -29,6 +29,8 @@ __all__ = [
     "sgd",
     "onecycle",
     "reduce_on_plateau",
+    "plateau_schedule_transform",
+    "plateau_update",
     "build_optimizer",
     "finetune_schedule_transform",
     "freeze_subtrees_transform",
@@ -64,9 +66,59 @@ def onecycle(max_lr: float, total_steps: int, pct_start: float = 0.3, div_factor
 
 
 def reduce_on_plateau(**kwargs) -> optax.GradientTransformation:
-    """ReduceLROnPlateau-equivalent (optax.contrib); chain after the optimizer
-    and feed it the loss via ``extra_args`` (see optax.contrib docs)."""
+    """ReduceLROnPlateau-equivalent (torch parity via the reference's
+    ``lr_scheduler_class`` convention, `/root/reference/src/thunder/module.py:183-189`).
+
+    Pass as ``Trainer(lr_scheduler_builder=reduce_on_plateau,
+    lr_scheduler_kwargs={"factor": 0.5, "patience": 2, ...})``: the trainer
+    wraps the optimizer with :func:`plateau_schedule_transform` and advances
+    the plateau bookkeeping once per epoch with the validation loss (the
+    Lightning ``monitor="val_loss"`` cadence).  Calling this directly returns
+    the raw ``optax.contrib`` transform, whose ``update`` requires the loss
+    via ``value=`` each step."""
     return optax.contrib.reduce_on_plateau(**kwargs)
+
+
+#: marker consumed by Trainer.fit — a builder with this attribute is wired as
+#: a validation-loss-driven update scale, not a per-step learning-rate schedule
+reduce_on_plateau._is_plateau = True  # type: ignore[attr-defined]
+
+
+def plateau_schedule_transform(
+    optimizer: optax.GradientTransformation, **plateau_kwargs
+) -> optax.GradientTransformation:
+    """Wrap ``optimizer`` so its final updates are multiplied by the current
+    ReduceLROnPlateau scale.
+
+    The per-step path only *applies* the scale (a leaf of ``opt_state``, so
+    changing it never retriggers jit compilation); the plateau bookkeeping —
+    best value, patience, cooldown — advances only when :func:`plateau_update`
+    is fed a new validation loss, once per epoch, exactly like torch's
+    ``ReduceLROnPlateau.step(val_loss)`` under Lightning.
+    """
+    plateau = optax.contrib.reduce_on_plateau(**plateau_kwargs)
+
+    def init_fn(params):
+        return {"inner": optimizer.init(params), "plateau": plateau.init(params)}
+
+    def update_fn(updates, state, params=None, **extra):
+        new_updates, inner_state = optimizer.update(updates, state["inner"], params, **extra)
+        scale = state["plateau"].scale
+        new_updates = jax.tree_util.tree_map(lambda u: u * scale, new_updates)
+        return new_updates, {"inner": inner_state, "plateau": state["plateau"]}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def plateau_update(plateau_state, value, **plateau_kwargs):
+    """Advance ReduceLROnPlateau bookkeeping with one validation-loss value.
+
+    Delegates to ``optax.contrib.reduce_on_plateau``'s own update (with empty
+    updates) so the best/patience/cooldown logic is exactly optax's.
+    """
+    plateau = optax.contrib.reduce_on_plateau(**plateau_kwargs)
+    _, new_state = plateau.update({}, plateau_state, value=jnp.asarray(value, jnp.float32))
+    return new_state
 
 
 def build_optimizer(

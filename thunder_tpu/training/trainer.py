@@ -179,11 +179,20 @@ class Trainer:
         steps_per_epoch = len(train_loader)
         total_steps = 1 if self.fast_dev_run else steps_per_epoch * self.max_epochs
 
+        # ReduceLROnPlateau is not a per-step schedule: it scales updates by a
+        # state leaf advanced once per epoch with the validation loss (torch /
+        # Lightning monitor="val_loss" semantics)
+        lr_builder, lr_kwargs = self.lr_scheduler_builder, self.lr_scheduler_kwargs
+        plateau_kwargs = None
+        if lr_builder is not None and getattr(lr_builder, "_is_plateau", False):
+            plateau_kwargs = dict(lr_kwargs)
+            lr_builder, lr_kwargs = None, {}
+
         tx = build_optimizer(
             self.optimizer_builder,
             self.optimizer_kwargs,
-            self.lr_scheduler_builder,
-            self.lr_scheduler_kwargs,
+            lr_builder,
+            lr_kwargs,
             total_steps=total_steps,
             steps_per_epoch=steps_per_epoch,
         )
@@ -198,6 +207,12 @@ class Trainer:
             from thunder_tpu.training.optim import freeze_subtrees_transform
 
             tx = freeze_subtrees_transform(tx, frozen_paths)
+        if plateau_kwargs is not None:
+            # outermost so the scale multiplies the final updates and the
+            # plateau state sits at the top of opt_state for epoch-end surgery
+            from thunder_tpu.training.optim import plateau_schedule_transform
+
+            tx = plateau_schedule_transform(tx, **plateau_kwargs)
 
         mesh = self.mesh
         if mesh is None and self.model_parallel > 1:
@@ -257,6 +272,14 @@ class Trainer:
             module = module.with_variables(new_vars)
             if val_loader is not None:
                 metrics = self.validate(module, val_loader, epoch=epoch)
+                if plateau_kwargs is not None:
+                    from thunder_tpu.training.optim import plateau_update
+
+                    new_plateau = plateau_update(
+                        state.opt_state["plateau"], metrics["loss/val_loss"], **plateau_kwargs
+                    )
+                    state = state.replace(opt_state={**state.opt_state, "plateau": new_plateau})
+                    metrics["lr_scale/plateau"] = float(new_plateau.scale)
                 self._log(metrics)
             if self.checkpoint_dir:
                 from thunder_tpu.training.checkpointing import save_checkpoint
