@@ -8,6 +8,7 @@ import pytest
 from thunder_tpu.text.tokenizer import (
     _digamma,
     _lattice_expectations,
+    _likelihood_loss_rank,
     _unigram_train,
     _viterbi_segment,
 )
@@ -107,6 +108,53 @@ def test_unigram_train_finds_frequent_substrings():
     for w in words:
         seg = _viterbi_segment(w, table, 6)
         assert "".join(seg) == w
+
+
+def test_likelihood_loss_rank_pins_ordering():
+    """Pin sentencepiece's PruneSentencePieces loss against hand-computed
+    values: 'ab' has the higher expected count but a cheap alternative
+    (a, b frequent) while 'xy' re-segments into rare chars — the loss rank
+    must invert the count x len rank."""
+    counts = Counter({"a": 10.0, "b": 10.0, "ab": 6.0, "x": 1.0, "y": 1.0, "xy": 5.0})
+    vsum = 33.0
+    scores = {p: math.log(c / vsum) for p, c in counts.items()}
+    losses = _likelihood_loss_rank(counts, scores, max_len=4)
+    # loss(ab) = (6/33) * (ln(6/33) - 2 ln((10+6)/(33+6)))
+    assert losses["ab"] == pytest.approx(0.014035955553, rel=1e-9)
+    # loss(xy) = (5/33) * (ln(5/33) - 2 ln((1+5)/(33+5)))
+    assert losses["xy"] == pytest.approx(0.2734217775703458, rel=1e-9)
+    # count x len says ab > xy; likelihood loss says xy > ab
+    assert counts["ab"] * len("ab") > counts["xy"] * len("xy")
+    assert losses["xy"] > losses["ab"]
+    # single chars are never ranked (always kept)
+    assert "a" not in losses and "x" not in losses
+
+
+def test_loss_prune_selects_by_loss_not_count():
+    counts = Counter({"a": 10.0, "b": 10.0, "ab": 6.0, "x": 1.0, "y": 1.0, "xy": 5.0})
+    scores = {p: math.log(c / 33.0) for p, c in counts.items()}
+    losses = _likelihood_loss_rank(counts, scores, max_len=4)
+    ranked = sorted((p for p in counts if len(p) > 1), key=lambda p: losses[p], reverse=True)
+    assert ranked == ["xy", "ab"]
+
+
+def test_loss_and_count_prune_produce_similar_vocabs():
+    """The loss rank is a refinement, not a rewrite: on a fixed corpus the
+    two prunes must agree on >= 90% of the vocabulary (VERDICT done-bar)."""
+    words = Counter(
+        {
+            "▁thunder": 50, "▁thunderbolt": 20, "▁under": 30, "▁wonder": 25,
+            "▁storm": 40, "▁storms": 15, "▁rain": 35, "▁raining": 10,
+            "▁light": 30, "▁lightning": 20, "▁speech": 25, "▁speed": 15,
+        }
+    )
+    by_loss, _ = _unigram_train(words, target_size=60, max_piece_len=6, prune="loss")
+    by_count, _ = _unigram_train(words, target_size=60, max_piece_len=6, prune="count")
+    overlap = len(set(by_loss) & set(by_count)) / max(len(set(by_loss)), 1)
+    assert overlap >= 0.9, (overlap, sorted(set(by_loss) ^ set(by_count)))
+    # the default path is the loss prune
+    default, _ = _unigram_train(words, target_size=60, max_piece_len=6)
+    assert default == by_loss
 
 
 def test_ngram_lm_incremental_fit_matches_single_fit():

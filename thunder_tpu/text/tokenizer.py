@@ -82,8 +82,12 @@ def get_most_frequent_tokens(
 # ---------------------------------------------------------------------------
 
 
-def _viterbi_segment(word: str, scores: dict, max_len: int) -> List[str]:
-    """Best segmentation of ``word`` under piece log-probs (chars always exist)."""
+def _viterbi_segment(word: str, scores: dict, max_len: int, exclude: Optional[str] = None) -> List[str]:
+    """Best segmentation of ``word`` under piece log-probs (chars always exist).
+
+    ``exclude`` drops one piece from consideration — used by the pruning pass
+    to find each piece's best *alternative* segmentation into other pieces.
+    """
     n = len(word)
     NEG = -1e18
     best = [NEG] * (n + 1)
@@ -96,7 +100,7 @@ def _viterbi_segment(word: str, scores: dict, max_len: int) -> List[str]:
         hi = min(n, i + max_len)
         for j in range(i + 1, hi + 1):
             sub = word[i:j]
-            s = scores.get(sub)
+            s = scores.get(sub) if sub != exclude else None
             if s is None:
                 if j == i + 1:
                     s = -20.0  # unseen char fallback
@@ -199,7 +203,40 @@ def _digamma(x: float) -> float:
     return r + math.log(x) + (1.0 / 24.0) * xx2 - (7.0 / 960.0) * xx4 + (31.0 / 8064.0) * xx4 * xx2
 
 
-def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8, em_iters: int = 4):
+def _likelihood_loss_rank(counts: Counter, scores: dict, max_len: int) -> dict:
+    """Corpus-likelihood loss of removing each multi-char piece — the pruning
+    rank of sentencepiece's ``PruneSentencePieces`` (unigram_model_trainer.cc):
+
+    When piece ``p`` (expected count ``freq``) is removed, each of its
+    occurrences re-segments into its best alternative pieces, whose counts
+    grow by ``freq``; the loss is the piece's corpus-frequency share times the
+    log-likelihood drop of that substitution::
+
+        loss(p) = (freq/total) * [ (log freq - log total)
+                    - sum_a (log(count_a + freq) - log(total + freq*(n_alt-1))) ]
+
+    Larger loss = more valuable piece.  Pieces whose string cannot re-segment
+    get ``inf`` (always kept), mirroring sentencepiece's always_keep.
+    """
+    vsum = float(sum(counts.values())) or 1.0
+    logsum = math.log(vsum)
+    losses = {}
+    for p, freq in counts.items():
+        if len(p) <= 1:
+            continue
+        alts = _viterbi_segment(p, scores, max_len, exclude=p)
+        if not alts:
+            losses[p] = float("inf")
+            continue
+        F = freq / vsum
+        logprob_sp = math.log(freq) - logsum
+        logsum_alt = math.log(vsum + freq * (len(alts) - 1))
+        logprob_alt = sum(math.log(counts.get(a, 0.0) + freq) - logsum_alt for a in alts)
+        losses[p] = F * (logprob_sp - logprob_alt)
+    return losses
+
+
+def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8, em_iters: int = 4, prune: str = "loss"):
     """Unigram LM training with full forward-backward EM (the sentencepiece
     algorithm): substring-seeded vocabulary, lattice expected counts in the
     E-step, Bayesian digamma M-step, and usefulness pruning between EM
@@ -207,6 +244,11 @@ def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8
     M-step over a fixed vocabulary — pinned by tests against the lattice
     expectations; the shipped digamma update optimizes the Bayesianified
     objective and re-prunes between rounds, like sentencepiece's trainer.)
+
+    ``prune`` selects the between-round pruning rank: ``"loss"`` (default) is
+    sentencepiece's likelihood-loss ranking (:func:`_likelihood_loss_rank`);
+    ``"count"`` is the simpler expected-count × length heuristic (kept for
+    comparison tests).
 
     Returns ``(pieces, scores)`` sorted by descending score, single
     characters always retained.
@@ -235,7 +277,11 @@ def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8
         dg_total = _digamma(total)
         # prune between rounds: keep the most useful pieces, chars survive
         used = [p for p in counts if len(p) > 1]
-        used.sort(key=lambda p: counts[p] * len(p), reverse=True)
+        if prune == "loss":
+            losses = _likelihood_loss_rank(counts, scores, max_piece_len)
+            used.sort(key=lambda p: (losses.get(p, float("inf")), counts[p]), reverse=True)
+        else:
+            used.sort(key=lambda p: counts[p] * len(p), reverse=True)
         keep_multi = used[: max(target_size - len(chars), 0)]
         pieces = set(keep_multi) | chars
         scores = {
