@@ -118,6 +118,69 @@ def test_engine_data_parallel_inference(module):
     assert sharded.predict(audio[:3], lengths[:3]) == single.predict(audio[:3], lengths[:3])
 
 
+def test_two_process_distributed_train_step(tmp_path):
+    """SURVEY §5.8: a real ``jax.distributed`` run — two OS processes, 2 CPU
+    devices each, one 4-device DP mesh — must produce the same loss and
+    updated params as the single-process step on the same inputs."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import optax
+
+    from tests.distributed_worker import make_batch, make_tiny_module
+
+    # in-process single-device reference (identical model seed and batch)
+    module = make_tiny_module()
+    batch = make_batch(module)
+    state = TrainState.create(
+        apply_fn=module.model.apply,
+        params=jax.tree_util.tree_map(jnp.array, module.variables["params"]),
+        tx=optax.sgd(learning_rate=1e-3),
+        batch_stats=jax.tree_util.tree_map(jnp.array, module.variables.get("batch_stats")),
+    )
+    step_fn = make_train_step(module.model, module.blank_idx)
+    state, ref_loss = step_fn(state, *batch, jax.random.PRNGKey(42))
+    ref_params = {
+        "/".join(str(getattr(k, "key", k)) for k in path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = Path(__file__).parent / "distributed_worker.py"
+    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(rank), "2", str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    results = [np.load(tmp_path / f"rank{r}.npz") for r in range(2)]
+    for res in results:
+        loss = float(res["loss"])
+        assert np.isfinite(loss)
+        assert loss == pytest.approx(float(ref_loss), rel=1e-5)
+        for key, want in ref_params.items():
+            # DP all-reduce changes f32 summation order vs the single-device
+            # reduction; SGD keeps that drift linear in the grads
+            np.testing.assert_allclose(res[key], want, atol=1e-5, err_msg=key)
+    # both ranks hold identical (replicated) updated params
+    for key in ref_params:
+        np.testing.assert_array_equal(results[0][key], results[1][key])
+
+
 def test_sharded_inference_matches(module):
     mesh = make_mesh(model_parallel=2)
     variables = shard_variables(jax.tree_util.tree_map(jnp.array, module.variables), mesh)
