@@ -247,41 +247,57 @@ struct BeamProbs {
   double pnb = kNegInf;  // ends in non-blank
 };
 
-}  // namespace
+// Prefix beam search over a label trie.  Reusable across windows: seed the
+// beam set (root, or carried prefixes from a previous window), run frames,
+// read the ranked survivors — the basis of cross-chunk long-audio decoding.
+struct BeamSearch {
+  int64_t V;
+  int32_t blank, beam_width;
+  float prune_logp;
+  int32_t max_tokens_per_step;
 
-extern "C" {
+  // trie: node 0 is the empty prefix
+  std::vector<int32_t> parent{-1};
+  std::vector<int32_t> token{-1};
+  std::unordered_map<int64_t, int32_t> child;  // (node * V + tok) -> node
+  std::unordered_map<int32_t, BeamProbs> beams;
 
-// logp: (T x V) row-major log-softmax (float32).  Writes the best label
-// sequence into out (capacity out_cap) and its total log-prob into
-// *out_score; returns the sequence length, or -1 on error / truncation.
-int64_t tn_ctc_beam_search(const float* logp, int64_t T, int64_t V,
-                           int32_t blank, int32_t beam_width,
-                           float prune_logp, int32_t max_tokens_per_step,
-                           int32_t* out, int64_t out_cap,
-                           double* out_score) {
-  try {
-    if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
-    // trie: node 0 is the empty prefix
-    std::vector<int32_t> parent{-1};
-    std::vector<int32_t> token{-1};
-    std::unordered_map<int64_t, int32_t> child;  // (node * V + tok) -> node
-    auto get_child = [&](int32_t node, int32_t tok) -> int32_t {
-      const int64_t key = static_cast<int64_t>(node) * V + tok;
-      auto it = child.find(key);
-      if (it != child.end()) return it->second;
-      const int32_t id = static_cast<int32_t>(parent.size());
-      parent.push_back(node);
-      token.push_back(tok);
-      child.emplace(key, id);
-      return id;
-    };
+  BeamSearch(int64_t V, int32_t blank, int32_t beam_width, float prune_logp,
+             int32_t max_tokens_per_step)
+      : V(V), blank(blank), beam_width(beam_width), prune_logp(prune_logp),
+        max_tokens_per_step(max_tokens_per_step) {}
 
-    std::unordered_map<int32_t, BeamProbs> beams;
-    beams[0] = BeamProbs{0.0, kNegInf};
+  int32_t get_child(int32_t node, int32_t tok) {
+    const int64_t key = static_cast<int64_t>(node) * V + tok;
+    auto it = child.find(key);
+    if (it != child.end()) return it->second;
+    const int32_t id = static_cast<int32_t>(parent.size());
+    parent.push_back(node);
+    token.push_back(tok);
+    child.emplace(key, id);
+    return id;
+  }
+
+  void seed_root() { beams[0] = BeamProbs{0.0, kNegInf}; }
+
+  // Seed one carried beam (tokens of a prefix + its blank/non-blank probs);
+  // duplicate prefixes log-add.  Returns false on an out-of-range token.
+  bool seed_prefix(const int32_t* toks, int32_t len, double pb, double pnb) {
+    int32_t node = 0;
+    for (int32_t i = 0; i < len; ++i) {
+      if (toks[i] < 0 || toks[i] >= V) return false;
+      node = get_child(node, toks[i]);
+    }
+    BeamProbs& b = beams[node];
+    b.pb = log_add(b.pb, pb);
+    b.pnb = log_add(b.pnb, pnb);
+    return true;
+  }
+
+  void run(const float* logp, int64_t T) {
     std::vector<int32_t> keep;
     keep.reserve(V);
     std::vector<std::pair<int32_t, BeamProbs>> ranked;
-
     for (int64_t t = 0; t < T; ++t) {
       const float* step = logp + t * V;
       keep.clear();
@@ -338,20 +354,99 @@ int64_t tn_ctc_beam_search(const float* logp, int64_t T, int64_t V,
       beams.clear();
       for (size_t i = 0; i < k; ++i) beams.emplace(ranked[i].first, ranked[i].second);
     }
+  }
 
-    int32_t best = 0;
-    double best_score = kNegInf;
-    for (const auto& kv : beams) {
-      const double s = log_add(kv.second.pb, kv.second.pnb);
-      if (s > best_score) { best_score = s; best = kv.first; }
-    }
-    if (out_score) *out_score = best_score;
+  // surviving beams, best-first, truncated to beam_width
+  std::vector<std::pair<int32_t, BeamProbs>> ranked_beams() const {
+    std::vector<std::pair<int32_t, BeamProbs>> out(beams.begin(), beams.end());
+    std::sort(out.begin(), out.end(),
+              [](const std::pair<int32_t, BeamProbs>& a,
+                 const std::pair<int32_t, BeamProbs>& b) {
+                return log_add(a.second.pb, a.second.pnb) >
+                       log_add(b.second.pb, b.second.pnb);
+              });
+    if (out.size() > static_cast<size_t>(beam_width)) out.resize(beam_width);
+    return out;
+  }
+
+  std::vector<int32_t> prefix_of(int32_t node) const {
     std::vector<int32_t> seq;
-    for (int32_t n = best; n != 0; n = parent[n]) seq.push_back(token[n]);
-    if (static_cast<int64_t>(seq.size()) > out_cap) return -1;
+    for (int32_t n = node; n != 0; n = parent[n]) seq.push_back(token[n]);
     std::reverse(seq.begin(), seq.end());
+    return seq;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// logp: (T x V) row-major log-softmax (float32).  Writes the best label
+// sequence into out (capacity out_cap) and its total log-prob into
+// *out_score; returns the sequence length, or -1 on error / truncation.
+int64_t tn_ctc_beam_search(const float* logp, int64_t T, int64_t V,
+                           int32_t blank, int32_t beam_width,
+                           float prune_logp, int32_t max_tokens_per_step,
+                           int32_t* out, int64_t out_cap,
+                           double* out_score) {
+  try {
+    if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
+    BeamSearch bs(V, blank, beam_width, prune_logp, max_tokens_per_step);
+    bs.seed_root();
+    bs.run(logp, T);
+    auto ranked = bs.ranked_beams();
+    if (ranked.empty()) {
+      if (out_score) *out_score = kNegInf;
+      return 0;
+    }
+    if (out_score)
+      *out_score = log_add(ranked[0].second.pb, ranked[0].second.pnb);
+    auto seq = bs.prefix_of(ranked[0].first);
+    if (static_cast<int64_t>(seq.size()) > out_cap) return -1;
     std::copy(seq.begin(), seq.end(), out);
     return static_cast<int64_t>(seq.size());
+  } catch (...) {
+    return -1;
+  }
+}
+
+// Streaming variant: seeds the search with n_in carried beams (row-major
+// prefixes, stride in_stride, lengths in_lens, blank/non-blank log-probs
+// in_pb/in_pnb; n_in == 0 seeds the root) and, after running the window's T
+// frames, writes up to beam_width surviving beams into the out arrays
+// (stride out_stride).  Returns the number of beams written, or -1 on error
+// (including any surviving prefix longer than out_stride).
+int64_t tn_ctc_beam_search_stream(
+    const float* logp, int64_t T, int64_t V, int32_t blank,
+    int32_t beam_width, float prune_logp, int32_t max_tokens_per_step,
+    const int32_t* in_prefixes, const int32_t* in_lens,
+    const double* in_pb, const double* in_pnb, int32_t n_in, int64_t in_stride,
+    int32_t* out_prefixes, int32_t* out_lens, double* out_pb, double* out_pnb,
+    int64_t out_stride) {
+  try {
+    if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
+    BeamSearch bs(V, blank, beam_width, prune_logp, max_tokens_per_step);
+    if (n_in <= 0) {
+      bs.seed_root();
+    } else {
+      for (int32_t i = 0; i < n_in; ++i) {
+        const int32_t len = in_lens[i];
+        if (len < 0 || len > in_stride) return -1;
+        if (!bs.seed_prefix(in_prefixes + i * in_stride, len, in_pb[i], in_pnb[i]))
+          return -1;
+      }
+    }
+    bs.run(logp, T);
+    auto ranked = bs.ranked_beams();
+    for (size_t i = 0; i < ranked.size(); ++i) {
+      auto seq = bs.prefix_of(ranked[i].first);
+      if (static_cast<int64_t>(seq.size()) > out_stride) return -1;
+      std::copy(seq.begin(), seq.end(), out_prefixes + i * out_stride);
+      out_lens[i] = static_cast<int32_t>(seq.size());
+      out_pb[i] = ranked[i].second.pb;
+      out_pnb[i] = ranked[i].second.pnb;
+    }
+    return static_cast<int64_t>(ranked.size());
   } catch (...) {
     return -1;
   }

@@ -217,3 +217,130 @@ def test_fully_pruned_frame_skipped_not_wiped():
     if native_available():
         ids = native_ctc_beam_search(logp, blank, 8, -3.0)
         assert tuple(ids.tolist()) == strict[0][0]
+
+
+# ---------------------------------------------------------------------------
+# cross-chunk carried beam state (VERDICT: chunked beam == full-utterance beam)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_native", [False, True], ids=["numpy", "native"])
+def test_stream_state_equals_full_search(use_native):
+    """Window-by-window search with carried state must equal the one-shot
+    full-utterance search exactly — prefixes and scores — at any cut."""
+    from thunder_tpu.ops.ctc_beam import BeamState, beam_search_stream, log_softmax
+
+    rng = np.random.default_rng(11)
+    T, V = 40, 6
+    logp = log_softmax(rng.standard_normal((T, V)).astype(np.float32) * 2)
+    full = prefix_beam_search(logp, blank=0, beam_width=8, prune_logp=-12.0, max_tokens_per_step=50)
+    for cuts in ([1], [7], [17], [39], [11, 27], [5, 6, 30]):
+        bounds = [0] + cuts + [T]
+        state = None
+        for a, b in zip(bounds, bounds[1:]):
+            state = beam_search_stream(
+                logp[a:b], 0, beam_width=8, prune_logp=-12.0,
+                max_tokens_per_step=50, state=state, use_native=use_native,
+            )
+        assert tuple(state.best.tolist()) == full[0][0], cuts
+        assert state.best_score == pytest.approx(full[0][1], abs=1e-9)
+
+
+@pytest.mark.parametrize("use_native", [False, True], ids=["numpy", "native"])
+def test_cross_chunk_token_merges(use_native):
+    """A token emitted on both sides of the window boundary (no blank
+    between) must merge into ONE label — chunk-local searches double it."""
+    from thunder_tpu.ops.ctc_beam import beam_search_stream, log_softmax
+
+    blank, a = 2, 0
+    frames = [blank, blank, a, a, blank, blank]
+    logits = np.full((len(frames), 3), -4.0, np.float32)
+    for t, v in enumerate(frames):
+        logits[t, v] = 4.0
+    logp = log_softmax(logits)
+    cut = 3  # splits the two 'a' frames across windows
+
+    # old behavior: independent windows, concatenated labels -> doubled token
+    left = prefix_beam_search(logp[:cut], blank, beam_width=4)[0][0]
+    right = prefix_beam_search(logp[cut:], blank, beam_width=4)[0][0]
+    assert left + right == (a, a)
+
+    # carried state: one continuous search -> single token, equal to full
+    state = beam_search_stream(logp[:cut], blank, beam_width=4, use_native=use_native)
+    state = beam_search_stream(logp[cut:], blank, beam_width=4, state=state, use_native=use_native)
+    full = prefix_beam_search(logp, blank, beam_width=4)
+    assert tuple(state.best.tolist()) == (a,)
+    assert full[0][0] == (a,)
+    assert state.best_score == pytest.approx(full[0][1], abs=1e-9)
+
+
+def test_stream_state_with_lm_carries_prefix_context():
+    """LM shallow fusion across windows scores against the carried prefix
+    (chunk-local search could only see the fragment)."""
+    from thunder_tpu.ops.ctc_beam import beam_search_stream, log_softmax
+    from thunder_tpu.text.lm import NGramLM
+
+    lm = NGramLM(order=2)
+    lm.fit([[0, 1]] * 20)  # after token 0, token 1 is likely
+
+    blank = 3
+    # frame 0-1: token 0 certain; frames 2-3 (next window): tokens 0/1 tied
+    logits = np.full((4, 4), -3.0, np.float32)
+    logits[0, 0] = logits[1, blank] = 3.0
+    logits[2, 0] = logits[2, 1] = 3.0
+    logits[3, blank] = 3.0
+    logp = log_softmax(logits)
+
+    state = beam_search_stream(logp[:2], blank, beam_width=8, lm=lm, lm_weight=2.0)
+    state = beam_search_stream(logp[2:], blank, beam_width=8, lm=lm, lm_weight=2.0, state=state)
+    # the LM tiebreak needs the carried prefix (0,) from window 1
+    assert tuple(state.best.tolist()) == (0, 1)
+
+
+def test_chunked_transcribe_beam_equals_full_utterance():
+    """End-to-end done-bar: with a context-free frame classifier (window
+    log-probs tile the full utterance's exactly), chunked beam decoding
+    equals the full-utterance beam decode — including a token astride the
+    chunk-grid boundary."""
+    from thunder_tpu.module import chunked_transcribe
+    from thunder_tpu.text import BatchTextTransformer
+
+    tt = BatchTextTransformer(tokens=list("abc "))
+    blank = tt.vocab.blank_idx
+    ids_a = int(tt.encode(["a"])[0][0, 0])
+    V = tt.num_tokens
+    spf = 100  # samples per frame
+
+    # chunk grid: chunk=2000, overlap=400 -> trim=2 frames; two chunks over
+    # 3600 samples; the stitched boundary falls at global frame 18
+    frame_tokens = np.full(36, blank, np.int64)
+    frame_tokens[17] = ids_a  # token astride the boundary:
+    frame_tokens[18] = ids_a  # frames 17 (chunk 1) and 18 (chunk 2)
+    frame_tokens[[5, 30]] = int(tt.encode(["b"])[0][0, 0])
+    audio = np.repeat(frame_tokens.astype(np.float32), spf)
+
+    def logits_fn(padded, lengths):
+        n = int(lengths[0]) // spf
+        blocks = padded[0, : n * spf].reshape(n, spf).mean(axis=1)
+        logits = np.full((1, n, V), -4.0, np.float32)
+        for t, v in enumerate(np.rint(blocks).astype(int)):
+            logits[0, t, v] = 4.0
+        return logits, np.asarray([n])
+
+    full_logits, _ = logits_fn(audio[None], [audio.shape[0]])
+    full = beam_search_decode(full_logits, [36], blank=blank, beam_width=4)[0]
+    want = tt.decode_prediction(full[None].astype(np.int64), remove_repeated=False)[0]
+    # the boundary-straddling 'a' must appear ONCE in the full-utterance decode
+    assert want == "bab"
+
+    got = chunked_transcribe(
+        infer_fn=None,
+        text_transform=tt,
+        audio=audio,
+        chunk_seconds=2000 / 16000,
+        overlap_seconds=400 / 16000,
+        logits_fn=logits_fn,
+        blank_idx=blank,
+        beam_width=4,
+    )
+    assert got == want

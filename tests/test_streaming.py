@@ -105,3 +105,39 @@ def test_streaming_matches_chunked_randomized(module):
         assert got == want, (trial, chunk_s, overlap_s, total)
         for p_ in partials:
             assert got.startswith(p_), (trial, p_, got)
+
+
+def test_streaming_beam_flush_matches_predict_long(module):
+    """Beam mode: flush() must equal predict_long(beam_width=...) — the
+    carried-state search is the same continuous search either way."""
+    from thunder_tpu.streaming import StreamingTranscriber
+
+    rng = np.random.default_rng(21)
+    audio = (rng.standard_normal(4 * 16000) * 0.2).astype(np.float32)
+    want = module.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8)
+
+    st = StreamingTranscriber(module, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8)
+    i = 0
+    for size in (7000, 16000, 1000, 25000, 9000, 100000):
+        st.push(audio[i : i + size])
+        i += size
+        if i >= audio.shape[0]:
+            break
+    assert isinstance(st.partial_text, str)
+    assert st.flush() == want
+
+    # short audio (single window) equals predict's beam path via predict_long
+    short = audio[:16000]
+    want_short = module.predict_long(short, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8)
+    st2 = StreamingTranscriber(module, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8)
+    st2.push(short)
+    assert st2.flush() == want_short
+
+
+def test_streaming_beam_kwargs_without_width_raise(module):
+    from thunder_tpu.streaming import StreamingTranscriber
+
+    with pytest.raises(TypeError):
+        StreamingTranscriber(module, prune_logp=-5.0)
+    with pytest.raises(TypeError):
+        StreamingTranscriber(module, lm_weight=0.3)

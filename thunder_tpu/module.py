@@ -88,11 +88,14 @@ def chunked_transcribe(
     semantics).
 
     With ``beam_width`` (requires ``logits_fn(padded, lengths) ->
-    (logits, out_lengths)`` and ``blank_idx``), each chunk's *trimmed* frame
-    window is prefix-beam-searched independently and the label sequences are
-    concatenated. Chunk-local beam search cannot merge a token straddling a
-    boundary the way the greedy id-stitch can, but the trims place cuts half
-    an overlap away from chunk edges where context is full.
+    (logits, out_lengths)`` and ``blank_idx``), the trimmed frame windows are
+    decoded as ONE continuous prefix beam search: each window is searched
+    seeded with the previous window's surviving beams
+    (:func:`thunder_tpu.ops.ctc_beam.beam_search_stream`), so a token
+    straddling a chunk boundary merges exactly as in a full-utterance search
+    — the beam analogue of the greedy id-stitch, with the same guarantee
+    (equal to the unchunked decode whenever the windows' log-probs tile the
+    full utterance's).
     """
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
     chunk = int(chunk_seconds * sample_rate)
@@ -110,6 +113,7 @@ def chunked_transcribe(
     if use_beam and (logits_fn is None or blank_idx is None):
         raise ValueError("beam_width requires logits_fn and blank_idx")
     pieces = []
+    beam_state = None
     for idx, start in enumerate(starts):
         seg = audio[start : start + chunk]
         seg_len = seg.shape[0]
@@ -120,21 +124,21 @@ def chunked_transcribe(
             logits, out_lengths = logits_fn(padded, np.asarray([seg_len], dtype=np.int32))
             win = np.asarray(logits, np.float32)[0, : int(np.asarray(out_lengths)[0])]
             win = trim_chunk_ids(win, seg_len, overlap, is_first=first, is_last=last)
-            from thunder_tpu.ops.ctc_beam import beam_search_decode
+            from thunder_tpu.ops.ctc_beam import beam_search_stream, log_softmax
 
-            hyp = beam_search_decode(
-                win[None], [win.shape[0]], blank=blank_idx, beam_width=beam_width,
-                **(beam_kwargs or {}),
-            )[0]
-            pieces.append(hyp)
+            beam_state = beam_search_stream(
+                log_softmax(win), blank_idx, beam_width=beam_width,
+                state=beam_state, **(beam_kwargs or {}),
+            )
         else:
             preds, out_lengths = infer_fn(padded, np.asarray([seg_len], dtype=np.int32))
             ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
             pieces.append(trim_chunk_ids(ids, seg_len, overlap, is_first=first, is_last=last))
-    joined = np.concatenate(pieces)
     if use_beam:
-        # chunk hypotheses are already collapsed label sequences
-        return text_transform.decode_prediction(joined[None].astype(np.int64), remove_repeated=False)[0]
+        # the carried search's best prefix is already a collapsed label sequence
+        best = beam_state.best
+        return text_transform.decode_prediction(best[None].astype(np.int64), remove_repeated=False)[0]
+    joined = np.concatenate(pieces)
     return text_transform.decode_prediction(joined[None])[0]
 
 

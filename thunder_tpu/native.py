@@ -23,6 +23,8 @@ __all__ = [
     "native_resample",
     "native_edit_distance",
     "native_ctc_collapse",
+    "native_ctc_beam_search",
+    "native_ctc_beam_search_stream",
 ]
 
 _LIB_PATH = Path(__file__).parent / "libthunder_native.so"
@@ -68,14 +70,14 @@ def _load():
     if not _LIB_PATH.exists() and not _build():
         raise ImportError("thunder_tpu native library unavailable (build failed)")
     lib = ctypes.CDLL(str(_LIB_PATH))
-    if not hasattr(lib, "tn_ctc_beam_search"):
-        # stale .so from an older source revision: rebuild once so missing
-        # symbols surface as ImportError (callers' fallback guard), never as
-        # AttributeError mid-call
+    # probe the NEWEST symbol: a stale .so from an older source revision must
+    # rebuild once so missing symbols surface as ImportError (callers'
+    # fallback guard), never as AttributeError mid-call
+    if not hasattr(lib, "tn_ctc_beam_search_stream"):
         if not _build():
             raise ImportError("thunder_tpu native library is stale and rebuild failed")
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tn_ctc_beam_search"):
+        if not hasattr(lib, "tn_ctc_beam_search_stream"):
             raise ImportError("thunder_tpu native library is stale (missing symbols)")
     lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
     lib.tn_load_wav.restype = ctypes.c_int
@@ -126,6 +128,27 @@ def _load():
         ctypes.POINTER(ctypes.c_double),
     ]
     lib.tn_ctc_beam_search.restype = ctypes.c_int64
+    lib.tn_ctc_beam_search_stream.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+    ]
+    lib.tn_ctc_beam_search_stream.restype = ctypes.c_int64
     return lib
 
 
@@ -267,3 +290,71 @@ def native_ctc_beam_search(
         return None
     ids = out[:n].copy()
     return (ids, score.value) if return_score else ids
+
+
+def native_ctc_beam_search_stream(
+    logp: np.ndarray,
+    blank: int,
+    beam_width: int = 16,
+    prune_logp: float = float("-inf"),
+    max_tokens_per_step: int = 0,
+    in_beams=None,
+):
+    """Advance carried prefix-beam state over one (T, V) log-softmax window.
+
+    ``in_beams``: list of ``(prefix int32 array, pb, pnb)`` carried from the
+    previous window (``None``/empty seeds the root beam).  Returns the
+    surviving beams best-first in the same format, or ``None`` if the native
+    library is missing or errors (callers fall back to the numpy reference).
+    """
+    if _lib is None:
+        return None
+    logp = np.ascontiguousarray(logp, dtype=np.float32)
+    t, v = logp.shape
+    in_beams = list(in_beams or [])
+    n_in = len(in_beams)
+    in_stride = max((len(p) for p, _, _ in in_beams), default=0) or 1
+    in_prefixes = np.zeros((max(n_in, 1), in_stride), np.int32)
+    in_lens = np.zeros((max(n_in, 1),), np.int32)
+    in_pb = np.zeros((max(n_in, 1),), np.float64)
+    in_pnb = np.zeros((max(n_in, 1),), np.float64)
+    for i, (p, pb, pnb) in enumerate(in_beams):
+        p = np.asarray(p, np.int32)
+        in_prefixes[i, : len(p)] = p
+        in_lens[i] = len(p)
+        in_pb[i], in_pnb[i] = pb, pnb
+    # a window of T frames can extend a prefix by at most T tokens
+    out_stride = in_stride + t + 1
+    out_prefixes = np.empty((beam_width, out_stride), np.int32)
+    out_lens = np.empty((beam_width,), np.int32)
+    out_pb = np.empty((beam_width,), np.float64)
+    out_pnb = np.empty((beam_width,), np.float64)
+    pl = float(prune_logp)
+    if pl == float("-inf"):
+        pl = -3.0e38
+    n = _lib.tn_ctc_beam_search_stream(
+        logp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t,
+        v,
+        int(blank),
+        int(beam_width),
+        pl,
+        int(max_tokens_per_step or 0),
+        in_prefixes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        in_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        in_pb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        in_pnb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_in,
+        in_stride,
+        out_prefixes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_pb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_pnb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_stride,
+    )
+    if n < 0:
+        return None
+    return [
+        (out_prefixes[i, : out_lens[i]].copy(), float(out_pb[i]), float(out_pnb[i]))
+        for i in range(n)
+    ]

@@ -14,11 +14,18 @@ tests/test_ctc_beam.py.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["prefix_beam_search", "beam_search_decode"]
+__all__ = ["prefix_beam_search", "beam_search_decode", "BeamState", "beam_search_stream", "log_softmax"]
+
+
+def log_softmax(logits: np.ndarray) -> np.ndarray:
+    """Numerically stable log-softmax over the last axis (host-side numpy)."""
+    logits = np.asarray(logits, np.float32)
+    m = logits.max(axis=-1, keepdims=True)
+    return logits - m - np.log(np.exp(logits - m).sum(axis=-1, keepdims=True))
 
 _NEG_INF = -np.inf
 
@@ -40,6 +47,8 @@ def prefix_beam_search(
     max_tokens_per_step: Optional[int] = None,
     lm=None,
     lm_weight: float = 0.5,
+    init_beams: Optional[Dict[Tuple[int, ...], Tuple[float, float]]] = None,
+    return_beams: bool = False,
 ) -> List[Tuple[Tuple[int, ...], float]]:
     """Exact prefix beam search over one utterance.
 
@@ -57,14 +66,19 @@ def prefix_beam_search(
         lm: optional shallow-fusion scorer ``lm(prefix_ids, token) -> logp``
             (e.g. :class:`thunder_tpu.text.lm.NGramLM`), added with weight
             ``lm_weight`` each time a prefix is extended by ``token``.
+        init_beams: carried beam state ``prefix -> (pb, pnb)`` from a previous
+            window (cross-chunk decoding); default seeds the empty prefix.
+        return_beams: also return the final beam dict, for carrying into the
+            next window.
 
     Returns:
         Up to ``beam_width`` ``(prefix, log_prob)`` pairs, best first, where
         ``log_prob`` sums over all alignments collapsing to ``prefix``.
+        With ``return_beams``: ``(pairs, final_beams_dict)``.
     """
     T, V = log_probs.shape
     # prefix -> (log p ending in blank, log p ending in non-blank)
-    beams = {(): (0.0, _NEG_INF)}
+    beams = dict(init_beams) if init_beams else {(): (0.0, _NEG_INF)}
     for t in range(T):
         step = log_probs[t]
         keep = np.nonzero(step >= prune_logp)[0] if prune_logp != _NEG_INF else np.arange(V)
@@ -106,7 +120,98 @@ def prefix_beam_search(
         beams = dict(ranked[:beam_width])
     out = [(prefix, _logaddexp(pb, pnb)) for prefix, (pb, pnb) in beams.items()]
     out.sort(key=lambda kv: -kv[1])
+    if return_beams:
+        # truncate: with T == 0 the loop never ran, so init/seed beams may
+        # still exceed beam_width
+        final = {p: beams[p] for p, _ in out[:beam_width]}
+        return out, final
     return out
+
+
+class BeamState:
+    """Carried prefix-beam state for cross-chunk / streaming CTC decoding.
+
+    Wraps the ``prefix -> (log p ending in blank, log p ending in non-blank)``
+    dict that :func:`prefix_beam_search` threads between frames, so a long
+    utterance can be decoded window by window as ONE continuous beam search —
+    a token straddling a window boundary merges exactly as it would in a
+    full-utterance search (unlike searching each window independently and
+    concatenating label sequences).
+    """
+
+    __slots__ = ("beams",)
+
+    def __init__(self, beams: Optional[Dict[Tuple[int, ...], Tuple[float, float]]] = None):
+        self.beams = beams if beams is not None else {(): (0.0, _NEG_INF)}
+
+    @property
+    def best(self) -> np.ndarray:
+        """Best prefix so far (collapsed label ids, int32)."""
+        if not self.beams:
+            return np.zeros((0,), np.int32)
+        prefix = max(self.beams.items(), key=lambda kv: _logaddexp(*kv[1]))[0]
+        return np.asarray(prefix, np.int32)
+
+    @property
+    def best_score(self) -> float:
+        if not self.beams:
+            return _NEG_INF
+        return max(_logaddexp(pb, pnb) for pb, pnb in self.beams.values())
+
+
+def beam_search_stream(
+    logp: np.ndarray,
+    blank: int,
+    beam_width: int = 16,
+    prune_logp: float = -12.0,
+    max_tokens_per_step: int = 50,
+    lm=None,
+    lm_weight: float = 0.5,
+    state: Optional[BeamState] = None,
+    use_native: bool = True,
+) -> BeamState:
+    """Advance carried beam state over one ``(T, V)`` log-softmax window.
+
+    Seeding window k+1 with window k's surviving beams makes chunked decoding
+    a single continuous prefix beam search over the stitched frame timeline:
+    when the windows' log-probs tile the full utterance's, the result is
+    *identical* to beam-searching the whole utterance at once (pinned by
+    tests/test_ctc_beam.py).  LM fusion also improves: the scorer sees the
+    full carried prefix, not a chunk-local fragment.
+
+    Uses the C++ runtime (``tn_ctc_beam_search_stream``) when available and
+    no LM is fused; falls back to the numpy reference.
+    """
+    state = state or BeamState()
+    logp = np.asarray(logp, np.float32)
+    if use_native and lm is None:
+        try:
+            from thunder_tpu.native import native_ctc_beam_search_stream
+        except ImportError:
+            pass
+        else:
+            res = native_ctc_beam_search_stream(
+                logp,
+                blank,
+                beam_width,
+                prune_logp,
+                max_tokens_per_step=max_tokens_per_step,
+                in_beams=[(np.asarray(p, np.int32), pb, pnb) for p, (pb, pnb) in state.beams.items()],
+            )
+            if res is not None:
+                return BeamState({tuple(int(x) for x in p): (pb, pnb) for p, pb, pnb in res})
+    _, beams = prefix_beam_search(
+        logp,
+        blank,
+        beam_width,
+        prune_logp,
+        max_tokens_per_step,
+        lm=lm,
+        lm_weight=lm_weight,
+        init_beams=state.beams,
+        return_beams=True,
+    )
+    return BeamState(beams)
 
 
 def beam_search_decode(
@@ -133,9 +238,7 @@ def beam_search_decode(
         blank = V - 1
     if lengths is None:
         lengths = [T] * B
-    # stable log-softmax
-    m = logits.max(axis=-1, keepdims=True)
-    logp = logits - m - np.log(np.exp(logits - m).sum(axis=-1, keepdims=True))
+    logp = log_softmax(logits)
 
     native = None
     if use_native and lm is None:  # LM fusion runs the python scorer
