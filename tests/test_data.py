@@ -160,3 +160,25 @@ def test_manifest_datamodule(wav_dir):
     assert dm.steps_per_epoch == 1
     batch = next(iter(dm.train_dataloader()))
     assert batch[0].ndim == 2
+
+
+def test_resample_native_fallback_without_scipy(monkeypatch):
+    """resample() must work without scipy via the C++ windowed-sinc."""
+    import builtins
+    import sys
+
+    real_import = builtins.__import__
+
+    def no_scipy(name, *a, **k):
+        if name.startswith("scipy"):
+            raise ImportError("scipy disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(sys.modules, "scipy.signal", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_scipy)
+    t = np.arange(16000) / 16000
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)[None]
+    y = resample(x, 16000, 8000)
+    assert y.shape == (1, 8000)
+    spec = np.abs(np.fft.rfft(y[0]))
+    assert abs(spec.argmax() - 440) <= 1
