@@ -61,3 +61,123 @@ def test_expand_numbers_ordinal():
 def test_expand_numbers_multiple():
     out = expand_numbers("10 plus 5")
     assert out == "ten plus five"
+
+
+def test_num2words_de_cardinal():
+    assert num2words(0, lang="de") == "null"
+    assert num2words(1, lang="de") == "eins"
+    assert num2words(21, lang="de") == "einundzwanzig"
+    assert num2words(101, lang="de") == "einhunderteins"
+    assert num2words(121, lang="de") == "einhunderteinundzwanzig"
+    assert num2words(1000, lang="de") == "eintausend"
+    assert num2words(2345, lang="de") == "zweitausenddreihundertfünfundvierzig"
+    assert num2words(1000000, lang="de") == "eine Million"
+    assert num2words(2000030, lang="de") == "zwei Millionen dreißig"
+    assert num2words(-7, lang="de") == "minus sieben"
+
+
+def test_num2words_fr_cardinal():
+    assert num2words(0, lang="fr") == "zéro"
+    assert num2words(21, lang="fr") == "vingt et un"
+    assert num2words(32, lang="fr") == "trente-deux"
+    assert num2words(71, lang="fr") == "soixante et onze"
+    assert num2words(75, lang="fr") == "soixante-quinze"
+    assert num2words(80, lang="fr") == "quatre-vingts"
+    assert num2words(81, lang="fr") == "quatre-vingt-un"
+    assert num2words(95, lang="fr") == "quatre-vingt-quinze"
+    assert num2words(100, lang="fr") == "cent"
+    assert num2words(200, lang="fr") == "deux cents"
+    assert num2words(201, lang="fr") == "deux cent un"
+    assert num2words(280, lang="fr") == "deux cent quatre-vingts"
+    assert num2words(1000, lang="fr") == "mille"
+    assert num2words(1980, lang="fr") == "mille neuf cent quatre-vingts"
+    assert num2words(2000000, lang="fr") == "deux millions"
+
+
+def test_num2words_es_cardinal():
+    assert num2words(16, lang="es") == "dieciséis"
+    assert num2words(21, lang="es") == "veintiuno"
+    assert num2words(31, lang="es") == "treinta y uno"
+    assert num2words(100, lang="es") == "cien"
+    assert num2words(101, lang="es") == "ciento uno"
+    assert num2words(500, lang="es") == "quinientos"
+    assert num2words(777, lang="es") == "setecientos setenta y siete"
+    assert num2words(1000, lang="es") == "mil"
+    assert num2words(21000, lang="es") == "veintiún mil"
+    assert num2words(1000000, lang="es") == "un millón"
+    assert num2words(2000000, lang="es") == "dos millones"
+
+
+def test_num2words_it_cardinal():
+    assert num2words(21, lang="it") == "ventuno"
+    assert num2words(23, lang="it") == "ventitré"
+    assert num2words(28, lang="it") == "ventotto"
+    assert num2words(100, lang="it") == "cento"
+    assert num2words(180, lang="it") == "centottanta"
+    assert num2words(365, lang="it") == "trecentosessantacinque"
+    assert num2words(1000, lang="it") == "mille"
+    assert num2words(2000, lang="it") == "duemila"
+    assert num2words(1000000, lang="it") == "un milione"
+    assert num2words(3000000, lang="it") == "tre milioni"
+
+
+def test_num2words_ca_cardinal():
+    assert num2words(18, lang="ca") == "divuit"
+    assert num2words(21, lang="ca") == "vint-i-un"
+    assert num2words(34, lang="ca") == "trenta-quatre"
+    assert num2words(100, lang="ca") == "cent"
+    assert num2words(200, lang="ca") == "dos-cents"
+    assert num2words(245, lang="ca") == "dos-cents quaranta-cinc"
+    assert num2words(1000, lang="ca") == "mil"
+    assert num2words(1000000, lang="ca") == "un milió"
+    assert num2words(2000000, lang="ca") == "dos milions"
+
+
+def test_num2words_pl_cardinal():
+    assert num2words(5, lang="pl") == "pięć"
+    assert num2words(15, lang="pl") == "piętnaście"
+    assert num2words(21, lang="pl") == "dwadzieścia jeden"
+    assert num2words(100, lang="pl") == "sto"
+    assert num2words(234, lang="pl") == "dwieście trzydzieści cztery"
+    assert num2words(1000, lang="pl") == "tysiąc"
+    assert num2words(2000, lang="pl") == "dwa tysiące"
+    assert num2words(5000, lang="pl") == "pięć tysięcy"
+    assert num2words(12000, lang="pl") == "dwanaście tysięcy"
+    assert num2words(22000, lang="pl") == "dwadzieścia dwa tysiące"
+    assert num2words(1000000, lang="pl") == "jeden milion"
+    assert num2words(5000000, lang="pl") == "pięć milionów"
+
+
+def test_num2words_ru_cardinal():
+    assert num2words(0, lang="ru") == "ноль"
+    assert num2words(21, lang="ru") == "двадцать один"
+    assert num2words(40, lang="ru") == "сорок"
+    assert num2words(90, lang="ru") == "девяносто"
+    assert num2words(100, lang="ru") == "сто"
+    assert num2words(555, lang="ru") == "пятьсот пятьдесят пять"
+    assert num2words(1000, lang="ru") == "одна тысяча"
+    assert num2words(2000, lang="ru") == "две тысячи"
+    assert num2words(5000, lang="ru") == "пять тысяч"
+    assert num2words(11000, lang="ru") == "одиннадцать тысяч"
+    assert num2words(1000000, lang="ru") == "один миллион"
+    assert num2words(2000000, lang="ru") == "два миллиона"
+    assert num2words(5000000, lang="ru") == "пять миллионов"
+
+
+def test_num2words_lang_codes_and_errors():
+    import pytest
+
+    assert num2words(3, lang="de_DE") == "drei"
+    assert num2words(3, lang="fr-FR") == "trois"
+    with pytest.raises(NotImplementedError):
+        num2words(3, lang="xx")
+    with pytest.raises(NotImplementedError):
+        num2words(3, lang="de", to="ordinal")
+
+
+def test_expand_numbers_new_languages():
+    from thunder_tpu.text.preprocess import expand_numbers
+
+    assert expand_numbers("hab 42 katzen", language="de") == "hab zweiundvierzig katzen"
+    assert expand_numbers("j'ai 80 ans", language="fr") == "j'ai quatre-vingts ans"
+    assert expand_numbers("tengo 21 gatos", language="es") == "tengo veintiuno gatos"

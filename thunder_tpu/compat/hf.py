@@ -105,8 +105,18 @@ def hf_state_to_variables(state: Dict[str, np.ndarray], config: Wav2Vec2Config) 
     for i in range(config.num_hidden_layers):
         base = f"encoder.layers.{i}"
         dst = (f"layer{i}",)
-        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            dense(f"{base}.attention.{proj}", dst + ("attention", proj))
+        # q/k/v concatenate into the encoder's fused qkv projection (one
+        # (h, 3h) matmul; see models/wav2vec2.py _Attention)
+        p[dst + ("attention", "qkv_proj", "kernel")] = np.ascontiguousarray(
+            np.concatenate(
+                [state[f"{base}.attention.{proj}.weight"].T for proj in ("q_proj", "k_proj", "v_proj")],
+                axis=1,
+            )
+        )
+        p[dst + ("attention", "qkv_proj", "bias")] = np.concatenate(
+            [state[f"{base}.attention.{proj}.bias"] for proj in ("q_proj", "k_proj", "v_proj")]
+        )
+        dense(f"{base}.attention.out_proj", dst + ("attention", "out_proj"))
         norm(f"{base}.layer_norm", dst + ("layer_norm",))
         dense(f"{base}.feed_forward.intermediate_dense", dst + ("intermediate_dense",))
         dense(f"{base}.feed_forward.output_dense", dst + ("output_dense",))

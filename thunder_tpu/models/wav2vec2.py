@@ -221,11 +221,12 @@ class _Attention(nn.Module):
         cfg = self.config
         h, heads = cfg.hidden_size, cfg.num_attention_heads
         dh = h // heads
-        dense = lambda name: nn.Dense(h, dtype=self.dtype, name=name)
+        # fused QKV: one (h, 3h) matmul reads x once and fills the MXU's N
+        # dimension; the HF importer concatenates q/k/v kernels (compat/hf.py)
+        qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         # HF scales the query projection by dh**-0.5
-        q = dense("q_proj")(x) * (dh**-0.5)
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
+        q = q * (dh**-0.5)
         split = lambda t: t.reshape(t.shape[0], t.shape[1], heads, dh)
         if _use_flash_attention(self.dtype, train, x.shape[1]):
             out = _flash_mha(split(q), split(k), split(v), key_mask)
@@ -237,7 +238,7 @@ class _Attention(nn.Module):
             probs = nn.Dropout(rate=cfg.attention_dropout, deterministic=not train)(probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v))
         out = out.reshape(x.shape[0], x.shape[1], h)
-        return dense("out_proj")(out)
+        return nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
 
 
 def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array) -> jax.Array:

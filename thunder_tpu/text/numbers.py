@@ -1,10 +1,13 @@
 """Number-to-words expansion (in-repo replacement for the num2words dep).
 
 The reference uses the ``num2words`` package
-(`/root/reference/src/thunder/text_processing/preprocess.py:44-68`); that
-package is not in this image, so cardinal and ordinal spell-out are
-implemented here for English and Portuguese (the languages exercised by the
-reference's docs/tests, e.g. the "42º" ordinal example).
+(`/root/reference/src/thunder/text_processing/preprocess.py:44-68`).  That
+package is not in this image, so spell-out is implemented here for the
+languages of the reference's registered checkpoints: cardinals for
+en/pt/de/fr/es/it/ca/pl/ru (standard orthography, incl. French 70/80/90
+composition, Italian vowel elision, Slavic three-form plural declension),
+ordinals for en/pt (the forms the reference's docs/tests exercise, e.g.
+"42º").  Range: |n| < 10^12.
 """
 
 from __future__ import annotations
@@ -130,11 +133,434 @@ def _pt_ordinal(n: int) -> str:
     return " ".join(p for p in parts if p)
 
 
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_UNITS = [
+    "null", "eins", "zwei", "drei", "vier", "fünf", "sechs", "sieben", "acht",
+    "neun", "zehn", "elf", "zwölf", "dreizehn", "vierzehn", "fünfzehn",
+    "sechzehn", "siebzehn", "achtzehn", "neunzehn",
+]
+_DE_TENS = ["", "", "zwanzig", "dreißig", "vierzig", "fünfzig", "sechzig", "siebzig", "achtzig", "neunzig"]
+
+
+def _de_below_thousand(n: int) -> str:
+    # "ein" (not "eins") inside compounds
+    if n == 0:
+        return ""
+    out = ""
+    if n >= 100:
+        h, n = divmod(n, 100)
+        out += ("ein" if h == 1 else _DE_UNITS[h]) + "hundert"
+    if n == 0:
+        return out
+    if n == 1:
+        return out + "eins"
+    if n < 20:
+        return out + _DE_UNITS[n]
+    tens, unit = divmod(n, 10)
+    if unit:
+        return out + ("ein" if unit == 1 else _DE_UNITS[unit]) + "und" + _DE_TENS[tens]
+    return out + _DE_TENS[tens]
+
+
+def _de_cardinal(n: int) -> str:
+    if n < 0:
+        return "minus " + _de_cardinal(-n)
+    if n == 0:
+        return "null"
+    parts = []
+    for scale, one, many in ((10**9, "eine Milliarde", "Milliarden"), (10**6, "eine Million", "Millionen")):
+        if n >= scale:
+            major, n = divmod(n, scale)
+            parts.append(one if major == 1 else _de_below_thousand(major) + " " + many)
+    tail = ""
+    if n >= 1000:
+        thousands, n = divmod(n, 1000)
+        tail += ("ein" if thousands == 1 else _de_below_thousand(thousands)) + "tausend"
+    tail += _de_below_thousand(n)
+    if tail:
+        parts.append(tail)
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_UNITS = [
+    "zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept", "huit",
+    "neuf", "dix", "onze", "douze", "treize", "quatorze", "quinze", "seize",
+    "dix-sept", "dix-huit", "dix-neuf",
+]
+_FR_TENS = ["", "", "vingt", "trente", "quarante", "cinquante", "soixante"]
+
+
+def _fr_below_hundred(n: int, final: bool) -> str:
+    if n < 20:
+        return _FR_UNITS[n]
+    if n < 70:
+        tens, unit = divmod(n, 10)
+        if unit == 1:
+            return _FR_TENS[tens] + " et un"
+        return _FR_TENS[tens] + ("-" + _FR_UNITS[unit] if unit else "")
+    if n < 80:  # soixante-dix .. soixante-dix-neuf, with "et onze"
+        if n == 71:
+            return "soixante et onze"
+        return "soixante-" + _FR_UNITS[n - 60]
+    if n == 80:
+        return "quatre-vingts" if final else "quatre-vingt"
+    return "quatre-vingt-" + _FR_UNITS[n - 80]
+
+
+def _fr_below_thousand(n: int, final: bool) -> str:
+    if n < 100:
+        return _fr_below_hundred(n, final)
+    h, rest = divmod(n, 100)
+    head = "cent" if h == 1 else _FR_UNITS[h] + " cent"
+    if rest == 0:
+        return head + ("s" if h > 1 and final else "")
+    return head + " " + _fr_below_hundred(rest, final)
+
+
+def _fr_cardinal(n: int) -> str:
+    if n < 0:
+        return "moins " + _fr_cardinal(-n)
+    if n == 0:
+        return "zéro"
+    parts = []
+    for scale, one, many in ((10**9, "un milliard", "milliards"), (10**6, "un million", "millions")):
+        if n >= scale:
+            major, n = divmod(n, scale)
+            parts.append(one if major == 1 else _fr_below_thousand(major, False) + " " + many)
+    if n >= 1000:
+        thousands, n = divmod(n, 1000)
+        # "mille" is invariant, and 1000 is "mille", never "un mille"
+        parts.append("mille" if thousands == 1 else _fr_below_thousand(thousands, False) + " mille")
+    if n:
+        parts.append(_fr_below_thousand(n, True))
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+# ---------------------------------------------------------------------------
+
+_ES_UNITS = [
+    "cero", "uno", "dos", "tres", "cuatro", "cinco", "seis", "siete", "ocho",
+    "nueve", "diez", "once", "doce", "trece", "catorce", "quince",
+    "dieciséis", "diecisiete", "dieciocho", "diecinueve",
+]
+_ES_TWENTIES = [
+    "veinte", "veintiuno", "veintidós", "veintitrés", "veinticuatro",
+    "veinticinco", "veintiséis", "veintisiete", "veintiocho", "veintinueve",
+]
+_ES_TENS = ["", "", "", "treinta", "cuarenta", "cincuenta", "sesenta", "setenta", "ochenta", "noventa"]
+_ES_HUNDREDS = [
+    "", "ciento", "doscientos", "trescientos", "cuatrocientos", "quinientos",
+    "seiscientos", "setecientos", "ochocientos", "novecientos",
+]
+
+
+def _es_below_thousand(n: int, apocope: bool = False) -> str:
+    # apocope: "un" instead of "uno" before mil/millón
+    if n == 100:
+        return "cien"
+    out = ""
+    if n >= 100:
+        h, n = divmod(n, 100)
+        out = _ES_HUNDREDS[h]
+        if n == 0:
+            return out
+        out += " "
+    if n < 20:
+        word = _ES_UNITS[n]
+        if apocope and n == 1:
+            word = "un"
+        return out + word
+    if n < 30:
+        word = _ES_TWENTIES[n - 20]
+        if apocope and n == 21:
+            word = "veintiún"
+        return out + word
+    tens, unit = divmod(n, 10)
+    word = _ES_TENS[tens]
+    if unit:
+        u = "un" if (apocope and unit == 1) else _ES_UNITS[unit]
+        word += " y " + u
+    return out + word
+
+
+def _es_cardinal(n: int) -> str:
+    if n < 0:
+        return "menos " + _es_cardinal(-n)
+    if n == 0:
+        return "cero"
+    parts = []
+    if n >= 10**9:
+        major, n = divmod(n, 10**9)
+        parts.append("mil millones" if major == 1 else _es_below_thousand(major, apocope=True) + " mil millones")
+    if n >= 10**6:
+        major, n = divmod(n, 10**6)
+        parts.append("un millón" if major == 1 else _es_below_thousand(major, apocope=True) + " millones")
+    if n >= 1000:
+        thousands, n = divmod(n, 1000)
+        parts.append("mil" if thousands == 1 else _es_below_thousand(thousands, apocope=True) + " mil")
+    if n:
+        parts.append(_es_below_thousand(n))
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_UNITS = [
+    "zero", "uno", "due", "tre", "quattro", "cinque", "sei", "sette", "otto",
+    "nove", "dieci", "undici", "dodici", "tredici", "quattordici", "quindici",
+    "sedici", "diciassette", "diciotto", "diciannove",
+]
+_IT_TENS = ["", "", "venti", "trenta", "quaranta", "cinquanta", "sessanta", "settanta", "ottanta", "novanta"]
+
+
+def _it_below_hundred(n: int) -> str:
+    if n < 20:
+        return _IT_UNITS[n]
+    tens, unit = divmod(n, 10)
+    stem = _IT_TENS[tens]
+    if unit == 0:
+        return stem
+    if unit in (1, 8):  # vowel elision: ventuno, ventotto
+        stem = stem[:-1]
+    word = stem + _IT_UNITS[unit]
+    if unit == 3:  # tre takes an accent in compounds: ventitré
+        word = word[:-3] + "tré"
+    return word
+
+
+def _it_below_thousand(n: int) -> str:
+    if n < 100:
+        return _it_below_hundred(n)
+    h, rest = divmod(n, 100)
+    out = ("" if h == 1 else _IT_UNITS[h]) + "cento"
+    if rest:
+        # elision before 80s: centottanta
+        if 80 <= rest < 90:
+            out = out[:-1]
+        out += _it_below_hundred(rest)
+    return out
+
+
+def _it_cardinal(n: int) -> str:
+    if n < 0:
+        return "meno " + _it_cardinal(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    for scale, one, many in ((10**9, "un miliardo", "miliardi"), (10**6, "un milione", "milioni")):
+        if n >= scale:
+            major, n = divmod(n, scale)
+            parts.append(one if major == 1 else _it_below_thousand(major) + " " + many)
+    tail = ""
+    if n >= 1000:
+        thousands, n = divmod(n, 1000)
+        tail = "mille" if thousands == 1 else _it_below_thousand(thousands) + "mila"
+    if n:
+        tail += _it_below_thousand(n)
+    if tail:
+        parts.append(tail)
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Catalan
+# ---------------------------------------------------------------------------
+
+_CA_UNITS = [
+    "zero", "un", "dos", "tres", "quatre", "cinc", "sis", "set", "vuit",
+    "nou", "deu", "onze", "dotze", "tretze", "catorze", "quinze", "setze",
+    "disset", "divuit", "dinou",
+]
+_CA_TENS = ["", "", "vint", "trenta", "quaranta", "cinquanta", "seixanta", "setanta", "vuitanta", "noranta"]
+_CA_HUNDREDS = ["", "cent", "dos-cents", "tres-cents", "quatre-cents", "cinc-cents", "sis-cents", "set-cents", "vuit-cents", "nou-cents"]
+
+
+def _ca_below_hundred(n: int) -> str:
+    if n < 20:
+        return _CA_UNITS[n]
+    tens, unit = divmod(n, 10)
+    if unit == 0:
+        return _CA_TENS[tens]
+    # 21-29 join with -i-; 31+ with plain hyphen
+    sep = "-i-" if tens == 2 else "-"
+    return _CA_TENS[tens] + sep + _CA_UNITS[unit]
+
+
+def _ca_below_thousand(n: int) -> str:
+    if n < 100:
+        return _ca_below_hundred(n)
+    h, rest = divmod(n, 100)
+    return _CA_HUNDREDS[h] + (" " + _ca_below_hundred(rest) if rest else "")
+
+
+def _ca_cardinal(n: int) -> str:
+    if n < 0:
+        return "menys " + _ca_cardinal(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    for scale, one, many in ((10**9, "mil milions", None), (10**6, "un milió", "milions")):
+        if n >= scale:
+            major, n = divmod(n, scale)
+            if scale == 10**9:
+                parts.append("mil milions" if major == 1 else _ca_below_thousand(major) + " mil milions")
+            else:
+                parts.append(one if major == 1 else _ca_below_thousand(major) + " " + many)
+    if n >= 1000:
+        thousands, n = divmod(n, 1000)
+        parts.append("mil" if thousands == 1 else _ca_below_thousand(thousands) + " mil")
+    if n:
+        parts.append(_ca_below_thousand(n))
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Polish / Russian (three-form Slavic plural declension)
+# ---------------------------------------------------------------------------
+
+
+def _slavic_form(n: int, one: str, few: str, many: str) -> str:
+    if n % 10 == 1 and n % 100 != 11:
+        return one
+    if n % 10 in (2, 3, 4) and n % 100 not in (12, 13, 14):
+        return few
+    return many
+
+
+_PL_UNITS = [
+    "zero", "jeden", "dwa", "trzy", "cztery", "pięć", "sześć", "siedem",
+    "osiem", "dziewięć", "dziesięć", "jedenaście", "dwanaście", "trzynaście",
+    "czternaście", "piętnaście", "szesnaście", "siedemnaście", "osiemnaście",
+    "dziewiętnaście",
+]
+_PL_TENS = ["", "", "dwadzieścia", "trzydzieści", "czterdzieści", "pięćdziesiąt", "sześćdziesiąt", "siedemdziesiąt", "osiemdziesiąt", "dziewięćdziesiąt"]
+_PL_HUNDREDS = ["", "sto", "dwieście", "trzysta", "czterysta", "pięćset", "sześćset", "siedemset", "osiemset", "dziewięćset"]
+
+
+def _pl_below_thousand(n: int) -> str:
+    parts = []
+    if n >= 100:
+        h, n = divmod(n, 100)
+        parts.append(_PL_HUNDREDS[h])
+    if n >= 20:
+        tens, n = divmod(n, 10)
+        parts.append(_PL_TENS[tens])
+    if n:
+        parts.append(_PL_UNITS[n])
+    return " ".join(parts)
+
+
+def _pl_cardinal(n: int) -> str:
+    if n < 0:
+        return "minus " + _pl_cardinal(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    for scale, (one, few, many) in (
+        (10**9, ("miliard", "miliardy", "miliardów")),
+        (10**6, ("milion", "miliony", "milionów")),
+        (10**3, ("tysiąc", "tysiące", "tysięcy")),
+    ):
+        if n >= scale:
+            major, n = divmod(n, scale)
+            word = _slavic_form(major, one, few, many)
+            head = "" if (major == 1 and scale == 10**3) else _pl_below_thousand(major) + " "
+            parts.append(head + word)
+    if n:
+        parts.append(_pl_below_thousand(n))
+    return " ".join(parts)
+
+
+_RU_UNITS = [
+    "ноль", "один", "два", "три", "четыре", "пять", "шесть", "семь",
+    "восемь", "девять", "десять", "одиннадцать", "двенадцать", "тринадцать",
+    "четырнадцать", "пятнадцать", "шестнадцать", "семнадцать",
+    "восемнадцать", "девятнадцать",
+]
+_RU_TENS = ["", "", "двадцать", "тридцать", "сорок", "пятьдесят", "шестьдесят", "семьдесят", "восемьдесят", "девяносто"]
+_RU_HUNDREDS = ["", "сто", "двести", "триста", "четыреста", "пятьсот", "шестьсот", "семьсот", "восемьсот", "девятьсот"]
+
+
+def _ru_below_thousand(n: int, feminine: bool = False) -> str:
+    parts = []
+    if n >= 100:
+        h, n = divmod(n, 100)
+        parts.append(_RU_HUNDREDS[h])
+    if n >= 20:
+        tens, n = divmod(n, 10)
+        parts.append(_RU_TENS[tens])
+    if n:
+        word = _RU_UNITS[n]
+        if feminine and n == 1:
+            word = "одна"
+        elif feminine and n == 2:
+            word = "две"
+        parts.append(word)
+    return " ".join(parts)
+
+
+def _ru_cardinal(n: int) -> str:
+    if n < 0:
+        return "минус " + _ru_cardinal(-n)
+    if n == 0:
+        return "ноль"
+    parts = []
+    for scale, (one, few, many), feminine in (
+        (10**9, ("миллиард", "миллиарда", "миллиардов"), False),
+        (10**6, ("миллион", "миллиона", "миллионов"), False),
+        (10**3, ("тысяча", "тысячи", "тысяч"), True),
+    ):
+        if n >= scale:
+            major, n = divmod(n, scale)
+            parts.append(_ru_below_thousand(major, feminine=feminine) + " " + _slavic_form(major, one, few, many))
+    if n:
+        parts.append(_ru_below_thousand(n))
+    return " ".join(parts)
+
+
+_CARDINALS = {
+    "en": _en_cardinal,
+    "pt": _pt_cardinal,
+    "de": _de_cardinal,
+    "fr": _fr_cardinal,
+    "es": _es_cardinal,
+    "it": _it_cardinal,
+    "ca": _ca_cardinal,
+    "pl": _pl_cardinal,
+    "ru": _ru_cardinal,
+}
+_ORDINALS = {"en": _en_ordinal, "pt": _pt_ordinal}
+
+
 def num2words(number: int, lang: str = "en", to: str = "cardinal") -> str:
-    """Spell out ``number`` in ``lang`` ("en" or "pt"), cardinal or ordinal."""
+    """Spell out ``number`` in ``lang``.
+
+    Cardinals: en, pt, de, fr, es, it, ca, pl, ru (the reference's checkpoint
+    languages).  Ordinals: en, pt (the forms its docs/tests exercise).
+    """
     number = int(number)
-    if lang.startswith("en"):
-        return _en_ordinal(number) if to == "ordinal" else _en_cardinal(number)
-    if lang.startswith("pt"):
-        return _pt_ordinal(number) if to == "ordinal" else _pt_cardinal(number)
-    raise NotImplementedError(f"language not supported: {lang} (supported: en, pt)")
+    code = lang.split("_")[0].split("-")[0].lower()
+    if to == "ordinal":
+        fn = _ORDINALS.get(code)
+        if fn is None:
+            raise NotImplementedError(
+                f"ordinal spell-out not supported for language: {lang} (supported: {sorted(_ORDINALS)})"
+            )
+        return fn(number)
+    fn = _CARDINALS.get(code)
+    if fn is None:
+        raise NotImplementedError(
+            f"language not supported: {lang} (supported: {sorted(_CARDINALS)})"
+        )
+    return fn(number)
