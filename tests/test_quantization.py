@@ -65,3 +65,64 @@ def test_quantization_reduces_bytes():
     q = quantize_variables(module.variables)
     after = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(q["params"]))
     assert after < before * 0.55  # most weights are transformer matmuls
+
+
+# ---------------------------------------------------------------------------
+# runtime int8 serving (engine consumes int8 weights directly)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_quartznet_module():
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+
+    tt = BatchTextTransformer(tokens=list("abc "))
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(dither=0.0),
+        encoder=QuartznetEncoder(repeat=2, filters=(64, 64), kernel_sizes=(33, 39)),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+
+
+def test_engine_int8_wav2vec2_parity_and_footprint():
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+
+    module = _tiny_w2v2_module()
+    audio = np.random.default_rng(2).standard_normal((2, 8000)).astype(np.float32) * 0.3
+    lengths = np.array([8000, 6000], np.int32)
+
+    f32 = InferenceEngine(module, compute_dtype=jnp.float32)
+    q8 = InferenceEngine(module, compute_dtype=jnp.float32, int8_weights=True)
+    lo, pa, _ = f32._infer(*f32._place(audio, lengths))
+    lq, pb, _ = q8._infer(*q8._place(audio, lengths))
+    # int8 weight rounding only: logits close; argmax agrees except at
+    # near-ties (random-weight fixture logits sit close together)
+    assert np.abs(np.asarray(lo) - np.asarray(lq)).max() < 0.15
+    assert (np.asarray(pa) == np.asarray(pb)).mean() > 0.95
+    # serving footprint: on this tiny fixture the pos-conv/feature convs are
+    # proportionally large; production-size models approach 4x (bench on chip)
+    assert q8.weight_bytes() < f32.weight_bytes() * 0.6
+
+
+def test_engine_int8_conv_model_parity_and_footprint():
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+
+    module = _tiny_quartznet_module()
+    audio = np.random.default_rng(3).standard_normal((2, 8000)).astype(np.float32) * 0.3
+    lengths = np.array([8000, 5000], np.int32)
+
+    f32 = InferenceEngine(module, compute_dtype=jnp.float32)
+    q8 = InferenceEngine(module, compute_dtype=jnp.float32, int8_weights=True)
+    lo, pa, _ = f32._infer(*f32._place(audio, lengths))
+    lq, pb, _ = q8._infer(*q8._place(audio, lengths))
+    assert np.abs(np.asarray(lo) - np.asarray(lq)).max() < 0.2
+    assert (np.asarray(pa) == np.asarray(pb)).mean() > 0.95
+    # pointwise convs carry most of the separable blocks' weights
+    assert q8.weight_bytes() < f32.weight_bytes() * 0.6

@@ -45,6 +45,27 @@ def _fold_bn(bn_params, bn_stats):
     return scale.astype(np.float32), bias.astype(np.float32)
 
 
+def _q8(w):
+    """Per-output-channel symmetric int8: (int8 values, f32 scale)."""
+    w = np.asarray(w, np.float32)
+    absmax = np.abs(w).max(axis=tuple(range(w.ndim - 1)), keepdims=True)
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def _q8_kernel(w):
+    q, scale = _q8(w)
+    return {"kernel_q8": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
+
+
+def _deq_kernel(d, dtype):
+    if "kernel_q8" in d:
+        # the convert+scale fuses into the consuming matmul's operand load
+        return d["kernel_q8"].astype(dtype) * d["kernel_scale"].astype(dtype)
+    return d["kernel"]
+
+
 @dataclass
 class _RepeatPlan:
     kind: str  # "separable" | "dense"
@@ -58,6 +79,9 @@ class _RepeatPlan:
     scale: Any = None
     bias: Any = None
     fuse: bool = False
+    #: per-output-channel dequant scale when the matmul weight (``pw`` or a
+    #: 1x1 ``kernel``) is stored int8 (serving int8 mode); None = compute dtype
+    q_scale: Any = None
 
 
 @dataclass
@@ -72,7 +96,7 @@ class _BlockPlan:
 # breaks large models (and bloats every compile)
 jax.tree_util.register_dataclass(
     _RepeatPlan,
-    data_fields=["dw", "pw", "kernel", "scale", "bias"],
+    data_fields=["dw", "pw", "kernel", "scale", "bias", "q_scale"],
     meta_fields=["kind", "kernel_size", "stride", "dilation", "relu", "fuse"],
 )
 jax.tree_util.register_dataclass(_BlockPlan, data_fields=["repeats", "res", "se"], meta_fields=[])
@@ -88,13 +112,21 @@ class InferenceEngine:
         use_pallas: Optional[bool] = None,
         pad_multiple: int = 16000,
         mesh=None,
+        int8_weights: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — batches shard over its
         ``data`` axis for multi-chip serving (SPMD; batch must divide the
-        data-axis size, ``predict`` pads as needed)."""
+        data-axis size, ``predict`` pads as needed).
+
+        ``int8_weights``: serve from int8 matmul weights (reference parity:
+        torch dynamic quantization, `huggingface/compatibility.py:128-132`).
+        Dense / pointwise-conv kernels stay int8 + per-channel scale in
+        device HBM (4x less weight memory than f32, 2x less than bf16);
+        the dequant fuses into each matmul's operand load inside the jit."""
         from thunder_tpu.models.wav2vec2 import Wav2Vec2Encoder
 
         self.mesh = mesh
+        self.int8_weights = bool(int8_weights)
 
         encoder = module.model.encoder
         on_tpu = jax.default_backend() == "tpu"
@@ -116,26 +148,41 @@ class InferenceEngine:
             dec_params = module.variables["params"].get("decoder")
             if dec_params is not None:
                 dec_params = {
-                    "kernel": jnp.asarray(dec_params["dense"]["kernel"], self.dtype),
+                    "kernel": np.asarray(dec_params["dense"]["kernel"]),
                     "bias": jnp.asarray(dec_params["dense"]["bias"], jnp.float32),
                 }
             enc_params = module.variables["params"]["encoder"]
+            int8 = self.int8_weights
+            if int8:
+                from thunder_tpu.quantization import quantize_tree
+
+                enc_params = jax.tree_util.tree_map(jnp.asarray, quantize_tree(enc_params))
+                if dec_params is not None:
+                    dec_params = {**dec_params, **_q8_kernel(dec_params.pop("kernel"))}
+            elif dec_params is not None:
+                dec_params["kernel"] = jnp.asarray(dec_params["kernel"], self.dtype)
 
             @jax.jit
             def forward(enc_params, dec_params, audio, lengths):
+                if int8:
+                    from thunder_tpu.quantization import dequantize_tree_jax
+
+                    enc_params = dequantize_tree_jax(enc_params, self.dtype)
                 feats, flens = self.frontend.apply({}, audio, lengths, train=False)
                 h, out_lengths = fast_encoder.apply({"params": enc_params}, feats, flens, train=False)
                 if dec_params is None:
                     logits = h.astype(jnp.float32)
                 else:
+                    kernel = _deq_kernel(dec_params, self.dtype)
                     logits = (
-                        jnp.matmul(h, dec_params["kernel"], preferred_element_type=jnp.float32)
+                        jnp.matmul(h, kernel, preferred_element_type=jnp.float32)
                         + dec_params["bias"]
                     )
                 preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return logits, preds, out_lengths
 
             self._infer = lambda audio, lengths: forward(enc_params, dec_params, audio, lengths)
+            self._weights = (enc_params, dec_params)
             return
 
         if not isinstance(encoder, (QuartznetEncoder, CitrinetEncoder)):
@@ -151,12 +198,16 @@ class InferenceEngine:
         self._feat_pad = 0  # set by _build_plan when the stem channels are padded
         self._plan = self._build_plan(encoder, module.variables)
         dec = module.variables["params"]["decoder"]["conv"]
-        self._dec_kernel = jnp.asarray(np.asarray(dec["kernel"])[0], dtype=self.dtype)  # (C, V)
+        dec_k = np.asarray(dec["kernel"])[0]  # (C, V)
+        self._dec_kernel = (
+            _q8_kernel(dec_k) if self.int8_weights else {"kernel": jnp.asarray(dec_k, self.dtype)}
+        )
         self._dec_bias = jnp.asarray(dec["bias"], dtype=jnp.float32)
         jitted = jax.jit(self._forward_with)
         self._infer = lambda audio, lengths: jitted(
             self._plan, self._dec_kernel, self._dec_bias, audio, lengths
         )
+        self._weights = (self._plan, self._dec_kernel, self._dec_bias)
 
     # ------------------------------------------------------------------
     # planning
@@ -223,6 +274,13 @@ class InferenceEngine:
                     )
                     # fold BN scale into the pointwise weights
                     pw_folded = pw * scale[None, :]
+                    q_scale = None
+                    if self.int8_weights:
+                        pw_folded, q_scale = _q8(pw_folded)
+                        q_scale = jnp.asarray(q_scale)
+                        pw_arr = jnp.asarray(pw_folded)
+                    else:
+                        pw_arr = jnp.asarray(pw_folded, self.dtype)
                     repeats.append(
                         _RepeatPlan(
                             kind="separable",
@@ -231,14 +289,23 @@ class InferenceEngine:
                             dilation=cfg["dilation"],
                             relu=not last,
                             dw=jnp.asarray(dw, self.dtype),
-                            pw=jnp.asarray(pw_folded, self.dtype),
+                            pw=pw_arr,
                             scale=jnp.ones((pw.shape[1],), jnp.float32),
                             bias=jnp.asarray(bias, jnp.float32),
                             fuse=fuse,
+                            q_scale=q_scale,
                         )
                     )
                 else:
                     kernel = np.asarray(rp["conv"]["conv"]["kernel"])  # (k, C_in, C_out)
+                    folded = kernel * scale[None, None, :]
+                    q_scale = None
+                    if self.int8_weights and folded.shape[0] == 1:
+                        folded, q_scale = _q8(folded)
+                        q_scale = jnp.asarray(q_scale)
+                        kernel_arr = jnp.asarray(folded)
+                    else:
+                        kernel_arr = jnp.asarray(folded, self.dtype)
                     repeats.append(
                         _RepeatPlan(
                             kind="dense",
@@ -246,22 +313,32 @@ class InferenceEngine:
                             stride=stride_r,
                             dilation=cfg["dilation"],
                             relu=not last,
-                            kernel=jnp.asarray(kernel * scale[None, None, :], self.dtype),
+                            kernel=kernel_arr,
                             bias=jnp.asarray(bias, jnp.float32),
+                            q_scale=q_scale,
                         )
                     )
             res = None
             if cfg.get("residual"):
                 scale, bias = _fold_bn(bp["res"]["bn"], bs["res"]["bn"])
                 kernel = np.asarray(bp["res"]["conv"]["conv"]["kernel"])
+                folded = kernel * scale[None, None, :]
+                q_scale = None
+                if self.int8_weights:
+                    folded, q_scale = _q8(folded)
+                    q_scale = jnp.asarray(q_scale)
+                    kernel_arr = jnp.asarray(folded)
+                else:
+                    kernel_arr = jnp.asarray(folded, self.dtype)
                 res = _RepeatPlan(
                     kind="dense",
                     kernel_size=1,
                     stride=cfg.get("res_stride", 1),
                     dilation=1,
                     relu=False,
-                    kernel=jnp.asarray(kernel * scale[None, None, :], self.dtype),
+                    kernel=kernel_arr,
                     bias=jnp.asarray(bias, jnp.float32),
+                    q_scale=q_scale,
                 )
             se = None
             if cfg.get("se"):
@@ -287,18 +364,23 @@ class InferenceEngine:
         batch vs an f32 epilogue + boolean-select mask (identical argmax
         predictions; logits differ at bf16 rounding level)."""
         if rp.kind == "separable" and rp.fuse:
+            pw = rp.pw if rp.q_scale is None else rp.pw.astype(self.dtype) * rp.q_scale.astype(self.dtype)
             y = fused_separable_conv(
-                x.astype(self.dtype), rp.dw, rp.pw, rp.scale, rp.bias, kernel_size=rp.kernel_size, relu=rp.relu
+                x.astype(self.dtype), rp.dw, pw, rp.scale, rp.bias, kernel_size=rp.kernel_size, relu=rp.relu
             )
             return apply_mask(y, lengths), lengths
         pad = get_same_padding(rp.kernel_size, rp.stride, rp.dilation)
         if rp.kind == "separable":
             c = x.shape[-1]
             y = conv1d(x.astype(self.dtype), rp.dw[:, None, :], stride=rp.stride, padding=pad, dilation=rp.dilation, groups=c)
-            y = jnp.matmul(y, rp.pw, preferred_element_type=jnp.float32)
+            # int8 serving: weights live in HBM as int8; the per-channel
+            # dequant fuses into this matmul's operand load
+            pw = rp.pw if rp.q_scale is None else rp.pw.astype(self.dtype) * rp.q_scale.astype(self.dtype)
+            y = jnp.matmul(y, pw, preferred_element_type=jnp.float32)
             y = y.astype(self.dtype) * rp.scale.astype(self.dtype) + rp.bias.astype(self.dtype)
         else:
-            y = conv1d(x.astype(self.dtype), rp.kernel, stride=rp.stride, padding=pad, dilation=rp.dilation)
+            kernel = rp.kernel if rp.q_scale is None else rp.kernel.astype(self.dtype) * rp.q_scale.astype(self.dtype)
+            y = conv1d(x.astype(self.dtype), kernel, stride=rp.stride, padding=pad, dilation=rp.dilation)
             y = y + rp.bias.astype(self.dtype)
         new_lengths = conv_output_length(lengths, rp.kernel_size, rp.stride, pad, rp.dilation)
         if rp.relu:
@@ -339,13 +421,23 @@ class InferenceEngine:
                 res, _ = self._apply_repeat(block.res, inp, inp_lengths, mask_cache)
                 x = x + res
             x = jnp.maximum(x, 0.0)
-        logits = jnp.matmul(x, dec_kernel, preferred_element_type=jnp.float32) + dec_bias
+        logits = jnp.matmul(x, _deq_kernel(dec_kernel, self.dtype), preferred_element_type=jnp.float32) + dec_bias
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return logits, preds, out_lengths
 
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+
+    def weight_bytes(self) -> int:
+        """Total bytes of the weight arrays this engine keeps resident on
+        device — the serving HBM footprint (int8 mode roughly halves the
+        bf16 figure / quarters f32 for the matmul-dominated models)."""
+        weights = getattr(self, "_weights", None)
+        if weights is None:
+            weights = (self.module.variables,)
+        # .nbytes is shape/dtype metadata — no device->host transfer
+        return int(sum(x.nbytes for x in jax.tree_util.tree_leaves(weights)))
 
     def _place(self, audio, lengths):
         if self.mesh is None:

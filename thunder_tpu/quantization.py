@@ -19,7 +19,13 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
-__all__ = ["quantize_variables", "dequantize_variables", "quantization_summary"]
+__all__ = [
+    "quantize_variables",
+    "dequantize_variables",
+    "quantize_tree",
+    "dequantize_tree_jax",
+    "quantization_summary",
+]
 
 
 def _should_quantize(path: Tuple[str, ...], x) -> bool:
@@ -32,11 +38,18 @@ def _should_quantize(path: Tuple[str, ...], x) -> bool:
     return x.ndim == 3 and x.shape[0] == 1
 
 
-def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
-    """params -> pytree where selected kernels become {values:int8, scale:f32}."""
+def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Param subtree -> same tree with matmul kernels as int8 + f32 scales.
+
+    Per-output-channel symmetric quantization; a kernel leaf ``k`` becomes
+    ``k/__q8_values`` (int8) + ``k/__q8_scale`` (f32).  The serving engine
+    keeps this tree resident on device (4x less weight HBM than f32, 2x less
+    than bf16) and reconstructs compute-dtype weights inside the jitted step
+    (:func:`dequantize_tree_jax`).
+    """
     import flax
 
-    flat = flax.traverse_util.flatten_dict(variables["params"])
+    flat = flax.traverse_util.flatten_dict(params)
     out = {}
     for path, x in flat.items():
         x = np.asarray(x)
@@ -48,8 +61,37 @@ def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
             out[path + ("__q8_scale",)] = scale.astype(np.float32)
         else:
             out[path] = x
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def dequantize_tree_jax(params: Dict[str, Any], dtype) -> Dict[str, Any]:
+    """Reconstruct compute-dtype kernels from an int8 tree — traceable.
+
+    Called INSIDE the serving jit: the int8 values are what lives in HBM
+    between calls; the per-channel dequant (convert + scale multiply) fuses
+    into the consuming matmul's operand load, so the float weights are
+    transient.
+    """
+    import flax
+    import jax.numpy as jnp
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, x in flat.items():
+        if path and path[-1] == "__q8_values":
+            scale = flat[path[:-1] + ("__q8_scale",)]
+            out[path[:-1]] = x.astype(dtype) * jnp.asarray(scale, dtype)
+        elif path and path[-1] == "__q8_scale":
+            continue
+        else:
+            out[path] = x
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """params -> pytree where selected kernels become {values:int8, scale:f32}."""
     quantized = dict(variables)
-    quantized["params"] = flax.traverse_util.unflatten_dict(out)
+    quantized["params"] = quantize_tree(variables["params"])
     return quantized
 
 
