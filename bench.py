@@ -4,19 +4,88 @@ Measures end-to-end greedy-CTC inference throughput — mel frontend +
 encoder + decoder + argmax, all on device — as real-time factor
 (audio seconds transcribed per wall-clock second per chip).
 
+Bench input is real decoded audio when available (an on-disk mp3 decoded
+through the framework's own loader, tiled to length) with a speech-like
+harmonic fallback; compute time is shape-dependent, not value-dependent,
+so RTF stays comparable across rounds either way.  After timing, the full
+host decode path (collapse + vocabulary) runs on a slice of the same
+batch — throughput is only reported if decoding works.
+
 Baseline: the reference publishes no benchmark numbers (BASELINE.md); the
 rebuild north-star is RTF >= 500x per TPU v5e chip, so
 ``vs_baseline = RTF / 500``.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+``--grid`` additionally reports a (batch x duration) RTF grid on stderr
+(recorded in docs/benchmarks.md).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+#: real audio present in the image (decoded via the framework's mp3 hook);
+#: used when available so the bench exercises genuine waveforms
+_REAL_AUDIO = Path("/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3")
+
+
+def bench_waveform(samples: int, rng: np.random.Generator) -> np.ndarray:
+    """One bench utterance: real decoded audio tiled to length, else a
+    speech-like harmonic series with pitch/amplitude modulation + noise."""
+    if _REAL_AUDIO.exists():
+        try:
+            import os
+
+            os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+            from thunder_tpu.data.audio_io import AudioFileLoader
+
+            wav = AudioFileLoader(force_mono=True, sample_rate=16000)(str(_REAL_AUDIO))[0]
+            reps = -(-samples // wav.shape[0])
+            return np.tile(wav, reps)[:samples].astype(np.float32)
+        except Exception:
+            pass
+    t = np.arange(samples) / 16000.0
+    f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 2.3 * t)  # pitch contour
+    phase = 2 * np.pi * np.cumsum(f0) / 16000.0
+    voiced = sum(np.sin(k * phase) / k for k in range(1, 6))
+    envelope = 0.5 * (1 + np.sin(2 * np.pi * 4.0 * t))  # syllable-rate AM
+    return (0.15 * envelope * voiced + 0.01 * rng.standard_normal(samples)).astype(np.float32)
+
+
+def make_batch(batch: int, seconds: float, rng: np.random.Generator):
+    import jax.numpy as jnp
+
+    samples = int(seconds * 16000)
+    base = bench_waveform(samples, rng)
+    # per-row gain variation; same static shapes either way
+    rows = np.stack([base * (0.7 + 0.6 * rng.random()) for _ in range(batch)])
+    return jnp.asarray(rows), jnp.full((batch,), samples, dtype=jnp.int32)
+
+
+def time_rtf(engine, audio, lengths, seconds: float, iters: int, loops: int = 2) -> float:
+    def infer(audio, lengths):
+        _, preds, out_lengths = engine._infer(audio, lengths)
+        return preds, out_lengths
+
+    # warmup / compile (np.asarray forces a real device->host fetch — through
+    # the remote TPU relay, block_until_ready alone does not synchronize)
+    preds, _ = infer(audio, lengths)
+    np.asarray(preds)
+
+    # best of N timed loops: absorbs relay/dispatch jitter (~2% run-to-run)
+    elapsed = float("inf")
+    for _ in range(loops):
+        start = time.perf_counter()
+        for _ in range(iters):
+            preds, out_lengths = infer(audio, lengths)
+        np.asarray(preds)
+        elapsed = min(elapsed, time.perf_counter() - start)
+    return audio.shape[0] * seconds * iters / elapsed
 
 
 def main():
@@ -29,7 +98,6 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    import jax.numpy as jnp
 
     from thunder_tpu.audio import FilterbankFeatures
     from thunder_tpu.engine import InferenceEngine
@@ -48,35 +116,35 @@ def main():
         sample_len=16000,
     )
     engine = InferenceEngine(module)
+    rng = np.random.default_rng(0)
 
     batch = 64 if on_tpu else 2
     seconds = 15.0
-    samples = int(seconds * 16000)
-    rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32) * 0.1)
-    lengths = jnp.full((batch,), samples, dtype=jnp.int32)
-
-    def infer(audio, lengths):
-        _, preds, out_lengths = engine._infer(audio, lengths)
-        return preds, out_lengths
-
-    # warmup / compile (np.asarray forces a real device->host fetch — through
-    # the remote TPU relay, block_until_ready alone does not synchronize)
-    preds, _ = infer(audio, lengths)
-    np.asarray(preds)
-
     iters = 10 if on_tpu else 2
-    # best of two timed loops: absorbs relay/dispatch jitter (~2% run-to-run)
-    elapsed = float("inf")
-    for _ in range(2 if on_tpu else 1):
-        start = time.perf_counter()
-        for _ in range(iters):
-            preds, out_lengths = infer(audio, lengths)
-        np.asarray(preds)
-        elapsed = min(elapsed, time.perf_counter() - start)
+    audio, lengths = make_batch(batch, seconds, rng)
+    rtf = time_rtf(engine, audio, lengths, seconds, iters)
 
-    audio_seconds = batch * seconds * iters
-    rtf = audio_seconds / elapsed
+    # decode sanity: the reported throughput must correspond to a working
+    # end-to-end decode path (device argmax -> host collapse -> vocabulary)
+    texts = engine.predict(np.asarray(audio[:2]), np.asarray(lengths[:2]))
+    assert isinstance(texts, list) and len(texts) == 2
+    vocab_chars = set("abcdefghijklmnopqrstuvwxyz '")
+    assert all(isinstance(t, str) and set(t) <= vocab_chars for t in texts), texts
+
+    if "--grid" in sys.argv[1:]:
+        grid = []
+        for b in (16, 64):
+            for s in (5.0, 15.0, 30.0):
+                a, l = make_batch(b if on_tpu else 2, s, rng)
+                grid.append(
+                    {
+                        "batch": b,
+                        "seconds": s,
+                        "rtf": round(time_rtf(engine, a, l, s, iters=4 if on_tpu else 1, loops=1), 1),
+                    }
+                )
+                print(json.dumps(grid[-1]), file=sys.stderr, flush=True)
+
     print(
         json.dumps(
             {

@@ -184,6 +184,8 @@ def _load_via_pygame(path: str):
     import os
 
     os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    # keep stdout clean (bench.py's contract is ONE json line on stdout)
+    os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
     import pygame
 
     if str(path).lower().endswith((".ogg", ".oga", ".opus")):
