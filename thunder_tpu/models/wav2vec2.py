@@ -231,10 +231,16 @@ class _Attention(nn.Module):
         if _use_flash_attention(self.dtype, train, x.shape[1]):
             out = _flash_mha(split(q), split(k), split(v), key_mask)
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k), preferred_element_type=jnp.float32)
-            neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
+            # bf16 inference: store the materialized (B, H, T, T) scores in
+            # bf16 — the MXU still accumulates f32; this halves the dominant
+            # HBM traffic of the unfused path (the score tensor is ~430 MB
+            # f32 at B=16, T=749).  Softmax max-subtraction keeps bf16's
+            # 8 exponent bits safe; training/f32 paths keep f32 scores.
+            score_t = self.dtype if (self.dtype == jnp.bfloat16 and not train) else jnp.float32
+            scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k), preferred_element_type=score_t)
+            neg = jnp.asarray(jnp.finfo(score_t).min, scores.dtype)
             scores = jnp.where(key_mask[:, None, None, :], scores, neg)
-            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
             probs = nn.Dropout(rate=cfg.attention_dropout, deterministic=not train)(probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v))
         out = out.reshape(x.shape[0], x.shape[1], h)
