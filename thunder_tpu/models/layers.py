@@ -84,26 +84,55 @@ class TorchBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((features,), jnp.float32))
 
+        fast = self.dtype == jnp.bfloat16
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
-            if mask is None:
-                mean = jnp.mean(xf, axis=reduce_axes)
-                var = jnp.var(xf, axis=reduce_axes)
-                n = x.size / features
+            if fast:
+                # bf16 training fast path: ONE pass over the activation —
+                # E[x] and E[x^2] accumulate in f32 from bf16 reads (fused
+                # into a single reduction), var = E[x^2] - mean^2.  The
+                # two-pass f32 formulation below costs ~3 full f32
+                # activation passes per BN; measured on v5e this path cuts
+                # the train-mode BN overhead roughly in half.  bf16
+                # squaring noise (~2^-8 relative, averaging out over B*T)
+                # sits far below BN's batch-estimate variance.
+                if mask is None:
+                    n = jnp.asarray(x.size / features, jnp.float32)
+                    s1 = jnp.sum(x, axis=reduce_axes, dtype=jnp.float32)
+                    s2 = jnp.sum(jnp.square(x), axis=reduce_axes, dtype=jnp.float32)
+                else:
+                    mb = mask[..., None]
+                    n = jnp.maximum(jnp.sum(mask, dtype=jnp.float32), 1.0)
+                    xm = jnp.where(mb, x, jnp.zeros((), x.dtype))
+                    s1 = jnp.sum(xm, axis=reduce_axes, dtype=jnp.float32)
+                    s2 = jnp.sum(jnp.square(xm), axis=reduce_axes, dtype=jnp.float32)
+                mean = s1 / n
+                var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
             else:
-                m = mask.astype(jnp.float32)[..., None]  # (B, T, 1)
-                n = jnp.maximum(m.sum(), 1.0)
-                mean = (xf * m).sum(axis=reduce_axes) / n
-                var = (jnp.square(xf - mean) * m).sum(axis=reduce_axes) / n
+                xf = x.astype(jnp.float32)
+                if mask is None:
+                    mean = jnp.mean(xf, axis=reduce_axes)
+                    var = jnp.var(xf, axis=reduce_axes)
+                    n = x.size / features
+                else:
+                    m = mask.astype(jnp.float32)[..., None]  # (B, T, 1)
+                    n = jnp.maximum(m.sum(), 1.0)
+                    mean = (xf * m).sum(axis=reduce_axes) / n
+                    var = (jnp.square(xf - mean) * m).sum(axis=reduce_axes) / n
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1, 1))
                 mo = self.momentum
                 ra_mean.value = (1 - mo) * ra_mean.value + mo * mean
                 ra_var.value = (1 - mo) * ra_var.value + mo * unbiased
 
+        if fast:
+            # fold normalize+affine into one bf16 multiply-add (the engine's
+            # folded-BN epilogue, applied to training): y = x*a + b
+            a = scale * jax.lax.rsqrt(var + self.epsilon)
+            b = bias - mean * a
+            return x * a.astype(self.dtype) + b.astype(self.dtype)
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
 
