@@ -198,3 +198,14 @@ def test_validate_with_beam_width(tiny_module, manifest):
     for m in (mg, mb):
         assert 0.0 <= m["metrics/cer"]
         assert np.isfinite(m["loss/val_loss"])
+
+
+def test_trainer_rbg_prng(tiny_module, manifest):
+    """The TPU-default rbg PRNG path must train end-to-end (auto-selected on
+    TPU; forced here so CPU CI covers it)."""
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=0)
+    trainer = Trainer(max_epochs=1, fast_dev_run=True, prng_impl="rbg",
+                      optimizer_kwargs={"learning_rate": 1e-4})
+    trainer.fit(tiny_module, datamodule=dm)
+    losses = [l["loss/train_loss"] for l in trainer.logs if "loss/train_loss" in l]
+    assert losses and np.isfinite(losses[0])
