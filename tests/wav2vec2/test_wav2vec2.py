@@ -231,3 +231,45 @@ def test_flash_mha_matches_reference_attention():
         np.testing.assert_allclose(
             np.asarray(out)[b, :L], np.asarray(want)[b, :L], atol=1e-5
         )
+
+
+def test_encoder_frame_padding_is_transparent(monkeypatch):
+    """The one-time 128-multiple frame pad applied on the flash path must not
+    change any valid-frame output: padded frames carry key_mask=False, so
+    masked attention / per-frame LN / FFN ignore them and the pad is sliced
+    off after the layer stack."""
+    import thunder_tpu.models.wav2vec2 as w2v
+
+    cfg = w2v.Wav2Vec2Config(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16),
+        conv_kernel=(10, 3),
+        conv_stride=(5, 2),
+    )
+    enc = w2v.Wav2Vec2Encoder(config=cfg, mask_input=True, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((2, 4000)) * 0.2, jnp.float32)
+    lengths = jnp.asarray(np.array([4000, 2500], np.int32))
+    params = enc.init({"params": jax.random.PRNGKey(0)}, audio, lengths)["params"]
+
+    base, base_lens = enc.apply({"params": params}, audio, lengths, train=False)
+    assert base.shape[1] % 128 != 0  # the pad branch below is actually exercised
+
+    def fake_flash(q, k, v, key_mask):
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        scores = jnp.where(key_mask[:, None, None, :], scores, jnp.finfo(jnp.float32).min)
+        return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(scores, axis=-1), v)
+
+    monkeypatch.setattr(w2v, "_use_flash_attention", lambda *a, **k: True)
+    monkeypatch.setattr(w2v, "_flash_mha", fake_flash)
+    padded, padded_lens = enc.apply({"params": params}, audio, lengths, train=False)
+
+    assert padded.shape == base.shape
+    np.testing.assert_array_equal(np.asarray(base_lens), np.asarray(padded_lens))
+    for b, L in enumerate(np.asarray(base_lens)):
+        np.testing.assert_allclose(
+            np.asarray(padded)[b, :L], np.asarray(base)[b, :L], atol=1e-5
+        )

@@ -270,9 +270,13 @@ def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array) ->
         return a.transpose(0, 2, 1, 3)
 
     seg = jnp.pad(~key_mask, ((0, 0), (0, pad)), constant_values=True).astype(jnp.int32)
-    # measured on v5e: default 128-blocks run 3.3x slower than q=256 with a
-    # full-length k panel at these shapes.  blocks must divide the (128-padded)
-    # sequence length, so take the largest 128-multiple divisors under the cap.
+    # measured on v5e (B=8, T=1499/pad 1536, dh=64, full bq x bk grid):
+    # default 128-blocks run at 8 TFLOPS; bq=512 with a full-length k panel
+    # is the optimum at 60 TFLOPS (0.91 ms/layer) — large k panels amortize
+    # the running-max/renormalize pass, and bq beyond 512 ties.  Padding to
+    # 2048 instead of the next 128-multiple is strictly worse (wasted rows).
+    # blocks must divide the (128-padded) sequence length, so take the
+    # largest 128-multiple divisors under the cap.
     def _block(cap):
         best = 128
         for d in range(128, cap + 1, 128):
@@ -280,8 +284,8 @@ def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array) ->
                 best = d
         return best
 
-    bq = _block(min(256, t_pad))
-    bk = _block(min(1024, t_pad))
+    bq = _block(min(512, t_pad))
+    bk = _block(min(4096, t_pad))
     blocks = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
@@ -380,8 +384,23 @@ class Wav2Vec2Encoder(nn.Module):
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
         # HF applies encoder-level dropout here, after pos-conv (+ LN)
         h = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(h)
+
+        # On the flash path, pad frames to a 128-multiple ONCE here instead of
+        # per attention call: _flash_mha otherwise pads q/k/v and slices the
+        # output every layer (8 HBM copies/layer at 30 s audio).  Padded
+        # frames carry key_mask=False so every valid-frame output is
+        # unchanged (masked attention, per-frame LN/FFN); the pad is sliced
+        # off after the layer stack.
+        t_real = h.shape[1]
+        pad_frames = 0
+        if _use_flash_attention(self.dtype, train, t_real) and t_real % 128:
+            pad_frames = -(-t_real // 128) * 128 - t_real
+            h = jnp.pad(h, ((0, 0), (0, pad_frames), (0, 0)))
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, pad_frames)))
         for i in range(cfg.num_hidden_layers):
             h = _EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(h, key_mask, train=train)
+        if pad_frames:
+            h = h[:, :t_real]
         if cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
         return h, out_lengths
