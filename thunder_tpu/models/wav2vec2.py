@@ -156,10 +156,15 @@ class _MaskedInstanceNorm(nn.Module):
         m = mask.astype(jnp.float32)[:, :, None]
         n = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
         xf = x.astype(jnp.float32)
-        mean = (xf * m).sum(axis=1, keepdims=True) / n
-        var = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True) / n
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias).astype(self.dtype)
+        # one-pass E[x]/E[x^2] statistics (one HBM read instead of the
+        # two-pass mean-then-var read pair; same trick as TorchBatchNorm's
+        # training stats) followed by a folded scale/shift normalize
+        xm = xf * m
+        mean = xm.sum(axis=1, keepdims=True) / n
+        var = jnp.maximum((xm * xf).sum(axis=1, keepdims=True) / n - mean * mean, 0.0)
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return (xf * a + b).astype(self.dtype)
 
 
 class _FeatureExtractor(nn.Module):
