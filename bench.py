@@ -138,7 +138,7 @@ def main():
                 a, l = make_batch(b if on_tpu else 2, s, rng)
                 grid.append(
                     {
-                        "batch": b,
+                        "batch": int(a.shape[0]),  # actual batch (2 off-TPU)
                         "seconds": s,
                         "rtf": round(time_rtf(engine, a, l, s, iters=4 if on_tpu else 1, loops=1), 1),
                     }

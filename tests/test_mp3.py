@@ -114,3 +114,53 @@ def test_hookless_error_is_informative(tmp_path, monkeypatch):
     monkeypatch.setattr(aio, "_DECODE_HOOKS", ())
     with pytest.raises(ValueError, match="no compressed-audio backend"):
         load_audio(str(p))
+
+
+OGG_FIXTURE = Path("/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg")
+
+
+@pytest.mark.skipif(not OGG_FIXTURE.exists(), reason="fixture ogg not on disk")
+def test_ogg_audio_info_header_only():
+    from thunder_tpu.data.audio_io import _parse_ogg_info
+
+    info = audio_info(str(OGG_FIXTURE))
+    assert info.sample_rate > 0 and info.num_channels in (1, 2)
+    assert info.num_frames > 0
+    assert _parse_ogg_info(str(OGG_FIXTURE)) == info
+
+
+@needs_backend
+@pytest.mark.skipif(not OGG_FIXTURE.exists(), reason="fixture ogg not on disk")
+def test_ogg_decode_matches_header_metadata():
+    info = audio_info(str(OGG_FIXTURE))
+    audio, rate = load_audio(str(OGG_FIXTURE))
+    # decode at the native spec: same rate/channels as the id header, and a
+    # sample count within one Ogg page of the final granule position
+    assert rate == info.sample_rate
+    assert audio.shape[0] == info.num_channels
+    assert abs(audio.shape[1] - info.num_frames) < 4096
+    assert np.isfinite(audio).all() and np.abs(audio).max() > 1e-3
+
+
+def test_ogg_info_synthetic_vorbis(tmp_path):
+    # minimal first page with a vorbis id header + a closing page whose
+    # granule position carries the total sample count
+    payload = b"\x01vorbis" + bytes(4) + bytes([2]) + (22050).to_bytes(4, "little") + bytes(16)
+    page0 = b"OggS" + bytes([0, 2]) + bytes(8) + bytes(12) + bytes([1, len(payload)]) + payload
+    last = b"OggS" + bytes([0, 4]) + (44100).to_bytes(8, "little") + bytes(12) + bytes([1, 0])
+    p = tmp_path / "x.ogg"
+    p.write_bytes(page0 + last)
+    info = audio_info(str(p))
+    assert (info.sample_rate, info.num_channels, info.num_frames) == (22050, 2, 44100)
+
+
+def test_mp3_info_is_header_bounded():
+    # metadata on a CBR file must not scan every frame: a file claiming 10
+    # minutes of CBR frames but truncated after one frame still reports the
+    # filesize-derived duration without raising
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = hdr + bytes(413)
+    import thunder_tpu.data.audio_io as aio
+
+    total = aio._mp3_vbr_total_frames(frame + frame, aio._mp3_frame_at(frame, 0))
+    assert total == 0  # no Xing header present

@@ -92,6 +92,12 @@ def test_num2words_fr_cardinal():
     assert num2words(1000, lang="fr") == "mille"
     assert num2words(1980, lang="fr") == "mille neuf cent quatre-vingts"
     assert num2words(2000000, lang="fr") == "deux millions"
+    # vingt/cent keep their plural "s" before the nouns million/milliard
+    assert num2words(80000000, lang="fr") == "quatre-vingts millions"
+    assert num2words(200000000, lang="fr") == "deux cents millions"
+    assert num2words(81000000, lang="fr") == "quatre-vingt-un millions"
+    assert num2words(200000, lang="fr") == "deux cent mille"
+    assert num2words(2500000000, lang="fr") == "deux milliards cinq cents millions"
 
 
 def test_num2words_es_cardinal():
@@ -106,6 +112,11 @@ def test_num2words_es_cardinal():
     assert num2words(21000, lang="es") == "veintiún mil"
     assert num2words(1000000, lang="es") == "un millón"
     assert num2words(2000000, lang="es") == "dos millones"
+    # billions group by 10^6: the millions count is one cardinal
+    assert num2words(1000000000, lang="es") == "mil millones"
+    assert num2words(1500000000, lang="es") == "mil quinientos millones"
+    assert num2words(2000000000, lang="es") == "dos mil millones"
+    assert num2words(21000000, lang="es") == "veintiún millones"
 
 
 def test_num2words_it_cardinal():
@@ -131,6 +142,8 @@ def test_num2words_ca_cardinal():
     assert num2words(1000, lang="ca") == "mil"
     assert num2words(1000000, lang="ca") == "un milió"
     assert num2words(2000000, lang="ca") == "dos milions"
+    assert num2words(1000000000, lang="ca") == "mil milions"
+    assert num2words(2500000000, lang="ca") == "dos mil cinc-cents milions"
 
 
 def test_num2words_pl_cardinal():

@@ -143,25 +143,143 @@ def _mp3_frame_at(data: bytes, pos: int):
     return frame_bytes, sample_rate, channels, spf
 
 
+def _mp3_first_frame(path: str):
+    """Bounded probe: (first-frame offset, window bytes, frame tuple, data_start).
+
+    Seeks past the ID3v2 tag (whose size is in its own header — no scan) and
+    searches a growing window (256 KB, doubling) for the first valid Layer III
+    header, so metadata reads never pull a whole multi-MB file into memory.
+    """
+    with open(path, "rb") as f:
+        head = f.read(10)
+        data_start = 0
+        if head[:3] == b"ID3" and len(head) == 10:
+            data_start = 10 + ((head[6] << 21) | (head[7] << 14) | (head[8] << 7) | head[9])
+        f.seek(data_start)
+        window = b""
+        chunk = 1 << 18
+        while True:
+            more = f.read(chunk)
+            window += more
+            pos = 0
+            while pos + 4 <= len(window):
+                frame = _mp3_frame_at(window, pos)
+                # require a second header right after (or EOF) to reject
+                # spurious 0xFF sync bytes inside tag junk
+                if frame is not None:
+                    nxt = pos + max(frame[0], 4)
+                    if nxt + 4 > len(window) or _mp3_frame_at(window, nxt) is not None:
+                        return data_start + pos, window[pos:], frame, data_start
+                pos += 1
+            if not more:
+                raise ValueError(f"no MPEG Layer III frames found in {path}")
+            chunk *= 2
+
+
+def _mp3_vbr_total_frames(window: bytes, frame) -> int:
+    """Frame count from a Xing/Info/VBRI header in the first frame, or 0."""
+    frame_bytes, rate, channels, spf = frame
+    mpeg1 = spf == 1152
+    side = (17 if channels == 1 else 32) if mpeg1 else (9 if channels == 1 else 17)
+    for off in (4 + side, 4 + side + 2):  # +2 when a CRC follows the header
+        if window[off : off + 4] in (b"Xing", b"Info") and len(window) >= off + 12:
+            flags = int.from_bytes(window[off + 4 : off + 8], "big")
+            if flags & 0x1:
+                return int.from_bytes(window[off + 8 : off + 12], "big")
+    if window[36:40] == b"VBRI" and len(window) >= 54:
+        # VBRI: version(2) delay(2) quality(2) bytes(4) frames(4) after the tag
+        return int.from_bytes(window[50:54], "big")
+    return 0
+
+
 def _parse_mp3_info(path: str) -> AudioInfo:
-    """Scan all frame headers: exact for CBR and VBR alike (no Xing needed)."""
+    """Metadata without a full decode: Xing/VBRI header, CBR filesize math,
+    or (only for headerless VBR files) an exact whole-file frame scan."""
+    first_pos, window, frame, _ = _mp3_first_frame(path)
+    frame_bytes, sample_rate, channels, spf = frame
+    vbr_frames = _mp3_vbr_total_frames(window, frame)
+    if vbr_frames:
+        return AudioInfo(sample_rate, vbr_frames * spf, channels, 16)
+    # probe a few successive frames: constant bitrate -> filesize estimate
+    bitrate = _MP3_BITRATES[spf == 1152][(window[2] >> 4) & 0xF] * 1000
+    pos, cbr = 0, True
+    for _ in range(8):
+        fr = _mp3_frame_at(window, pos)
+        if fr is None:
+            break
+        if _MP3_BITRATES[fr[3] == 1152][(window[pos + 2] >> 4) & 0xF] * 1000 != bitrate:
+            cbr = False
+            break
+        pos += max(fr[0], 4)
+        if pos + 4 > len(window):
+            break
+    size = Path(path).stat().st_size
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 128))
+        if f.read(3) == b"TAG":  # ID3v1 tail tag
+            size -= 128
+    if cbr:
+        total = int((size - first_pos) * 8 * sample_rate / bitrate / spf) * spf
+        return AudioInfo(sample_rate, max(total, spf), channels, 16)
+    # headerless VBR: exact full scan (the only case that reads everything)
     data = Path(path).read_bytes()
-    pos = _mp3_skip_id3(data)
-    sample_rate = channels = None
-    total = 0
+    pos, total = first_pos, 0
     while pos + 4 <= len(data):
-        frame = _mp3_frame_at(data, pos)
-        if frame is None:
+        fr = _mp3_frame_at(data, pos)
+        if fr is None:
             pos += 1  # resync (junk between tags/frames)
             continue
-        frame_bytes, rate, ch, spf = frame
-        if sample_rate is None:
-            sample_rate, channels = rate, ch
-        total += spf
-        pos += max(frame_bytes, 4)
-    if sample_rate is None:
-        raise ValueError(f"no MPEG Layer III frames found in {path}")
+        total += fr[3]
+        pos += max(fr[0], 4)
     return AudioInfo(sample_rate, total, channels, 16)
+
+
+def _parse_ogg_info(path: str) -> AudioInfo:
+    """Ogg container metadata: codec id header + last-page granule position.
+
+    Reads the first page for (codec, rate, channels) — Vorbis, Opus, or
+    FLAC-in-Ogg — and the file tail for the final granule position, which by
+    the Ogg spec is the total PCM sample count (Opus: in 48 kHz units, less
+    the pre-skip).  Bounded reads only; no decode.
+    """
+    with open(path, "rb") as f:
+        head = f.read(1 << 14)
+    if head[:4] != b"OggS":
+        raise ValueError(f"not an Ogg file: {path}")
+    nsegs = head[26]
+    payload = head[27 + nsegs : 27 + nsegs + sum(head[27 : 27 + nsegs])]
+    if payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+        channels = payload[11]
+        rate = int.from_bytes(payload[12:16], "little")
+        granule_rate, pre_skip, bps = rate, 0, 16
+    elif payload[:8] == b"OpusHead" and len(payload) >= 14:
+        channels = payload[9]
+        pre_skip = int.from_bytes(payload[10:12], "little")
+        rate = 48000  # Opus always decodes at 48 kHz
+        granule_rate, bps = 48000, 16
+    elif payload[:5] == b"\x7fFLAC" and len(payload) >= 51:
+        # Ogg-FLAC mapping: the native STREAMINFO block starts at offset 13
+        si = payload[13 + 8 :]
+        bits = int.from_bytes(si[10:18], "big")
+        rate = bits >> 44
+        channels = ((bits >> 41) & 0x7) + 1
+        bps = ((bits >> 36) & 0x1F) + 1
+        granule_rate, pre_skip = rate, 0
+    else:
+        raise ValueError(f"unrecognized Ogg codec in {path}")
+    # last granule position: scan the tail for the final page header
+    size = Path(path).stat().st_size
+    with open(path, "rb") as f:
+        f.seek(max(0, size - (1 << 16)))
+        tail = f.read()
+    last = tail.rfind(b"OggS")
+    if last < 0 or last + 14 > len(tail):
+        raise ValueError(f"no closing Ogg page found in {path}")
+    granule = int.from_bytes(tail[last + 6 : last + 14], "little", signed=True)
+    frames = max(int(granule) - pre_skip, 0)
+    if granule_rate != rate and granule_rate:
+        frames = frames * rate // granule_rate
+    return AudioInfo(rate, frames, channels, bps)
 
 
 def _load_via_soundfile(path: str):
@@ -188,11 +306,17 @@ def _load_via_pygame(path: str):
     os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
     import pygame
 
-    if str(path).lower().endswith((".ogg", ".oga", ".opus")):
-        rate, channels = 44100, 2  # SDL probes ogg itself; mixer just needs *a* spec
-    else:
-        info = _parse_mp3_info(path)
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"OggS":
+        # native spec from the Ogg id header so SDL_mixer neither
+        # resamples nor upmixes during decode
+        info = _parse_ogg_info(path)
         rate, channels = info.sample_rate, info.num_channels
+    else:
+        # first-frame probe only — rate/channels don't need the total duration
+        _, _, frame, _ = _mp3_first_frame(path)
+        _, rate, channels, _ = frame
     current = pygame.mixer.get_init()
     if current is None or current[0] != rate or abs(current[2]) != channels:
         pygame.mixer.quit()
@@ -237,12 +361,14 @@ def _is_mp3(path: str, magic: bytes) -> bool:
 
 
 def audio_info(path: Union[str, Path]) -> AudioInfo:
-    """Header-only metadata read (for duration bucketing); WAV, FLAC, or MP3."""
+    """Header-only metadata read (for duration bucketing); WAV, FLAC, MP3, or OGG."""
     path = str(path)
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == b"fLaC":
         return _parse_flac_streaminfo(path)
+    if magic == b"OggS":
+        return _parse_ogg_info(path)
     if magic[:4] != b"RIFF" and _is_mp3(path, magic):
         return _parse_mp3_info(path)
     info, _, _, _ = _parse_wav_header(path)

@@ -233,7 +233,10 @@ def _fr_cardinal(n: int) -> str:
     for scale, one, many in ((10**9, "un milliard", "milliards"), (10**6, "un million", "millions")):
         if n >= scale:
             major, n = divmod(n, scale)
-            parts.append(one if major == 1 else _fr_below_thousand(major, False) + " " + many)
+            # million/milliard are nouns: vingt/cent keep their plural "s"
+            # before them ("quatre-vingts millions"), unlike before the
+            # numeral adjective "mille"
+            parts.append(one if major == 1 else _fr_below_thousand(major, True) + " " + many)
     if n >= 1000:
         thousands, n = divmod(n, 1000)
         # "mille" is invariant, and 1000 is "mille", never "un mille"
@@ -292,18 +295,27 @@ def _es_below_thousand(n: int, apocope: bool = False) -> str:
     return out + word
 
 
+def _es_below_million(n: int) -> str:
+    """1..999999 as a cardinal with apocope on the final unit (before a noun)."""
+    if n >= 1000:
+        thousands, rest = divmod(n, 1000)
+        head = "mil" if thousands == 1 else _es_below_thousand(thousands, apocope=True) + " mil"
+        return head + (" " + _es_below_thousand(rest, apocope=True) if rest else "")
+    return _es_below_thousand(n, apocope=True)
+
+
 def _es_cardinal(n: int) -> str:
     if n < 0:
         return "menos " + _es_cardinal(-n)
     if n == 0:
         return "cero"
     parts = []
-    if n >= 10**9:
-        major, n = divmod(n, 10**9)
-        parts.append("mil millones" if major == 1 else _es_below_thousand(major, apocope=True) + " mil millones")
     if n >= 10**6:
+        # Spanish groups by 10^6: the millions count (1..999999) is itself a
+        # full cardinal ("mil quinientos millones", not the split
+        # "mil millones quinientos millones")
         major, n = divmod(n, 10**6)
-        parts.append("un millón" if major == 1 else _es_below_thousand(major, apocope=True) + " millones")
+        parts.append("un millón" if major == 1 else _es_below_million(major) + " millones")
     if n >= 1000:
         thousands, n = divmod(n, 1000)
         parts.append("mil" if thousands == 1 else _es_below_thousand(thousands, apocope=True) + " mil")
@@ -404,19 +416,25 @@ def _ca_below_thousand(n: int) -> str:
     return _CA_HUNDREDS[h] + (" " + _ca_below_hundred(rest) if rest else "")
 
 
+def _ca_below_million(n: int) -> str:
+    if n >= 1000:
+        thousands, rest = divmod(n, 1000)
+        head = "mil" if thousands == 1 else _ca_below_thousand(thousands) + " mil"
+        return head + (" " + _ca_below_thousand(rest) if rest else "")
+    return _ca_below_thousand(n)
+
+
 def _ca_cardinal(n: int) -> str:
     if n < 0:
         return "menys " + _ca_cardinal(-n)
     if n == 0:
         return "zero"
     parts = []
-    for scale, one, many in ((10**9, "mil milions", None), (10**6, "un milió", "milions")):
-        if n >= scale:
-            major, n = divmod(n, scale)
-            if scale == 10**9:
-                parts.append("mil milions" if major == 1 else _ca_below_thousand(major) + " mil milions")
-            else:
-                parts.append(one if major == 1 else _ca_below_thousand(major) + " " + many)
+    if n >= 10**6:
+        # same 10^6 grouping as Spanish: the milions count is one cardinal
+        # ("dos mil cinc-cents milions", not "dos mil milions cinc-cents milions")
+        major, n = divmod(n, 10**6)
+        parts.append("un milió" if major == 1 else _ca_below_million(major) + " milions")
     if n >= 1000:
         thousands, n = divmod(n, 1000)
         parts.append("mil" if thousands == 1 else _ca_below_thousand(thousands) + " mil")
