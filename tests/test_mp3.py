@@ -164,3 +164,39 @@ def test_mp3_info_is_header_bounded():
 
     total = aio._mp3_vbr_total_frames(frame + frame, aio._mp3_frame_at(frame, 0))
     assert total == 0  # no Xing header present
+
+
+def test_ogg_flac_streaminfo(tmp_path):
+    # Ogg-FLAC mapping: 13-byte mapping header + 4-byte metadata block
+    # header + native STREAMINFO (offset regression: was read at +8)
+    rate, ch, bps, total = 16000, 1, 16, 123456
+    bits = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    si = bytes(10) + bits.to_bytes(8, "big") + bytes(16)
+    payload = b"\x7fFLAC" + bytes([1, 0]) + (1).to_bytes(2, "big") + b"fLaC" + bytes([0x80, 0, 0, 34]) + si
+    page0 = b"OggS" + bytes([0, 2]) + bytes(8) + bytes(12) + bytes([1, len(payload)]) + payload
+    last = b"OggS" + bytes([0, 4]) + total.to_bytes(8, "little") + bytes(12) + bytes([1, 0])
+    p = tmp_path / "x.ogg"
+    p.write_bytes(page0 + last)
+    info = audio_info(str(p))
+    assert (info.sample_rate, info.num_channels, info.bits_per_sample, info.num_frames) == (rate, ch, bps, total)
+
+
+def test_mp3_first_frame_verification_across_window_boundary(tmp_path):
+    from thunder_tpu.data.audio_io import _mp3_first_frame
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG-1 L3 128k/44.1k, 417 bytes
+    frame = hdr + bytes(413)
+    # real frames start just before the initial 256 KB read window so the
+    # second-header verification must extend the window, not accept blindly
+    start = (1 << 18) - 100
+    p = tmp_path / "boundary.mp3"
+    p.write_bytes(bytes(start) + frame * 3)
+    pos, _, parsed, _ = _mp3_first_frame(str(p))
+    assert pos == start
+    assert parsed[1] == 44100
+
+    # a spurious sync at the boundary followed by junk must NOT be accepted
+    p2 = tmp_path / "junk.mp3"
+    p2.write_bytes(bytes(start) + hdr + bytes(2000))
+    with pytest.raises(ValueError, match="no MPEG"):
+        _mp3_first_frame(str(p2))

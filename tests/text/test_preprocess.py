@@ -194,3 +194,13 @@ def test_expand_numbers_new_languages():
     assert expand_numbers("hab 42 katzen", language="de") == "hab zweiundvierzig katzen"
     assert expand_numbers("j'ai 80 ans", language="fr") == "j'ai quatre-vingts ans"
     assert expand_numbers("tengo 21 gatos", language="es") == "tengo veintiuno gatos"
+
+
+def test_num2words_it_tre_accent():
+    # final 'tre' takes the accent in compounds; drops it before fused 'mila'
+    assert num2words(3, lang="it") == "tre"
+    assert num2words(103, lang="it") == "centotré"
+    assert num2words(1003, lang="it") == "milletré"
+    assert num2words(3000, lang="it") == "tremila"
+    assert num2words(33033, lang="it") == "trentatremilatrentatré"
+    assert num2words(23000000, lang="it") == "ventitré milioni"

@@ -152,28 +152,38 @@ def _mp3_first_frame(path: str):
     """
     with open(path, "rb") as f:
         head = f.read(10)
-        data_start = 0
-        if head[:3] == b"ID3" and len(head) == 10:
-            data_start = 10 + ((head[6] << 21) | (head[7] << 14) | (head[8] << 7) | head[9])
+        data_start = _mp3_skip_id3(head)
         f.seek(data_start)
         window = b""
         chunk = 1 << 18
+        at_eof = False
         while True:
-            more = f.read(chunk)
-            window += more
+            if not at_eof:
+                more = f.read(chunk)
+                window += more
+                at_eof = len(more) < chunk
+                chunk *= 2
             pos = 0
+            need_more = False
             while pos + 4 <= len(window):
                 frame = _mp3_frame_at(window, pos)
-                # require a second header right after (or EOF) to reject
+                # require a second header right after (or true EOF) to reject
                 # spurious 0xFF sync bytes inside tag junk
                 if frame is not None:
                     nxt = pos + max(frame[0], 4)
-                    if nxt + 4 > len(window) or _mp3_frame_at(window, nxt) is not None:
+                    if nxt + 4 <= len(window):
+                        if _mp3_frame_at(window, nxt) is not None:
+                            return data_start + pos, window[pos:], frame, data_start
+                    elif at_eof:
                         return data_start + pos, window[pos:], frame, data_start
+                    else:
+                        # candidate's verification crosses the window end and
+                        # more file remains: extend the window, then re-check
+                        need_more = True
+                        break
                 pos += 1
-            if not more:
+            if at_eof and not need_more:
                 raise ValueError(f"no MPEG Layer III frames found in {path}")
-            chunk *= 2
 
 
 def _mp3_vbr_total_frames(window: bytes, frame) -> int:
@@ -258,8 +268,9 @@ def _parse_ogg_info(path: str) -> AudioInfo:
         rate = 48000  # Opus always decodes at 48 kHz
         granule_rate, bps = 48000, 16
     elif payload[:5] == b"\x7fFLAC" and len(payload) >= 51:
-        # Ogg-FLAC mapping: the native STREAMINFO block starts at offset 13
-        si = payload[13 + 8 :]
+        # Ogg-FLAC mapping header is 13 bytes (0x7F 'FLAC' major minor
+        # count 'fLaC'); a 4-byte metadata block header precedes STREAMINFO
+        si = payload[13 + 4 :]
         bits = int.from_bytes(si[10:18], "big")
         rate = bits >> 44
         channels = ((bits >> 41) & 0x7) + 1
@@ -318,7 +329,9 @@ def _load_via_pygame(path: str):
         _, _, frame, _ = _mp3_first_frame(path)
         _, rate, channels, _ = frame
     current = pygame.mixer.get_init()
-    if current is None or current[0] != rate or abs(current[2]) != channels:
+    # size must be -16 too: a pre-initialized f32/8-bit mixer would break
+    # the /32768 int16 scaling below
+    if current is None or current[0] != rate or current[1] != -16 or abs(current[2]) != channels:
         pygame.mixer.quit()
         pygame.mixer.init(frequency=rate, size=-16, channels=channels)
     rate, _, channels = pygame.mixer.get_init()

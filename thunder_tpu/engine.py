@@ -35,6 +35,7 @@ from thunder_tpu.module import _BEAM_UNSET, CTCModule, check_beam_args, pad_to_b
 from thunder_tpu.ops.conv import conv1d, conv_output_length, get_same_padding
 from thunder_tpu.ops.ctc import collapse_ctc
 from thunder_tpu.ops.masking import apply_mask, lengths_to_mask
+from thunder_tpu.quantization import quantize_array
 
 __all__ = ["InferenceEngine"]
 
@@ -45,17 +46,8 @@ def _fold_bn(bn_params, bn_stats):
     return scale.astype(np.float32), bias.astype(np.float32)
 
 
-def _q8(w):
-    """Per-output-channel symmetric int8: (int8 values, f32 scale)."""
-    w = np.asarray(w, np.float32)
-    absmax = np.abs(w).max(axis=tuple(range(w.ndim - 1)), keepdims=True)
-    scale = np.maximum(absmax, 1e-12) / 127.0
-    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-    return q, scale.astype(np.float32)
-
-
 def _q8_kernel(w):
-    q, scale = _q8(w)
+    q, scale = quantize_array(w)
     return {"kernel_q8": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
 
 
@@ -158,7 +150,11 @@ class InferenceEngine:
 
                 enc_params = jax.tree_util.tree_map(jnp.asarray, quantize_tree(enc_params))
                 if dec_params is not None:
-                    dec_params = {**dec_params, **_q8_kernel(dec_params.pop("kernel"))}
+                    # pop BEFORE the dict display: {**dec_params, ...} would
+                    # otherwise unpack the still-present f32 kernel first and
+                    # keep a dead full-precision copy riding every call
+                    kernel = dec_params.pop("kernel")
+                    dec_params = {**dec_params, **_q8_kernel(kernel)}
             elif dec_params is not None:
                 dec_params["kernel"] = jnp.asarray(dec_params["kernel"], self.dtype)
 
@@ -276,7 +272,7 @@ class InferenceEngine:
                     pw_folded = pw * scale[None, :]
                     q_scale = None
                     if self.int8_weights:
-                        pw_folded, q_scale = _q8(pw_folded)
+                        pw_folded, q_scale = quantize_array(pw_folded)
                         q_scale = jnp.asarray(q_scale)
                         pw_arr = jnp.asarray(pw_folded)
                     else:
@@ -301,7 +297,7 @@ class InferenceEngine:
                     folded = kernel * scale[None, None, :]
                     q_scale = None
                     if self.int8_weights and folded.shape[0] == 1:
-                        folded, q_scale = _q8(folded)
+                        folded, q_scale = quantize_array(folded)
                         q_scale = jnp.asarray(q_scale)
                         kernel_arr = jnp.asarray(folded)
                     else:
@@ -325,7 +321,7 @@ class InferenceEngine:
                 folded = kernel * scale[None, None, :]
                 q_scale = None
                 if self.int8_weights:
-                    folded, q_scale = _q8(folded)
+                    folded, q_scale = quantize_array(folded)
                     q_scale = jnp.asarray(q_scale)
                     kernel_arr = jnp.asarray(folded)
                 else:

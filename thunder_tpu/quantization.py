@@ -20,6 +20,7 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 __all__ = [
+    "quantize_array",
     "quantize_variables",
     "dequantize_variables",
     "quantize_tree",
@@ -38,6 +39,20 @@ def _should_quantize(path: Tuple[str, ...], x) -> bool:
     return x.ndim == 3 and x.shape[0] == 1
 
 
+def quantize_array(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8: ``(int8 values, f32 scale)``.
+
+    The single quantization recipe shared by :func:`quantize_tree` and the
+    serving engine's decoder-kernel path (engine.py), so both stay
+    numerically identical.
+    """
+    w = np.asarray(w, np.float32)
+    absmax = np.abs(w).max(axis=tuple(range(w.ndim - 1)), keepdims=True)
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
 def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
     """Param subtree -> same tree with matmul kernels as int8 + f32 scales.
 
@@ -54,11 +69,9 @@ def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
     for path, x in flat.items():
         x = np.asarray(x)
         if _should_quantize(tuple(str(p) for p in path), x):
-            absmax = np.abs(x).max(axis=tuple(range(x.ndim - 1)), keepdims=True)
-            scale = np.maximum(absmax, 1e-12) / 127.0
-            q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+            q, scale = quantize_array(x)
             out[path + ("__q8_values",)] = q
-            out[path + ("__q8_scale",)] = scale.astype(np.float32)
+            out[path + ("__q8_scale",)] = scale
         else:
             out[path] = x
     return flax.traverse_util.unflatten_dict(out)

@@ -351,6 +351,13 @@ def _it_below_hundred(n: int) -> str:
     return word
 
 
+def _it_accent(word: str) -> str:
+    """Final 'tre' takes an accent in any compound (centotré, milletré)."""
+    if len(word) > 3 and word.endswith("tre"):
+        return word[:-3] + "tré"
+    return word
+
+
 def _it_below_thousand(n: int) -> str:
     if n < 100:
         return _it_below_hundred(n)
@@ -361,7 +368,7 @@ def _it_below_thousand(n: int) -> str:
         if 80 <= rest < 90:
             out = out[:-1]
         out += _it_below_hundred(rest)
-    return out
+    return _it_accent(out)
 
 
 def _it_cardinal(n: int) -> str:
@@ -377,9 +384,16 @@ def _it_cardinal(n: int) -> str:
     tail = ""
     if n >= 1000:
         thousands, n = divmod(n, 1000)
-        tail = "mille" if thousands == 1 else _it_below_thousand(thousands) + "mila"
+        if thousands == 1:
+            tail = "mille"
+        else:
+            count = _it_below_thousand(thousands)
+            # the accent is word-final only: trentatremila, not trentatrémila
+            if count.endswith("tré"):
+                count = count[:-3] + "tre"
+            tail = count + "mila"
     if n:
-        tail += _it_below_thousand(n)
+        tail = _it_accent(tail + _it_below_thousand(n))
     if tail:
         parts.append(tail)
     return " ".join(parts)
