@@ -17,7 +17,7 @@ Dense projections so HF weights map 1:1 (see compat/hf.py).
 from __future__ import annotations
 
 from dataclasses import field
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -167,16 +167,101 @@ class _MaskedInstanceNorm(nn.Module):
         return (xf * a + b).astype(self.dtype)
 
 
+class _FusedStride2Conv(nn.Module):
+    """Same param tree as ``nn.Conv(name=...)`` (kernel/bias, identical
+    shapes and default inits), computed by the fused Pallas stride-2
+    conv+gelu kernel (:mod:`thunder_tpu.kernels.stride2_conv`)."""
+
+    features: int
+    k: int
+    use_bias: bool
+    dtype: jnp.dtype = jnp.float32
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from thunder_tpu.kernels.stride2_conv import stride2_conv_gelu
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (self.k, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return stride2_conv_gelu(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            None if bias is None else bias.astype(jnp.float32),
+            interpret=self.interpret,
+        )
+
+
 class _FeatureExtractor(nn.Module):
     config: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
+    #: None = auto (fused Pallas stride-2 path on TPU bf16 inference);
+    #: True/False force it (True off-TPU runs the Pallas interpreter — tests)
+    fused_stride2: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
+        specs = list(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride))
+        use_fused = self.fused_stride2
+        if use_fused is None:
+            # default off until the kernel's on-chip win is confirmed (the
+            # interpret-mode numerics are pinned by tests/test_stride2_kernel.py)
+            use_fused = False
+        # the fused path covers the standard extractor tail: group-norm
+        # config (no per-layer LN between conv and gelu) and every layer
+        # after the first being (k in {2,3}, stride 2)
+        use_fused = (
+            use_fused
+            and not train
+            and cfg.feat_extract_norm == "group"
+            and len(specs) > 1
+            and all(k in (2, 3) and s == 2 for _, k, s in specs[1:])
+        )
+        interpret = jax.default_backend() != "tpu"
+
         x = x[:, :, None]  # (B, T, 1)
         cur = lengths.astype(jnp.int32)
-        for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
+        valid = None
+        if use_fused:
+            # pad the raw audio ONCE so layer 0 emits a 512-multiple frame
+            # count: each stride-2 halving then divides the Pallas tile grid
+            # exactly and the layers chain with zero inter-layer pads/slices
+            # (kernels/stride2_conv.py padding contract); one final slice
+            # restores the exact unfused output length
+            k0, s0 = cfg.conv_kernel[0], cfg.conv_stride[0]
+            t0_valid = (x.shape[1] - k0) // s0 + 1
+            t0_target = -(-t0_valid // 512) * 512
+            # static feasibility: every fused layer's pair count must stay
+            # sublane-divisible (kernel tile contract); 6 halvings of a
+            # 512-multiple always pass, deeper chains may not
+            t_chk, ok = t0_target, True
+            for _ in specs[1:]:
+                if (t_chk // 2) % 8:
+                    ok = False
+                    break
+                t_chk //= 2
+            if ok:
+                need = (t0_target - 1) * s0 + k0
+                if need > x.shape[1]:
+                    x = jnp.pad(x, ((0, 0), (0, need - x.shape[1]), (0, 0)))
+                valid = t0_valid
+            else:
+                use_fused = False
+        for i, (dim, k, s) in enumerate(specs):
+            if use_fused and i > 0:
+                x = _FusedStride2Conv(
+                    features=dim,
+                    k=k,
+                    use_bias=cfg.conv_bias,
+                    dtype=self.dtype,
+                    interpret=interpret,
+                    name=f"conv{i}",
+                )(x)
+                cur = (cur - k) // s + 1
+                valid = (valid - k) // s + 1
+                continue
             x = nn.Conv(
                 features=dim,
                 kernel_size=(k,),
@@ -196,6 +281,8 @@ class _FeatureExtractor(nn.Module):
             elif cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=f"ln{i}")(x)
             x = gelu(x, self.dtype)
+        if use_fused:
+            x = x[:, :valid]
         return x
 
 
@@ -340,6 +427,9 @@ class Wav2Vec2Encoder(nn.Module):
     config: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
     mask_input: bool = True
     dtype: jnp.dtype = jnp.float32
+    #: forwarded to :class:`_FeatureExtractor` (None = auto: fused Pallas
+    #: stride-2 conv+gelu kernel on TPU bf16 inference)
+    fused_stride2: Optional[bool] = None
 
     @property
     def final_dimension(self) -> int:
@@ -348,7 +438,9 @@ class Wav2Vec2Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
-        feats = _FeatureExtractor(cfg, dtype=self.dtype, name="feature_extractor")(x, lengths, train=train)
+        feats = _FeatureExtractor(
+            cfg, dtype=self.dtype, fused_stride2=self.fused_stride2, name="feature_extractor"
+        )(x, lengths, train=train)
         out_lengths = feat_extract_output_lengths(
             lengths.astype(jnp.int32), cfg.conv_kernel, cfg.conv_stride
         )
