@@ -198,3 +198,36 @@ def test_sharded_inference_matches(module):
     )
     np.testing.assert_array_equal(np.asarray(lens_single), np.asarray(lens_sharded))
     np.testing.assert_allclose(np.asarray(logits_single), np.asarray(logits_sharded), atol=2e-4)
+
+
+def test_wav2vec2_sharded_inference_matches():
+    # the transformer family under the same channel-TP rule: the fused
+    # (h, 3h) qkv_proj shards its output dim over the model axis and GSPMD
+    # inserts the collectives; DP4 x TP2 must be numerically transparent
+    from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    cfg = Wav2Vec2Config(
+        hidden_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=512,
+        conv_dim=(64,) * 7,
+    )
+    enc = Wav2Vec2Encoder(cfg, mask_input=True)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((8, 8000)) * 0.1, jnp.float32)
+    lengths = jnp.asarray(np.full((8,), 8000, np.int32))
+    params = enc.init(jax.random.PRNGKey(0), audio, lengths)
+
+    ref, ref_len = jax.jit(lambda p, a, l: enc.apply(p, a, l))(params, audio, lengths)
+
+    mesh = make_mesh(model_parallel=2)
+    sharded_params = shard_variables(params, mesh, min_channels=256)
+    qkv_sh = sharded_params["params"]["layer0"]["attention"]["qkv_proj"]["kernel"].sharding
+    assert qkv_sh.spec == P(None, "model")  # the fused projection really TPs
+    a_sh = jax.device_put(audio, batch_sharding(mesh))
+    l_sh = jax.device_put(lengths, batch_sharding(mesh))
+    got, got_len = jax.jit(lambda p, a, l: enc.apply(p, a, l))(sharded_params, a_sh, l_sh)
+
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(got_len))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-5)
