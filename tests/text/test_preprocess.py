@@ -204,3 +204,19 @@ def test_num2words_it_tre_accent():
     assert num2words(3000, lang="it") == "tremila"
     assert num2words(33033, lang="it") == "trentatremilatrentatré"
     assert num2words(23000000, lang="it") == "ventitré milioni"
+
+
+def test_num2words_large_ranges():
+    # billion-count composition above 10^12 (fr/de/it) and short-scale pt/en
+    assert num2words(1_500_000_000_000, lang="fr") == "mille cinq cents milliards"
+    assert num2words(1_500_000_000_000, lang="de") == "eintausendfünfhundert Milliarden"
+    assert num2words(1_500_000_000_000, lang="it") == "millecinquecento miliardi"
+    assert num2words(2_000_000_000_000, lang="en") == "two trillion"
+    assert num2words(1_500_000_000, lang="pt") == "um bilhão e quinhentos milhões"
+    # every language refuses beyond its correct range instead of emitting junk
+    for lang, cap in (
+        ("es", 10**12), ("ca", 10**12), ("pl", 10**12), ("ru", 10**12),
+        ("pt", 10**12), ("fr", 10**15), ("de", 10**15), ("it", 10**15),
+    ):
+        with pytest.raises(ValueError, match="too large"):
+            num2words(cap, lang=lang)

@@ -135,7 +135,10 @@ class InferenceEngine:
             # no batchnorm to fold: re-instantiate in the compute dtype over
             # the same variables and jit end-to-end
             fast_encoder = Wav2Vec2Encoder(
-                config=encoder.config, mask_input=encoder.mask_input, dtype=self.dtype
+                config=encoder.config,
+                mask_input=encoder.mask_input,
+                dtype=self.dtype,
+                fused_stride2=encoder.fused_stride2,
             )
             dec_params = module.variables["params"].get("decoder")
             if dec_params is not None:

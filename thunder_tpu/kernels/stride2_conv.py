@@ -60,16 +60,11 @@ def pick_bm(p: int) -> int:
 
 
 def _gelu_f32(y: jax.Array) -> jax.Array:
-    # same minimax polynomial as models.wav2vec2._fast_gelu (max err 2e-3,
-    # below bf16 rounding); inlined here so the kernel has no model import
-    coeffs = (
-        3.9532497308e-01,
-        -6.1340755325e-02,
-        7.4120497122e-03,
-        -5.5134104003e-04,
-        2.2377131731e-05,
-        -3.7642009188e-07,
-    )
+    # the ONE minimax polynomial (max err 2e-3, below bf16 rounding) shared
+    # with the model-side _fast_gelu — imported lazily (trace time) so the
+    # kernel module itself stays import-light
+    from thunder_tpu.models.wav2vec2 import _GELU_COEFFS as coeffs
+
     t = jnp.clip(y, -4.0, 4.0)
     t2 = t * t
     p = jnp.full_like(y, coeffs[-1])

@@ -196,8 +196,8 @@ class _FusedStride2Conv(nn.Module):
 class _FeatureExtractor(nn.Module):
     config: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
-    #: None = auto (fused Pallas stride-2 path on TPU bf16 inference);
-    #: True/False force it (True off-TPU runs the Pallas interpreter — tests)
+    #: None/False = standard XLA conv path (current default); True opts into
+    #: the fused Pallas stride-2 conv+gelu kernel (interpreter off-TPU)
     fused_stride2: Optional[bool] = None
 
     @nn.compact
@@ -427,8 +427,8 @@ class Wav2Vec2Encoder(nn.Module):
     config: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
     mask_input: bool = True
     dtype: jnp.dtype = jnp.float32
-    #: forwarded to :class:`_FeatureExtractor` (None = auto: fused Pallas
-    #: stride-2 conv+gelu kernel on TPU bf16 inference)
+    #: forwarded to :class:`_FeatureExtractor` (True opts into the fused
+    #: Pallas stride-2 conv+gelu extractor kernel; None/False = XLA path)
     fused_stride2: Optional[bool] = None
 
     @property

@@ -7,7 +7,9 @@ languages of the reference's registered checkpoints: cardinals for
 en/pt/de/fr/es/it/ca/pl/ru (standard orthography, incl. French 70/80/90
 composition, Italian vowel elision, Slavic three-form plural declension),
 ordinals for en/pt (the forms the reference's docs/tests exercise, e.g.
-"42º").  Range: |n| < 10^12.
+"42º").  Range: |n| < 10^15 for en/fr/de/it, |n| < 10^12 for pt/es/ca/pl/ru;
+beyond that ``ValueError("number too large")`` — an honest refusal rather
+than a silently wrong spell-out.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ _EN_UNITS = [
     "sixteen", "seventeen", "eighteen", "nineteen",
 ]
 _EN_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy", "eighty", "ninety"]
-_EN_SCALE = [(10**9, "billion"), (10**6, "million"), (10**3, "thousand")]
+_EN_SCALE = [(10**12, "trillion"), (10**9, "billion"), (10**6, "million"), (10**3, "thousand")]
 _EN_ORD_IRREGULAR = {
     "one": "first", "two": "second", "three": "third", "five": "fifth",
     "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
@@ -112,6 +114,10 @@ def _pt_cardinal(n: int) -> str:
         millions, rest = divmod(n, 10**6)
         head = "um milhão" if millions == 1 else _pt_cardinal(millions) + " milhões"
         return head + (" e " + _pt_cardinal(rest) if rest else "")
+    if n < 10**12:
+        bilhoes, rest = divmod(n, 10**9)  # pt-BR short scale (the checkpoints' variety)
+        head = "um bilhão" if bilhoes == 1 else _pt_cardinal(bilhoes) + " bilhões"
+        return head + (" e " + _pt_cardinal(rest) if rest else "")
     raise ValueError(f"number too large: {n}")
 
 
@@ -165,16 +171,26 @@ def _de_below_thousand(n: int) -> str:
     return out + _DE_TENS[tens]
 
 
+def _de_below_million(n: int) -> str:
+    out = ""
+    if n >= 1000:
+        thousands, n = divmod(n, 1000)
+        out = ("ein" if thousands == 1 else _de_below_thousand(thousands)) + "tausend"
+    return out + _de_below_thousand(n)
+
+
 def _de_cardinal(n: int) -> str:
     if n < 0:
         return "minus " + _de_cardinal(-n)
     if n == 0:
         return "null"
+    if n >= 10**15:
+        raise ValueError(f"number too large: {n}")
     parts = []
     for scale, one, many in ((10**9, "eine Milliarde", "Milliarden"), (10**6, "eine Million", "Millionen")):
         if n >= scale:
             major, n = divmod(n, scale)
-            parts.append(one if major == 1 else _de_below_thousand(major) + " " + many)
+            parts.append(one if major == 1 else _de_below_million(major) + " " + many)
     tail = ""
     if n >= 1000:
         thousands, n = divmod(n, 1000)
@@ -224,11 +240,21 @@ def _fr_below_thousand(n: int, final: bool) -> str:
     return head + " " + _fr_below_hundred(rest, final)
 
 
+def _fr_below_million(n: int) -> str:
+    if n >= 1000:
+        thousands, rest = divmod(n, 1000)
+        head = "mille" if thousands == 1 else _fr_below_thousand(thousands, False) + " mille"
+        return head + (" " + _fr_below_thousand(rest, True) if rest else "")
+    return _fr_below_thousand(n, True)
+
+
 def _fr_cardinal(n: int) -> str:
     if n < 0:
         return "moins " + _fr_cardinal(-n)
     if n == 0:
         return "zéro"
+    if n >= 10**15:
+        raise ValueError(f"number too large: {n}")
     parts = []
     for scale, one, many in ((10**9, "un milliard", "milliards"), (10**6, "un million", "millions")):
         if n >= scale:
@@ -236,7 +262,7 @@ def _fr_cardinal(n: int) -> str:
             # million/milliard are nouns: vingt/cent keep their plural "s"
             # before them ("quatre-vingts millions"), unlike before the
             # numeral adjective "mille"
-            parts.append(one if major == 1 else _fr_below_thousand(major, True) + " " + many)
+            parts.append(one if major == 1 else _fr_below_million(major) + " " + many)
     if n >= 1000:
         thousands, n = divmod(n, 1000)
         # "mille" is invariant, and 1000 is "mille", never "un mille"
@@ -309,6 +335,8 @@ def _es_cardinal(n: int) -> str:
         return "menos " + _es_cardinal(-n)
     if n == 0:
         return "cero"
+    if n >= 10**12:
+        raise ValueError(f"number too large: {n}")
     parts = []
     if n >= 10**6:
         # Spanish groups by 10^6: the millions count (1..999999) is itself a
@@ -371,16 +399,33 @@ def _it_below_thousand(n: int) -> str:
     return _it_accent(out)
 
 
+def _it_below_million(n: int) -> str:
+    """1..999999 fused per Italian orthography (millecinquecento)."""
+    if n < 1000:
+        return _it_below_thousand(n)
+    thousands, rest = divmod(n, 1000)
+    if thousands == 1:
+        head = "mille"
+    else:
+        count = _it_below_thousand(thousands)
+        if count.endswith("tré"):  # accent is word-final only
+            count = count[:-3] + "tre"
+        head = count + "mila"
+    return _it_accent(head + _it_below_thousand(rest)) if rest else head
+
+
 def _it_cardinal(n: int) -> str:
     if n < 0:
         return "meno " + _it_cardinal(-n)
     if n == 0:
         return "zero"
+    if n >= 10**15:
+        raise ValueError(f"number too large: {n}")
     parts = []
     for scale, one, many in ((10**9, "un miliardo", "miliardi"), (10**6, "un milione", "milioni")):
         if n >= scale:
             major, n = divmod(n, scale)
-            parts.append(one if major == 1 else _it_below_thousand(major) + " " + many)
+            parts.append(one if major == 1 else _it_below_million(major) + " " + many)
     tail = ""
     if n >= 1000:
         thousands, n = divmod(n, 1000)
@@ -443,6 +488,8 @@ def _ca_cardinal(n: int) -> str:
         return "menys " + _ca_cardinal(-n)
     if n == 0:
         return "zero"
+    if n >= 10**12:
+        raise ValueError(f"number too large: {n}")
     parts = []
     if n >= 10**6:
         # same 10^6 grouping as Spanish: the milions count is one cardinal
@@ -498,6 +545,8 @@ def _pl_cardinal(n: int) -> str:
         return "minus " + _pl_cardinal(-n)
     if n == 0:
         return "zero"
+    if n >= 10**12:
+        raise ValueError(f"number too large: {n}")
     parts = []
     for scale, (one, few, many) in (
         (10**9, ("miliard", "miliardy", "miliardów")),
@@ -547,6 +596,8 @@ def _ru_cardinal(n: int) -> str:
         return "минус " + _ru_cardinal(-n)
     if n == 0:
         return "ноль"
+    if n >= 10**12:
+        raise ValueError(f"number too large: {n}")
     parts = []
     for scale, (one, few, many), feminine in (
         (10**9, ("миллиард", "миллиарда", "миллиардов"), False),
