@@ -34,6 +34,8 @@ class CitrinetEncoder(nn.Module):
     init_mode: str = InitMode.xavier_uniform
     dtype: jnp.dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
+    #: rematerialize each block in the backward pass (see QuartznetEncoder)
+    remat: bool = False
 
     final_dimension: int = 640
 
@@ -54,6 +56,7 @@ class CitrinetEncoder(nn.Module):
             blocks.append(dict(features=f, repeat=self.repeat, kernel_size=k, stride=s))
         blocks.append(dict(features=640, repeat=1, kernel_size=41, residual=False))
 
+        block_cls = nn.remat(EncoderBlock, static_argnums=(3,)) if self.remat else EncoderBlock
         for i, cfg in enumerate(blocks):
-            x, lengths = EncoderBlock(name=f"block{i}", **cfg, **kw)(x, lengths, train=train)
+            x, lengths = block_cls(name=f"block{i}", **cfg, **kw)(x, lengths, train)
         return x, lengths

@@ -34,6 +34,10 @@ class QuartznetEncoder(nn.Module):
     init_mode: str = InitMode.xavier_uniform
     dtype: jnp.dtype = jnp.float32
     precision: Optional[jax.lax.Precision] = None
+    #: rematerialize each block's activations in the backward pass
+    #: (jax.checkpoint per block: ~1/n_blocks the activation HBM for one
+    #: extra forward of compute — the standard TPU memory/FLOPs trade)
+    remat: bool = False
 
     #: encoder output channels — the decoder input dimension
     final_dimension: int = 1024
@@ -55,6 +59,7 @@ class QuartznetEncoder(nn.Module):
         )
         blocks.append(dict(features=1024, repeat=1, kernel_size=1, residual=False, separable=False))
 
+        block_cls = nn.remat(EncoderBlock, static_argnums=(3,)) if self.remat else EncoderBlock
         for i, cfg in enumerate(blocks):
-            x, lengths = EncoderBlock(name=f"block{i}", **cfg, **kw)(x, lengths, train=train)
+            x, lengths = block_cls(name=f"block{i}", **cfg, **kw)(x, lengths, train)
         return x, lengths

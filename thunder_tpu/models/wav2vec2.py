@@ -430,6 +430,9 @@ class Wav2Vec2Encoder(nn.Module):
     #: forwarded to :class:`_FeatureExtractor` (True opts into the fused
     #: Pallas stride-2 conv+gelu extractor kernel; None/False = XLA path)
     fused_stride2: Optional[bool] = None
+    #: rematerialize each transformer layer in the backward pass
+    #: (jax.checkpoint per layer — the standard TPU HBM/FLOPs trade)
+    remat: bool = False
 
     @property
     def final_dimension(self) -> int:
@@ -494,8 +497,9 @@ class Wav2Vec2Encoder(nn.Module):
             pad_frames = -(-t_real // 128) * 128 - t_real
             h = jnp.pad(h, ((0, 0), (0, pad_frames), (0, 0)))
             key_mask = jnp.pad(key_mask, ((0, 0), (0, pad_frames)))
+        layer_cls = nn.remat(_EncoderLayer, static_argnums=(3,)) if self.remat else _EncoderLayer
         for i in range(cfg.num_hidden_layers):
-            h = _EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(h, key_mask, train=train)
+            h = layer_cls(cfg, dtype=self.dtype, name=f"layer{i}")(h, key_mask, train)
         if pad_frames:
             h = h[:, :t_real]
         if cfg.do_stable_layer_norm:
