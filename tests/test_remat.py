@@ -80,3 +80,47 @@ def test_wav2vec2_remat_transparent():
         lengths,
         {"dropout": jax.random.PRNGKey(7)},
     )
+
+
+def test_trainer_fit_with_remat(tmp_path):
+    # the full Trainer path (jitted train step, mutable batch_stats, dropout
+    # rngs) must compose with per-block remat
+    import json
+    import wave
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.data import ManifestDatamodule
+    from thunder_tpu.models import Conv1dDecoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+    from thunder_tpu.training import Trainer
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, text in enumerate(["ab", "ba"]):
+        wav = tmp_path / f"c{i}.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.standard_normal(8000) * 1500).astype(np.int16).tobytes())
+        rows.append({"audio_filepath": str(wav), "text": text, "duration": 0.5})
+    manifest = tmp_path / "m.json"
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+
+    tt = BatchTextTransformer(tokens=list("ab '"))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(dither=0.0),
+        encoder=QuartznetEncoder(repeat=1, filters=(64,), kernel_sizes=(11,), remat=True),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=8000,
+    )
+    dm = ManifestDatamodule(
+        train_manifest=str(manifest), val_manifest=str(manifest), test_manifest=str(manifest),
+        batch_size=2, num_workers=0,
+    )
+    trainer = Trainer(max_epochs=1)
+    module = trainer.fit(module, datamodule=dm)
+    assert trainer.logs and np.isfinite(trainer.logs[-1]["loss/val_loss"])
