@@ -230,6 +230,7 @@ int64_t tn_ctc_collapse(const int32_t* ids, int64_t n, int32_t* out) {
 
 #include <unordered_map>
 #include <limits>
+#include <string>
 
 namespace {
 
@@ -247,6 +248,56 @@ struct BeamProbs {
   double pnb = kNegInf;  // ends in non-blank
 };
 
+// Stupid-backoff n-gram LM over int32 token ids (Brants et al., 2007),
+// the native mirror of thunder_tpu/text/lm.py:NGramLM — so shallow fusion
+// (lm_weight * score per prefix extension) can run inside the C++ beam
+// search instead of forcing the numpy fallback.  Counts are loaded from
+// Python (NGramLM.fit already owns corpus handling); n-grams key a hash map
+// by their raw id bytes (order<=4 grams fit std::string's SSO buffer).
+struct NGramLM {
+  int32_t order = 1;
+  double log_backoff = 0.0;
+  double oov_logp = -12.0;
+  std::unordered_map<std::string, int64_t> counts;          // grams of every length
+  std::unordered_map<std::string, int64_t> context_totals;  // contexts of len>=2 grams
+  int64_t total_unigrams = 0;
+
+  static std::string key_of(const int32_t* ids, int32_t n) {
+    return std::string(reinterpret_cast<const char*>(ids), (size_t)n * sizeof(int32_t));
+  }
+
+  // log P(token | ctx) with stupid backoff: longest matching context wins,
+  // log(backoff) penalty per level skipped, oov floor at the unigram level.
+  double score(const int32_t* ctx, int32_t ctx_len, int32_t token) const {
+    if (ctx_len > order - 1) {
+      ctx += ctx_len - (order - 1);
+      ctx_len = order - 1;
+    }
+    if (ctx_len < 0) ctx_len = 0;
+    std::vector<int32_t> gram(ctx, ctx + ctx_len);
+    gram.push_back(token);
+    int32_t start = 0;
+    double penalty = 0.0;
+    while (true) {
+      const int32_t glen = (int32_t)gram.size() - start;
+      auto it = counts.find(key_of(gram.data() + start, glen));
+      if (it != counts.end() && it->second > 0) {
+        double denom;
+        if (glen == 1) {
+          denom = (double)total_unigrams;
+        } else {
+          auto ct = context_totals.find(key_of(gram.data() + start, glen - 1));
+          denom = ct != context_totals.end() ? (double)ct->second : 0.0;
+        }
+        return penalty + std::log((double)it->second / denom);
+      }
+      if (glen <= 1) return penalty + oov_logp;
+      ++start;
+      penalty += log_backoff;
+    }
+  }
+};
+
 // Prefix beam search over a label trie.  Reusable across windows: seed the
 // beam set (root, or carried prefixes from a previous window), run frames,
 // read the ranked survivors — the basis of cross-chunk long-audio decoding.
@@ -255,6 +306,8 @@ struct BeamSearch {
   int32_t blank, beam_width;
   float prune_logp;
   int32_t max_tokens_per_step;
+  const NGramLM* lm = nullptr;  // optional shallow fusion
+  double lm_weight = 0.0;
 
   // trie: node 0 is the empty prefix
   std::vector<int32_t> parent{-1};
@@ -320,26 +373,38 @@ struct BeamSearch {
 
       std::unordered_map<int32_t, BeamProbs> next;
       next.reserve(beams.size() * (keep.size() + 1));
+      std::vector<int32_t> ctx;  // LM context: last order-1 tokens of the prefix
       for (const auto& kv : beams) {
         const int32_t node = kv.first;
         const double pb = kv.second.pb, pnb = kv.second.pnb;
         const double total = log_add(pb, pnb);
         const int32_t last = token[node];  // -1 at root
+        if (lm) {
+          ctx.clear();
+          int32_t n = node;
+          for (int32_t i = 0; i < lm->order - 1 && n != 0; ++i, n = parent[n])
+            ctx.push_back(token[n]);
+          std::reverse(ctx.begin(), ctx.end());
+        }
         for (int32_t v : keep) {
           const double p = step[v];
           if (v == blank) {
             BeamProbs& tgt = next[node];
             tgt.pb = log_add(tgt.pb, total + p);
           } else if (v == last) {
+            const double bonus =
+                lm ? lm_weight * lm->score(ctx.data(), (int32_t)ctx.size(), v) : 0.0;
             BeamProbs& same = next[node];
             same.pnb = log_add(same.pnb, pnb + p);
             const int32_t ext = get_child(node, v);
             BeamProbs& e = next[ext];
-            e.pnb = log_add(e.pnb, pb + p);
+            e.pnb = log_add(e.pnb, pb + p + bonus);
           } else {
+            const double bonus =
+                lm ? lm_weight * lm->score(ctx.data(), (int32_t)ctx.size(), v) : 0.0;
             const int32_t ext = get_child(node, v);
             BeamProbs& e = next[ext];
-            e.pnb = log_add(e.pnb, total + p);
+            e.pnb = log_add(e.pnb, total + p + bonus);
           }
         }
       }
@@ -381,17 +446,83 @@ struct BeamSearch {
 
 extern "C" {
 
+// ---- n-gram LM lifecycle (consumed by thunder_tpu/text/lm.py) -------------
+
+// Creates an empty stupid-backoff LM; populate with tn_lm_add + tn_lm_finalize.
+void* tn_lm_create(int32_t order, double backoff, double oov_logp) {
+  if (order < 1 || backoff <= 0.0) return nullptr;
+  try {
+    NGramLM* lm = new NGramLM();
+    lm->order = order;
+    lm->log_backoff = std::log(backoff);
+    lm->oov_logp = oov_logp;
+    return lm;
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+// Bulk-adds n n-grams of one length: grams is (n x gram_len) row-major,
+// counts has n entries.  Duplicate grams accumulate.
+int tn_lm_add(void* handle, const int32_t* grams, const int64_t* counts,
+              int64_t n, int32_t gram_len) {
+  NGramLM* lm = static_cast<NGramLM*>(handle);
+  if (!lm || gram_len < 1 || gram_len > lm->order || n < 0) return -1;
+  try {
+    for (int64_t i = 0; i < n; ++i)
+      lm->counts[NGramLM::key_of(grams + i * gram_len, gram_len)] += counts[i];
+    return 0;
+  } catch (...) {
+    return -2;
+  }
+}
+
+// Rebuilds context totals + the unigram denominator from the loaded counts
+// (mirror of NGramLM.fit's from-scratch rebuild, lm.py:54-58).
+int tn_lm_finalize(void* handle) {
+  NGramLM* lm = static_cast<NGramLM*>(handle);
+  if (!lm) return -1;
+  try {
+    lm->context_totals.clear();
+    lm->total_unigrams = 0;
+    for (const auto& kv : lm->counts) {
+      const int32_t glen = (int32_t)(kv.first.size() / sizeof(int32_t));
+      if (glen == 1) {
+        lm->total_unigrams += kv.second;
+      } else {
+        lm->context_totals[kv.first.substr(0, kv.first.size() - sizeof(int32_t))] +=
+            kv.second;
+      }
+    }
+    return 0;
+  } catch (...) {
+    return -2;
+  }
+}
+
+void tn_lm_free(void* handle) { delete static_cast<NGramLM*>(handle); }
+
+double tn_lm_score(void* handle, const int32_t* ctx, int32_t ctx_len, int32_t token) {
+  NGramLM* lm = static_cast<NGramLM*>(handle);
+  if (!lm) return 0.0;
+  return lm->score(ctx, ctx_len, token);
+}
+
 // logp: (T x V) row-major log-softmax (float32).  Writes the best label
 // sequence into out (capacity out_cap) and its total log-prob into
 // *out_score; returns the sequence length, or -1 on error / truncation.
-int64_t tn_ctc_beam_search(const float* logp, int64_t T, int64_t V,
-                           int32_t blank, int32_t beam_width,
-                           float prune_logp, int32_t max_tokens_per_step,
-                           int32_t* out, int64_t out_cap,
-                           double* out_score) {
+// lm (nullable, from tn_lm_create) fuses lm_weight * score per extension.
+int64_t tn_ctc_beam_search_lm(const float* logp, int64_t T, int64_t V,
+                              int32_t blank, int32_t beam_width,
+                              float prune_logp, int32_t max_tokens_per_step,
+                              const void* lm, double lm_weight,
+                              int32_t* out, int64_t out_cap,
+                              double* out_score) {
   try {
     if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
     BeamSearch bs(V, blank, beam_width, prune_logp, max_tokens_per_step);
+    bs.lm = static_cast<const NGramLM*>(lm);
+    bs.lm_weight = lm_weight;
     bs.seed_root();
     bs.run(logp, T);
     auto ranked = bs.ranked_beams();
@@ -410,15 +541,28 @@ int64_t tn_ctc_beam_search(const float* logp, int64_t T, int64_t V,
   }
 }
 
+int64_t tn_ctc_beam_search(const float* logp, int64_t T, int64_t V,
+                           int32_t blank, int32_t beam_width,
+                           float prune_logp, int32_t max_tokens_per_step,
+                           int32_t* out, int64_t out_cap,
+                           double* out_score) {
+  return tn_ctc_beam_search_lm(logp, T, V, blank, beam_width, prune_logp,
+                               max_tokens_per_step, nullptr, 0.0, out, out_cap,
+                               out_score);
+}
+
 // Streaming variant: seeds the search with n_in carried beams (row-major
 // prefixes, stride in_stride, lengths in_lens, blank/non-blank log-probs
 // in_pb/in_pnb; n_in == 0 seeds the root) and, after running the window's T
 // frames, writes up to beam_width surviving beams into the out arrays
 // (stride out_stride).  Returns the number of beams written, or -1 on error
 // (including any surviving prefix longer than out_stride).
-int64_t tn_ctc_beam_search_stream(
+// lm (nullable) fuses lm_weight * score per extension, seeing the FULL
+// carried prefix as context — continuous shallow fusion across windows.
+int64_t tn_ctc_beam_search_stream_lm(
     const float* logp, int64_t T, int64_t V, int32_t blank,
     int32_t beam_width, float prune_logp, int32_t max_tokens_per_step,
+    const void* lm, double lm_weight,
     const int32_t* in_prefixes, const int32_t* in_lens,
     const double* in_pb, const double* in_pnb, int32_t n_in, int64_t in_stride,
     int32_t* out_prefixes, int32_t* out_lens, double* out_pb, double* out_pnb,
@@ -426,6 +570,8 @@ int64_t tn_ctc_beam_search_stream(
   try {
     if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
     BeamSearch bs(V, blank, beam_width, prune_logp, max_tokens_per_step);
+    bs.lm = static_cast<const NGramLM*>(lm);
+    bs.lm_weight = lm_weight;
     if (n_in <= 0) {
       bs.seed_root();
     } else {
@@ -450,6 +596,19 @@ int64_t tn_ctc_beam_search_stream(
   } catch (...) {
     return -1;
   }
+}
+
+int64_t tn_ctc_beam_search_stream(
+    const float* logp, int64_t T, int64_t V, int32_t blank,
+    int32_t beam_width, float prune_logp, int32_t max_tokens_per_step,
+    const int32_t* in_prefixes, const int32_t* in_lens,
+    const double* in_pb, const double* in_pnb, int32_t n_in, int64_t in_stride,
+    int32_t* out_prefixes, int32_t* out_lens, double* out_pb, double* out_pnb,
+    int64_t out_stride) {
+  return tn_ctc_beam_search_stream_lm(
+      logp, T, V, blank, beam_width, prune_logp, max_tokens_per_step, nullptr,
+      0.0, in_prefixes, in_lens, in_pb, in_pnb, n_in, in_stride, out_prefixes,
+      out_lens, out_pb, out_pnb, out_stride);
 }
 
 }  // extern "C"

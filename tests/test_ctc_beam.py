@@ -297,6 +297,82 @@ def test_stream_state_with_lm_carries_prefix_context():
     assert tuple(state.best.tolist()) == (0, 1)
 
 
+# ---------------------------------------------------------------------------
+# native (C++) LM fusion: NGramLM mirrors into tn_lm_*, beam fuses in C++
+# ---------------------------------------------------------------------------
+
+
+def test_native_lm_score_parity():
+    """The C++ stupid-backoff scorer must match the Python NGramLM exactly
+    (same counts, same backoff walk, same OOV floor)."""
+    from thunder_tpu.text.lm import NGramLM
+
+    rng = np.random.default_rng(3)
+    V = 12
+    corpus = [rng.integers(0, V - 1, size=rng.integers(3, 30)).tolist() for _ in range(40)]
+    lm = NGramLM(order=4, backoff=0.3, oov_logp=-9.5).fit(corpus)
+    nat = lm.native()
+    if nat is None:
+        pytest.skip("native library unavailable")
+    for _ in range(300):
+        ctx = rng.integers(0, V - 1, size=rng.integers(0, 7)).tolist()
+        tok = int(rng.integers(0, V - 1))
+        assert nat.score(ctx, tok) == pytest.approx(lm.score(ctx, tok), abs=1e-12)
+
+
+def test_native_lm_fused_beam_matches_numpy():
+    """beam_search_decode / beam_search_stream with an NGramLM must produce
+    identical results on the native path and the numpy reference (the native
+    path fuses the LM inside the C++ search instead of falling back)."""
+    from thunder_tpu.native import native_available
+    from thunder_tpu.ops.ctc_beam import beam_search_stream, log_softmax
+    from thunder_tpu.text.lm import NGramLM
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    V, blank, T = 10, 9, 35
+    corpus = [rng.integers(0, blank, size=rng.integers(3, 20)).tolist() for _ in range(30)]
+    lm = NGramLM(order=3).fit(corpus)
+    logits = (rng.standard_normal((2, T, V)) * 2).astype(np.float32)
+
+    res_nat = beam_search_decode(logits, blank=blank, beam_width=8, lm=lm, lm_weight=0.7)
+    res_np = beam_search_decode(
+        logits, blank=blank, beam_width=8, lm=lm, lm_weight=0.7, use_native=False
+    )
+    for a, b in zip(res_nat, res_np):
+        assert np.array_equal(a, b)
+
+    lp = log_softmax(logits[0])
+    st_nat = st_np = None
+    for chunk in np.array_split(lp, 3):
+        st_nat = beam_search_stream(
+            chunk, blank, beam_width=8, lm=lm, lm_weight=0.7, state=st_nat
+        )
+        st_np = beam_search_stream(
+            chunk, blank, beam_width=8, lm=lm, lm_weight=0.7, state=st_np, use_native=False
+        )
+    assert np.array_equal(st_nat.best, st_np.best)
+    assert st_nat.best_score == pytest.approx(st_np.best_score, abs=1e-9)
+
+
+def test_native_lm_invalidated_by_refit():
+    """fit() after native() must rebuild the C++ mirror with the new counts."""
+    from thunder_tpu.text.lm import NGramLM
+
+    lm = NGramLM(order=2)
+    lm.fit([[1, 2]] * 5)
+    first = lm.native()
+    if first is None:
+        pytest.skip("native library unavailable")
+    before = first.score([1], 2)
+    lm.fit([[1, 3]] * 50)  # incremental corpus shifts P(2|1) down
+    second = lm.native()
+    assert second is not first
+    assert second.score([1], 2) == pytest.approx(lm.score([1], 2), abs=1e-12)
+    assert second.score([1], 2) < before
+
+
 def test_chunked_transcribe_beam_equals_full_utterance():
     """End-to-end done-bar: with a context-free frame classifier (window
     log-probs tile the full utterance's exactly), chunked beam decoding

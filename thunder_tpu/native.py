@@ -25,6 +25,7 @@ __all__ = [
     "native_ctc_collapse",
     "native_ctc_beam_search",
     "native_ctc_beam_search_stream",
+    "NativeNGramLM",
 ]
 
 _LIB_PATH = Path(__file__).parent / "libthunder_native.so"
@@ -73,11 +74,11 @@ def _load():
     # probe the NEWEST symbol: a stale .so from an older source revision must
     # rebuild once so missing symbols surface as ImportError (callers'
     # fallback guard), never as AttributeError mid-call
-    if not hasattr(lib, "tn_ctc_beam_search_stream"):
+    if not hasattr(lib, "tn_lm_create"):
         if not _build():
             raise ImportError("thunder_tpu native library is stale and rebuild failed")
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tn_ctc_beam_search_stream"):
+        if not hasattr(lib, "tn_lm_create"):
             raise ImportError("thunder_tpu native library is stale (missing symbols)")
     lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
     lib.tn_load_wav.restype = ctypes.c_int
@@ -115,7 +116,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.tn_ctc_collapse.restype = ctypes.c_int64
-    lib.tn_ctc_beam_search.argtypes = [
+    lib.tn_ctc_beam_search_lm.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
         ctypes.c_int64,
@@ -123,12 +124,14 @@ def _load():
         ctypes.c_int32,
         ctypes.c_float,
         ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.c_double,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double),
     ]
-    lib.tn_ctc_beam_search.restype = ctypes.c_int64
-    lib.tn_ctc_beam_search_stream.argtypes = [
+    lib.tn_ctc_beam_search_lm.restype = ctypes.c_int64
+    lib.tn_ctc_beam_search_stream_lm.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
         ctypes.c_int64,
@@ -136,6 +139,8 @@ def _load():
         ctypes.c_int32,
         ctypes.c_float,
         ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.c_double,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_double),
@@ -148,7 +153,28 @@ def _load():
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
     ]
-    lib.tn_ctc_beam_search_stream.restype = ctypes.c_int64
+    lib.tn_ctc_beam_search_stream_lm.restype = ctypes.c_int64
+    lib.tn_lm_create.argtypes = [ctypes.c_int32, ctypes.c_double, ctypes.c_double]
+    lib.tn_lm_create.restype = ctypes.c_void_p
+    lib.tn_lm_add.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.tn_lm_add.restype = ctypes.c_int
+    lib.tn_lm_finalize.argtypes = [ctypes.c_void_p]
+    lib.tn_lm_finalize.restype = ctypes.c_int
+    lib.tn_lm_free.argtypes = [ctypes.c_void_p]
+    lib.tn_lm_free.restype = None
+    lib.tn_lm_score.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.tn_lm_score.restype = ctypes.c_double
     return lib
 
 
@@ -249,6 +275,62 @@ def native_ctc_collapse(ids: np.ndarray) -> np.ndarray:
     return out[:m].copy()
 
 
+class NativeNGramLM:
+    """Owned handle to a C++ stupid-backoff n-gram LM (tn_lm_* ABI).
+
+    Built from the pure-Python :class:`thunder_tpu.text.lm.NGramLM`'s count
+    tables so the C++ beam search can fuse LM scores without calling back
+    into Python per extension.  Score parity with the Python scorer is pinned
+    in tests/test_ctc_beam.py.
+    """
+
+    def __init__(self, order: int, backoff: float, oov_logp: float):
+        if _lib is None:
+            raise ImportError("thunder_tpu native library unavailable")
+        self._handle = _lib.tn_lm_create(int(order), float(backoff), float(oov_logp))
+        if not self._handle:
+            raise ValueError("tn_lm_create failed (order must be >= 1, backoff > 0)")
+
+    @classmethod
+    def from_counts(cls, order: int, backoff: float, oov_logp: float, counts_by_len):
+        """Build from ``{gram_len: {gram_tuple: count}}`` (NGramLM._counts)."""
+        lm = cls(order, backoff, oov_logp)
+        for gram_len, table in counts_by_len.items():
+            if not table:
+                continue
+            grams = np.ascontiguousarray(list(table.keys()), dtype=np.int32)
+            counts = np.ascontiguousarray(list(table.values()), dtype=np.int64)
+            rc = _lib.tn_lm_add(
+                lm._handle,
+                grams.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(counts),
+                int(gram_len),
+            )
+            if rc != 0:
+                raise ValueError(f"tn_lm_add failed ({rc}) for gram_len={gram_len}")
+        if _lib.tn_lm_finalize(lm._handle) != 0:
+            raise ValueError("tn_lm_finalize failed")
+        return lm
+
+    def score(self, context, token: int) -> float:
+        ctx = np.ascontiguousarray(context, dtype=np.int32)
+        return float(
+            _lib.tn_lm_score(
+                self._handle,
+                ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(ctx),
+                int(token),
+            )
+        )
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle and _lib is not None:
+            _lib.tn_lm_free(handle)
+            self._handle = None
+
+
 def native_ctc_beam_search(
     logp: np.ndarray,
     blank: int,
@@ -256,12 +338,15 @@ def native_ctc_beam_search(
     prune_logp: float = float("-inf"),
     max_tokens_per_step: int = 0,
     return_score: bool = False,
+    lm: "NativeNGramLM" = None,
+    lm_weight: float = 0.0,
 ):
     """CTC prefix beam search over one utterance's (T, V) log-softmax.
 
     Returns the best collapsed label sequence (int32 array), optionally with
     its total log-probability; ``None`` if the native library is missing or
     errors (callers fall back to the numpy reference in ops/ctc_beam.py).
+    ``lm`` (a :class:`NativeNGramLM`) fuses shallow LM scores in C++.
     """
     if _lib is None:
         return None
@@ -274,7 +359,7 @@ def native_ctc_beam_search(
     pl = float(prune_logp)
     if pl == float("-inf"):
         pl = -3.0e38
-    n = _lib.tn_ctc_beam_search(
+    n = _lib.tn_ctc_beam_search_lm(
         logp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         t,
         v,
@@ -282,6 +367,8 @@ def native_ctc_beam_search(
         int(beam_width),
         pl,
         int(max_tokens_per_step or 0),
+        lm._handle if lm is not None else None,
+        float(lm_weight),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(out),
         ctypes.byref(score),
@@ -299,6 +386,8 @@ def native_ctc_beam_search_stream(
     prune_logp: float = float("-inf"),
     max_tokens_per_step: int = 0,
     in_beams=None,
+    lm: "NativeNGramLM" = None,
+    lm_weight: float = 0.0,
 ):
     """Advance carried prefix-beam state over one (T, V) log-softmax window.
 
@@ -306,6 +395,8 @@ def native_ctc_beam_search_stream(
     previous window (``None``/empty seeds the root beam).  Returns the
     surviving beams best-first in the same format, or ``None`` if the native
     library is missing or errors (callers fall back to the numpy reference).
+    ``lm`` (a :class:`NativeNGramLM`) fuses shallow LM scores in C++, seeing
+    the full carried prefix as context.
     """
     if _lib is None:
         return None
@@ -332,7 +423,7 @@ def native_ctc_beam_search_stream(
     pl = float(prune_logp)
     if pl == float("-inf"):
         pl = -3.0e38
-    n = _lib.tn_ctc_beam_search_stream(
+    n = _lib.tn_ctc_beam_search_stream_lm(
         logp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         t,
         v,
@@ -340,6 +431,8 @@ def native_ctc_beam_search_stream(
         int(beam_width),
         pl,
         int(max_tokens_per_step or 0),
+        lm._handle if lm is not None else None,
+        float(lm_weight),
         in_prefixes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         in_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         in_pb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

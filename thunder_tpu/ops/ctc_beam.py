@@ -179,12 +179,15 @@ def beam_search_stream(
     tests/test_ctc_beam.py).  LM fusion also improves: the scorer sees the
     full carried prefix, not a chunk-local fragment.
 
-    Uses the C++ runtime (``tn_ctc_beam_search_stream``) when available and
-    no LM is fused; falls back to the numpy reference.
+    Uses the C++ runtime (``tn_ctc_beam_search_stream``) when available —
+    including LM fusion when ``lm`` is an :class:`~thunder_tpu.text.lm.NGramLM`
+    (its counts mirror into a C++ scorer, ``NGramLM.native()``); only
+    arbitrary Python ``lm`` callables fall back to the numpy reference.
     """
     state = state or BeamState()
     logp = np.asarray(logp, np.float32)
-    if use_native and lm is None:
+    native_lm = lm.native() if (lm is not None and hasattr(lm, "native")) else None
+    if use_native and (lm is None or native_lm is not None):
         try:
             from thunder_tpu.native import native_ctc_beam_search_stream
         except ImportError:
@@ -197,6 +200,8 @@ def beam_search_stream(
                 prune_logp,
                 max_tokens_per_step=max_tokens_per_step,
                 in_beams=[(np.asarray(p, np.int32), pb, pnb) for p, (pb, pnb) in state.beams.items()],
+                lm=native_lm,
+                lm_weight=lm_weight if native_lm is not None else 0.0,
             )
             if res is not None:
                 return BeamState({tuple(int(x) for x in p): (pb, pnb) for p, pb, pnb in res})
@@ -241,7 +246,10 @@ def beam_search_decode(
     logp = log_softmax(logits)
 
     native = None
-    if use_native and lm is None:  # LM fusion runs the python scorer
+    native_lm = lm.native() if (lm is not None and hasattr(lm, "native")) else None
+    if use_native and (lm is None or native_lm is not None):
+        # NGramLM mirrors into a C++ scorer; arbitrary Python lm callables
+        # run the numpy reference (the only path that can call back into them)
         try:
             from thunder_tpu.native import native_ctc_beam_search
 
@@ -253,7 +261,15 @@ def beam_search_decode(
     for b in range(B):
         lp = logp[b, : int(lengths[b])]
         if native is not None:
-            ids = native(lp, blank, beam_width, prune_logp, max_tokens_per_step=max_tokens_per_step)
+            ids = native(
+                lp,
+                blank,
+                beam_width,
+                prune_logp,
+                max_tokens_per_step=max_tokens_per_step,
+                lm=native_lm,
+                lm_weight=lm_weight if native_lm is not None else 0.0,
+            )
             if ids is not None:
                 out.append(ids)
                 continue

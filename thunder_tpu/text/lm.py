@@ -39,8 +39,10 @@ class NGramLM:
         }
         self._context_totals: Dict[Tuple[int, ...], int] = defaultdict(int)
         self._total_unigrams = 0
+        self._native = None  # lazily-built C++ mirror (see native())
 
     def fit(self, sequences: Iterable[Sequence[int]]) -> "NGramLM":
+        self._native = None  # counts change: any built C++ mirror is stale
         for seq in sequences:
             seq = tuple(int(t) for t in seq)
             for i in range(len(seq)):
@@ -96,3 +98,24 @@ class NGramLM:
 
     def __call__(self, context: Sequence[int], token: int) -> float:
         return self.score(context, token)
+
+    def native(self):
+        """C++ mirror of this LM for in-beam fusion (``None`` if unavailable).
+
+        Built lazily from the count tables and cached; ``fit()`` invalidates
+        it.  With a native mirror, :func:`ops.ctc_beam.beam_search_decode` /
+        ``beam_search_stream`` fuse LM scores inside the C++ beam search
+        (~20x the numpy path) instead of calling this object per extension.
+        """
+        if self._native is None:
+            try:
+                from thunder_tpu.native import NativeNGramLM
+            except ImportError:
+                return None
+            try:
+                self._native = NativeNGramLM.from_counts(
+                    self.order, self.backoff, self.oov_logp, self._counts
+                )
+            except (ValueError, ImportError):
+                return None
+        return self._native
