@@ -356,6 +356,43 @@ def test_native_lm_fused_beam_matches_numpy():
     assert st_nat.best_score == pytest.approx(st_np.best_score, abs=1e-9)
 
 
+def test_native_batch_beam_matches_per_sample():
+    """The threaded batch entry point must equal per-sample searches exactly,
+    including ragged lengths and LM fusion, for any thread count."""
+    from thunder_tpu.native import (
+        native_available,
+        native_ctc_beam_search,
+        native_ctc_beam_search_batch,
+    )
+    from thunder_tpu.ops.ctc_beam import log_softmax
+    from thunder_tpu.text.lm import NGramLM
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    B, T, V, blank = 7, 60, 11, 10
+    logp = log_softmax((rng.standard_normal((B, T, V)) * 2).astype(np.float32))
+    lengths = rng.integers(1, T + 1, size=B).tolist()
+    lm = NGramLM(order=2).fit([rng.integers(0, blank, size=15).tolist() for _ in range(20)])
+    nat_lm = lm.native()
+
+    for use_lm in (False, True):
+        kw = dict(lm=nat_lm, lm_weight=0.4) if use_lm else {}
+        single = [
+            native_ctc_beam_search(
+                logp[b, : lengths[b]], blank, 8, -12.0, max_tokens_per_step=50, **kw
+            )
+            for b in range(B)
+        ]
+        for n_threads in (1, 4):
+            batch = native_ctc_beam_search_batch(
+                logp, lengths, blank, 8, -12.0,
+                max_tokens_per_step=50, n_threads=n_threads, **kw,
+            )
+            assert batch is not None
+            assert all(np.array_equal(a, b) for a, b in zip(batch, single)), (use_lm, n_threads)
+
+
 def test_native_lm_invalidated_by_refit():
     """fit() after native() must rebuild the C++ mirror with the new counts."""
     from thunder_tpu.text.lm import NGramLM

@@ -24,6 +24,7 @@ __all__ = [
     "native_edit_distance",
     "native_ctc_collapse",
     "native_ctc_beam_search",
+    "native_ctc_beam_search_batch",
     "native_ctc_beam_search_stream",
     "NativeNGramLM",
 ]
@@ -53,7 +54,7 @@ def _build() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", str(_LIB_PATH), str(_SRC)],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread", "-o", str(_LIB_PATH), str(_SRC)],
             check=True,
             capture_output=True,
             timeout=120,
@@ -74,11 +75,11 @@ def _load():
     # probe the NEWEST symbol: a stale .so from an older source revision must
     # rebuild once so missing symbols surface as ImportError (callers'
     # fallback guard), never as AttributeError mid-call
-    if not hasattr(lib, "tn_lm_create"):
+    if not hasattr(lib, "tn_ctc_beam_search_batch"):
         if not _build():
             raise ImportError("thunder_tpu native library is stale and rebuild failed")
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tn_lm_create"):
+        if not hasattr(lib, "tn_ctc_beam_search_batch"):
             raise ImportError("thunder_tpu native library is stale (missing symbols)")
     lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
     lib.tn_load_wav.restype = ctypes.c_int
@@ -154,6 +155,24 @@ def _load():
         ctypes.c_int64,
     ]
     lib.tn_ctc_beam_search_stream_lm.restype = ctypes.c_int64
+    lib.tn_ctc_beam_search_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
+    lib.tn_ctc_beam_search_batch.restype = ctypes.c_int64
     lib.tn_lm_create.argtypes = [ctypes.c_int32, ctypes.c_double, ctypes.c_double]
     lib.tn_lm_create.restype = ctypes.c_void_p
     lib.tn_lm_add.argtypes = [
@@ -377,6 +396,57 @@ def native_ctc_beam_search(
         return None
     ids = out[:n].copy()
     return (ids, score.value) if return_score else ids
+
+
+def native_ctc_beam_search_batch(
+    logp: np.ndarray,
+    lengths,
+    blank: int,
+    beam_width: int = 16,
+    prune_logp: float = float("-inf"),
+    max_tokens_per_step: int = 0,
+    lm: "NativeNGramLM" = None,
+    lm_weight: float = 0.0,
+    n_threads: int = 0,
+):
+    """Batched CTC prefix beam search over (B, T, V) log-softmax, threaded
+    over samples in C++ (n_threads <= 0 uses all cores).
+
+    Returns a list of B best label sequences (int32 arrays), or ``None`` if
+    the native library is missing or any sample fails (callers fall back to
+    the per-sample numpy reference).
+    """
+    if _lib is None:
+        return None
+    logp = np.ascontiguousarray(logp, dtype=np.float32)
+    b, t, v = logp.shape
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    out_stride = t + 1
+    out = np.empty((b, out_stride), np.int32)
+    out_lens = np.empty((b,), np.int64)
+    pl = float(prune_logp)
+    if pl == float("-inf"):
+        pl = -3.0e38
+    rc = _lib.tn_ctc_beam_search_batch(
+        logp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b,
+        t,
+        v,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(blank),
+        int(beam_width),
+        pl,
+        int(max_tokens_per_step or 0),
+        lm._handle if lm is not None else None,
+        float(lm_weight),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_stride,
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(n_threads),
+    )
+    if rc != 0 or (out_lens < 0).any():
+        return None
+    return [out[i, : out_lens[i]].copy() for i in range(b)]
 
 
 def native_ctc_beam_search_stream(

@@ -245,24 +245,20 @@ def beam_search_decode(
         lengths = [T] * B
     logp = log_softmax(logits)
 
-    native = None
     native_lm = lm.native() if (lm is not None and hasattr(lm, "native")) else None
     if use_native and (lm is None or native_lm is not None):
         # NGramLM mirrors into a C++ scorer; arbitrary Python lm callables
-        # run the numpy reference (the only path that can call back into them)
+        # run the numpy reference (the only path that can call back into them).
+        # The batch entry point threads the independent per-sample searches
+        # over host cores — beam decode stays off the serving critical path.
         try:
-            from thunder_tpu.native import native_ctc_beam_search
-
-            native = native_ctc_beam_search
+            from thunder_tpu.native import native_ctc_beam_search_batch
         except ImportError:
-            native = None
-
-    out = []
-    for b in range(B):
-        lp = logp[b, : int(lengths[b])]
-        if native is not None:
-            ids = native(
-                lp,
+            pass
+        else:
+            res = native_ctc_beam_search_batch(
+                logp,
+                lengths,
                 blank,
                 beam_width,
                 prune_logp,
@@ -270,9 +266,12 @@ def beam_search_decode(
                 lm=native_lm,
                 lm_weight=lm_weight if native_lm is not None else 0.0,
             )
-            if ids is not None:
-                out.append(ids)
-                continue
+            if res is not None:
+                return res
+
+    out = []
+    for b in range(B):
+        lp = logp[b, : int(lengths[b])]
         hyps = prefix_beam_search(lp, blank, beam_width, prune_logp, max_tokens_per_step, lm=lm, lm_weight=lm_weight)
         best = hyps[0][0] if hyps else ()
         out.append(np.asarray(best, np.int32))
