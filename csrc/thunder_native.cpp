@@ -250,26 +250,38 @@ struct BeamProbs {
   double pnb = kNegInf;  // ends in non-blank
 };
 
-// Stupid-backoff n-gram LM over int32 token ids (Brants et al., 2007),
-// the native mirror of thunder_tpu/text/lm.py:NGramLM — so shallow fusion
-// (lm_weight * score per prefix extension) can run inside the C++ beam
-// search instead of forcing the numpy fallback.  Counts are loaded from
-// Python (NGramLM.fit already owns corpus handling); n-grams key a hash map
-// by their raw id bytes (order<=4 grams fit std::string's SSO buffer).
+// N-gram LM over int32 token ids, the native mirror of the scorers in
+// thunder_tpu/text/lm.py — so shallow fusion (lm_weight * score per prefix
+// extension) can run inside the C++ beam search instead of forcing the
+// numpy fallback.  Two modes:
+//   kCounts — stupid backoff over raw counts (NGramLM; Brants et al., 2007)
+//   kArpa   — Katz backoff over explicit (ln P, ln bow) entries (ArpaLM,
+//             loaded from the KenLM/SRILM ARPA interchange format)
+// Tables are loaded from Python; n-grams key a hash map by their raw id
+// bytes (order<=4 grams fit std::string's SSO buffer).
+// magic tags let the beam entry points accept either scorer kind through
+// one void* parameter (first int32 of the struct identifies it)
+constexpr int32_t kLmMagic = 0x544E4C4D;  // "MLNT"
+constexpr int32_t kWfMagic = 0x544E5746;  // "FWNT"
+
 struct NGramLM {
+  const int32_t magic = kLmMagic;
+  enum Mode { kCounts = 0, kArpa = 1 };
+  Mode mode = kCounts;
   int32_t order = 1;
-  double log_backoff = 0.0;
-  double oov_logp = -12.0;
+  double log_backoff = 0.0;  // kCounts: per-level penalty
+  double oov_logp = -12.0;   // floor (kArpa: used when no <unk> entry)
+  int32_t unk_id = -1;       // kArpa: <unk> vocab id, -1 if absent
   std::unordered_map<std::string, int64_t> counts;          // grams of every length
   std::unordered_map<std::string, int64_t> context_totals;  // contexts of len>=2 grams
   int64_t total_unigrams = 0;
+  struct ArpaEntry { double logp, bow; };
+  std::unordered_map<std::string, ArpaEntry> arpa;
 
   static std::string key_of(const int32_t* ids, int32_t n) {
     return std::string(reinterpret_cast<const char*>(ids), (size_t)n * sizeof(int32_t));
   }
 
-  // log P(token | ctx) with stupid backoff: longest matching context wins,
-  // log(backoff) penalty per level skipped, oov floor at the unigram level.
   double score(const int32_t* ctx, int32_t ctx_len, int32_t token) const {
     if (ctx_len > order - 1) {
       ctx += ctx_len - (order - 1);
@@ -278,6 +290,12 @@ struct NGramLM {
     if (ctx_len < 0) ctx_len = 0;
     std::vector<int32_t> gram(ctx, ctx + ctx_len);
     gram.push_back(token);
+    return mode == kArpa ? score_arpa(gram) : score_counts(gram);
+  }
+
+  // stupid backoff: longest matching context wins, log(backoff) penalty per
+  // level skipped, oov floor at the unigram level.
+  double score_counts(std::vector<int32_t>& gram) const {
     int32_t start = 0;
     double penalty = 0.0;
     while (true) {
@@ -298,6 +316,58 @@ struct NGramLM {
       penalty += log_backoff;
     }
   }
+
+  // Katz backoff: explicit ln P when the gram is listed, else the context's
+  // backoff weight plus the lower-order score; unknown tokens (-1) bottom
+  // out at <unk>'s unigram or the oov floor.  Mirror of ArpaLM.score_ids.
+  double score_arpa(std::vector<int32_t>& gram) const {
+    const int32_t token = gram.back();
+    int32_t start = 0;
+    double penalty = 0.0;
+    while (true) {
+      const int32_t glen = (int32_t)gram.size() - start;
+      if (token >= 0) {
+        auto it = arpa.find(key_of(gram.data() + start, glen));
+        if (it != arpa.end()) return penalty + it->second.logp;
+      }
+      if (glen <= 1) {
+        if (token != unk_id && unk_id >= 0) {
+          auto unk = arpa.find(key_of(&unk_id, 1));
+          if (unk != arpa.end()) return penalty + unk->second.logp;
+        }
+        return penalty + oov_logp;
+      }
+      auto bo = arpa.find(key_of(gram.data() + start, glen - 1));
+      if (bo != arpa.end()) penalty += bo->second.bow;
+      ++start;
+    }
+  }
+};
+
+// Word-level shallow fusion config (mirror of text/word_fusion.py:
+// WordFusionLM): scores a completed word against the word history whenever
+// a candidate token closes a word boundary.  The word LM is an NGramLM in
+// either mode (counts / ARPA).
+struct WordFusion {
+  const int32_t magic = kWfMagic;
+  const NGramLM* wlm = nullptr;
+  int32_t style = 0;     // 0 = char + separator token, 1 = sentencepiece
+  int32_t space_id = -1; // style 0: the separator token id
+  int32_t bos_id = -1;   // seed word history (-1 = none)
+  int32_t unk_id = -1;   // history/scoring id for OOV words (-1 = opaque)
+  std::vector<std::string> pieces;               // token id -> text (UTF-8)
+  std::unordered_map<std::string, int32_t> word_ids;  // word -> LM vocab id
+
+  int32_t lookup(const std::string& word) const {
+    auto it = word_ids.find(word);
+    return it != word_ids.end() ? it->second : unk_id;
+  }
+
+  static bool sp_start(const std::string& piece) {
+    // "▁" is 0xE2 0x96 0x81 in UTF-8
+    return piece.size() >= 3 && (uint8_t)piece[0] == 0xE2 &&
+           (uint8_t)piece[1] == 0x96 && (uint8_t)piece[2] == 0x81;
+  }
 };
 
 // Prefix beam search over a label trie.  Reusable across windows: seed the
@@ -308,7 +378,8 @@ struct BeamSearch {
   int32_t blank, beam_width;
   float prune_logp;
   int32_t max_tokens_per_step;
-  const NGramLM* lm = nullptr;  // optional shallow fusion
+  const NGramLM* lm = nullptr;  // optional token-level shallow fusion
+  const WordFusion* wf = nullptr;  // optional word-level shallow fusion
   double lm_weight = 0.0;
 
   // trie: node 0 is the empty prefix
@@ -317,10 +388,41 @@ struct BeamSearch {
   std::unordered_map<int64_t, int32_t> child;  // (node * V + tok) -> node
   std::unordered_map<int32_t, BeamProbs> beams;
 
+  // word-fusion state per trie node (only populated when wf is set)
+  struct WfState {
+    std::vector<int32_t> hist;  // last order-1 completed word ids
+    std::string partial;        // word under construction (UTF-8)
+  };
+  std::vector<WfState> wstate;
+
   BeamSearch(int64_t V, int32_t blank, int32_t beam_width, float prune_logp,
              int32_t max_tokens_per_step)
       : V(V), blank(blank), beam_width(beam_width), prune_logp(prune_logp),
         max_tokens_per_step(max_tokens_per_step) {}
+
+  // Attach a scorer (called before seeding; the root's word state depends
+  // on it).  A kLmMagic handle is token-level, kWfMagic word-level.
+  void set_scorer(const void* scorer, double weight) {
+    lm_weight = weight;
+    if (!scorer) return;
+    const int32_t m = *static_cast<const int32_t*>(scorer);
+    if (m == kWfMagic) {
+      wf = static_cast<const WordFusion*>(scorer);
+      WfState root;
+      if (wf->bos_id >= 0) root.hist.push_back(wf->bos_id);
+      wstate.push_back(std::move(root));
+    } else {
+      lm = static_cast<const NGramLM*>(scorer);
+    }
+  }
+
+  void push_word(WfState& st) const {
+    st.hist.push_back(wf->lookup(st.partial));
+    const size_t keep = wf->wlm->order > 1 ? (size_t)(wf->wlm->order - 1) : 0;
+    if (st.hist.size() > keep)
+      st.hist.erase(st.hist.begin(), st.hist.end() - keep);
+    st.partial.clear();
+  }
 
   int32_t get_child(int32_t node, int32_t tok) {
     const int64_t key = static_cast<int64_t>(node) * V + tok;
@@ -330,7 +432,38 @@ struct BeamSearch {
     parent.push_back(node);
     token.push_back(tok);
     child.emplace(key, id);
+    if (wf) {  // derive the child's word state from the parent's
+      WfState st = wstate[node];
+      const std::string& piece = wf->pieces[tok];
+      if (wf->style == 0) {
+        if (tok == wf->space_id) {
+          if (!st.partial.empty()) push_word(st);
+        } else {
+          st.partial += piece;
+        }
+      } else if (WordFusion::sp_start(piece)) {
+        if (!st.partial.empty()) push_word(st);
+        st.partial.assign(piece, 3, std::string::npos);
+      } else {
+        st.partial += piece;
+      }
+      wstate.push_back(std::move(st));
+    }
     return id;
+  }
+
+  // bonus for extending `node`'s prefix with token v: the word LM score of
+  // the completed word, or 0 when v does not close a word boundary
+  double wf_bonus(int32_t node, int32_t v) const {
+    const WfState& st = wstate[node];
+    if (st.partial.empty()) return 0.0;
+    if (wf->style == 0) {
+      if (v != wf->space_id) return 0.0;
+    } else if (!WordFusion::sp_start(wf->pieces[v])) {
+      return 0.0;
+    }
+    return wf->wlm->score(st.hist.data(), (int32_t)st.hist.size(),
+                          wf->lookup(st.partial));
   }
 
   void seed_root() { beams[0] = BeamProbs{0.0, kNegInf}; }
@@ -396,17 +529,18 @@ struct BeamSearch {
           if (v == blank) {
             BeamProbs& tgt = next[node];
             tgt.pb = log_add(tgt.pb, total + p);
-          } else if (v == last) {
-            const double bonus =
-                lm ? lm_weight * lm->score(ctx.data(), (int32_t)ctx.size(), v) : 0.0;
+            continue;
+          }
+          double bonus = 0.0;
+          if (lm) bonus = lm_weight * lm->score(ctx.data(), (int32_t)ctx.size(), v);
+          else if (wf) bonus = lm_weight * wf_bonus(node, v);
+          if (v == last) {
             BeamProbs& same = next[node];
             same.pnb = log_add(same.pnb, pnb + p);
             const int32_t ext = get_child(node, v);
             BeamProbs& e = next[ext];
             e.pnb = log_add(e.pnb, pb + p + bonus);
           } else {
-            const double bonus =
-                lm ? lm_weight * lm->score(ctx.data(), (int32_t)ctx.size(), v) : 0.0;
             const int32_t ext = get_child(node, v);
             BeamProbs& e = next[ext];
             e.pnb = log_add(e.pnb, total + p + bonus);
@@ -505,7 +639,81 @@ int tn_lm_finalize(void* handle) {
   }
 }
 
+// Creates an empty Katz-backoff (ARPA-mode) LM; populate with tn_lm_add_arpa.
+// No finalize step is needed (entries carry explicit probabilities).
+void* tn_lm_create_arpa(int32_t order, double unk_logp, int32_t unk_id) {
+  if (order < 1) return nullptr;
+  try {
+    NGramLM* lm = new NGramLM();
+    lm->mode = NGramLM::kArpa;
+    lm->order = order;
+    lm->oov_logp = unk_logp;
+    lm->unk_id = unk_id;
+    return lm;
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+// Bulk-adds n ARPA entries of one length: grams is (n x gram_len) row-major,
+// logps/bows have n entries each (natural log).
+int tn_lm_add_arpa(void* handle, const int32_t* grams, const double* logps,
+                   const double* bows, int64_t n, int32_t gram_len) {
+  NGramLM* lm = static_cast<NGramLM*>(handle);
+  if (!lm || lm->mode != NGramLM::kArpa || gram_len < 1 || gram_len > lm->order ||
+      n < 0)
+    return -1;
+  try {
+    for (int64_t i = 0; i < n; ++i)
+      lm->arpa[NGramLM::key_of(grams + i * gram_len, gram_len)] =
+          NGramLM::ArpaEntry{logps[i], bows[i]};
+    return 0;
+  } catch (...) {
+    return -2;
+  }
+}
+
 void tn_lm_free(void* handle) { delete static_cast<NGramLM*>(handle); }
+
+// Word-fusion config around an existing word-level LM handle (tn_lm_*).
+// pieces_blob/piece_offsets: n_tokens+1 offsets into the UTF-8 blob mapping
+// each acoustic-vocab token id to its text ("" for specials/blank).
+// words_blob/word_offsets: the word LM's vocabulary in id order (word i ->
+// LM id i).  The fusion handle does NOT own word_lm — the caller keeps it
+// alive (Python side holds a reference).
+void* tn_wfusion_create(void* word_lm, int32_t style, int32_t space_id,
+                        int32_t bos_id, int32_t unk_id,
+                        const char* pieces_blob, const int64_t* piece_offsets,
+                        int32_t n_tokens, const char* words_blob,
+                        const int64_t* word_offsets, int32_t n_words) {
+  NGramLM* wlm = static_cast<NGramLM*>(word_lm);
+  if (!wlm || wlm->magic != kLmMagic) return nullptr;
+  if (style != 0 && style != 1) return nullptr;
+  if (style == 0 && space_id < 0) return nullptr;
+  try {
+    WordFusion* wfp = new WordFusion();
+    wfp->wlm = wlm;
+    wfp->style = style;
+    wfp->space_id = space_id;
+    wfp->bos_id = bos_id;
+    wfp->unk_id = unk_id;
+    wfp->pieces.reserve(n_tokens);
+    for (int32_t i = 0; i < n_tokens; ++i)
+      wfp->pieces.emplace_back(pieces_blob + piece_offsets[i],
+                               (size_t)(piece_offsets[i + 1] - piece_offsets[i]));
+    wfp->word_ids.reserve((size_t)n_words * 2);
+    for (int32_t i = 0; i < n_words; ++i)
+      wfp->word_ids.emplace(
+          std::string(words_blob + word_offsets[i],
+                      (size_t)(word_offsets[i + 1] - word_offsets[i])),
+          i);
+    return wfp;
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void tn_wfusion_free(void* handle) { delete static_cast<WordFusion*>(handle); }
 
 double tn_lm_score(void* handle, const int32_t* ctx, int32_t ctx_len, int32_t token) {
   NGramLM* lm = static_cast<NGramLM*>(handle);
@@ -526,8 +734,8 @@ int64_t tn_ctc_beam_search_lm(const float* logp, int64_t T, int64_t V,
   try {
     if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
     BeamSearch bs(V, blank, beam_width, prune_logp, max_tokens_per_step);
-    bs.lm = static_cast<const NGramLM*>(lm);
-    bs.lm_weight = lm_weight;
+    bs.set_scorer(lm, lm_weight);
+    if (bs.wf && (int64_t)bs.wf->pieces.size() < V) return -1;
     bs.seed_root();
     bs.run(logp, T);
     auto ranked = bs.ranked_beams();
@@ -575,8 +783,8 @@ int64_t tn_ctc_beam_search_stream_lm(
   try {
     if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
     BeamSearch bs(V, blank, beam_width, prune_logp, max_tokens_per_step);
-    bs.lm = static_cast<const NGramLM*>(lm);
-    bs.lm_weight = lm_weight;
+    bs.set_scorer(lm, lm_weight);
+    if (bs.wf && (int64_t)bs.wf->pieces.size() < V) return -1;
     if (n_in <= 0) {
       bs.seed_root();
     } else {
@@ -647,8 +855,8 @@ int64_t tn_ctc_beam_search_batch(
         const int64_t Tb = lengths ? lengths[b] : T;
         if (Tb < 0 || Tb > T) { out_lens[b] = -1; continue; }
         BeamSearch bs(V, blank, beam_width, prune_logp, max_tokens_per_step);
-        bs.lm = static_cast<const NGramLM*>(lm);
-        bs.lm_weight = lm_weight;
+        bs.set_scorer(lm, lm_weight);
+        if (bs.wf && (int64_t)bs.wf->pieces.size() < V) { out_lens[b] = -1; continue; }
         bs.seed_root();
         bs.run(logp + b * T * V, Tb);
         auto ranked = bs.ranked_beams();

@@ -1,0 +1,279 @@
+"""ARPA LM loading + word-level shallow fusion (beyond-parity serving).
+
+The reference decodes greedily only (/root/reference/src/thunder/module.py:88-100);
+these cover the word-LM decode stack: ArpaLM (Katz backoff, KenLM format),
+WordNGramLM, the WordFusionLM boundary adapter, and the native C++ mirrors.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from thunder_tpu.ops.ctc_beam import (
+    beam_search_decode,
+    beam_search_stream,
+    log_softmax,
+    prefix_beam_search,
+)
+from thunder_tpu.text.lm import ArpaLM
+from thunder_tpu.text.transform import BatchTextTransformer
+from thunder_tpu.text.word_fusion import WordFusionLM, WordNGramLM
+
+L10 = math.log(10.0)
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=4
+ngram 3=2
+
+\\1-grams:
+-1.0 <s> -0.30103
+-0.7 the -0.2
+-0.9 cat -0.15
+-1.2 sat
+-2.0 <unk>
+
+\\2-grams:
+-0.3 <s> the -0.1
+-0.5 the cat -0.05
+-0.8 cat sat
+-1.1 sat the
+
+\\3-grams:
+-0.2 <s> the cat
+-0.6 the cat sat
+
+\\end\\
+"""
+
+
+@pytest.fixture()
+def arpa_lm(tmp_path):
+    path = tmp_path / "test.arpa"
+    path.write_text(ARPA)
+    return ArpaLM.load(path)
+
+
+# ---------------------------------------------------------------------------
+# ArpaLM: Katz-backoff scoring
+# ---------------------------------------------------------------------------
+
+
+def test_arpa_scoring(arpa_lm):
+    lm = arpa_lm
+    assert lm.order == 3
+    # explicit trigram
+    assert lm.score(["<s>", "the"], "cat") == pytest.approx(-0.2 * L10)
+    # backoff: trigram (the,cat,the) missing -> bow("the cat") + bigram
+    # (cat,the) missing -> bow("cat") + unigram "the"
+    want = (-0.05 + -0.15 + -0.7) * L10
+    assert lm.score(["the", "cat"], "the") == pytest.approx(want)
+    # OOV word walks to the <unk> unigram through the same bow chain
+    want = (-0.05 + -0.15 + -2.0) * L10
+    assert lm.score(["the", "cat"], "zebra") == pytest.approx(want)
+    # context with an unknown word backs off silently (no bow for it)
+    assert lm.score(["zebra"], "the") == pytest.approx(-0.7 * L10)
+
+
+def test_arpa_gzip_load(arpa_lm, tmp_path):
+    import gzip
+
+    gz = tmp_path / "test.arpa.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(ARPA)
+    lm2 = ArpaLM.load(gz)
+    assert lm2.score(["<s>", "the"], "cat") == arpa_lm.score(["<s>", "the"], "cat")
+
+
+def test_arpa_native_score_parity(arpa_lm):
+    nat = arpa_lm.native()
+    if nat is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    V = len(arpa_lm.words)
+    for _ in range(500):
+        ctx = [c for c in rng.integers(-1, V, size=rng.integers(0, 5)).tolist() if c >= 0]
+        tok = int(rng.integers(-1, V))
+        py = arpa_lm.score_ids(ctx, tok if tok >= 0 else None)
+        assert nat.score(ctx, tok) == pytest.approx(py, abs=1e-12), (ctx, tok)
+
+
+# ---------------------------------------------------------------------------
+# WordFusionLM: boundary mechanics
+# ---------------------------------------------------------------------------
+
+
+def test_fusion_state_char_style():
+    tt = BatchTextTransformer(tokens=list("abct "))
+    wlm = WordNGramLM(order=2).fit(["cat cab", "cat a"])
+    fus = WordFusionLM(wlm, tt)
+    assert fus.style == "char"
+    ids = [tt.vocab.stoi[c] for c in "cat c"]
+    hist, partial = fus.state_of(ids)
+    assert partial == "c"
+    assert [wlm.words[h] for h in hist] == ["cat"]
+    # non-boundary tokens contribute no bonus
+    assert fus(ids, tt.vocab.stoi["a"]) == 0.0
+    # completing a known word scores better than an OOV word
+    known = fus([tt.vocab.stoi[c] for c in "cat cab"], fus.space_id)
+    oov = fus([tt.vocab.stoi[c] for c in "cat cbt"], fus.space_id)
+    assert known > oov
+    # double space: second space sees an empty partial -> no bonus
+    after_space = [tt.vocab.stoi[c] for c in "cat "]
+    assert fus(after_space, fus.space_id) == 0.0
+
+
+def test_fusion_state_sentencepiece_style():
+    tt = BatchTextTransformer(tokens=["▁ca", "t", "b", "▁go"])
+    wlm = WordNGramLM(order=2).fit(["cat go", "cat go"])
+    fus = WordFusionLM(wlm, tt)
+    assert fus.style == "sentencepiece"
+    s = [tt.vocab.stoi[p] for p in ["▁ca", "t", "▁go"]]
+    hist, partial = fus.state_of(s)
+    assert partial == "go"
+    assert [wlm.words[h] for h in hist] == ["cat"]
+    # a new ▁piece completes the previous word
+    assert fus(s[:2], tt.vocab.stoi["▁go"]) != 0.0
+    # continuation pieces do not
+    assert fus(s[:1], tt.vocab.stoi["t"]) == 0.0
+
+
+def test_fusion_bos_seeding(arpa_lm):
+    tt = BatchTextTransformer(tokens=list("thecas "))
+    fus = WordFusionLM(arpa_lm, tt)  # bos=True, <s> in the ARPA vocab
+    hist, _ = fus.state_of([])
+    assert [arpa_lm.words[h] for h in hist] == ["<s>"]
+    # first completed word scores the (<s>, w) bigram, not the unigram
+    ids = [tt.vocab.stoi[c] for c in "the"]
+    assert fus(ids, fus.space_id) == pytest.approx(-0.3 * L10)
+    nobos = WordFusionLM(arpa_lm, tt, bos=False)
+    assert nobos(ids, nobos.space_id) == pytest.approx(-0.7 * L10)
+
+
+def test_fusion_steers_ambiguous_decode():
+    """The word LM flips an acoustically near-tied word — the WER mechanism."""
+    tt = BatchTextTransformer(tokens=list("abct "))
+    wlm = WordNGramLM(order=2).fit(["cat cat", "cat cat", "cab a"])
+    fus = WordFusionLM(wlm, tt)
+    stoi = tt.vocab.stoi
+    frames = [stoi["c"], stoi["a"], stoi["t"], stoi[" "], stoi["c"], stoi["a"], None, stoi[" "]]
+    logits = np.full((len(frames), tt.num_tokens), -6.0, np.float32)
+    for t, v in enumerate(frames):
+        if v is None:  # near-tie, acoustics barely prefer "cab"
+            logits[t, stoi["b"]] = 3.00
+            logits[t, stoi["t"]] = 2.95
+        else:
+            logits[t, v] = 3.0
+    lp = log_softmax(logits)
+    blank = tt.vocab.blank_idx
+
+    def text(pref):
+        return "".join(tt.vocab.itos[i] for i in pref)
+
+    base = prefix_beam_search(lp, blank, beam_width=8)
+    fused = prefix_beam_search(lp, blank, beam_width=8, lm=fus, lm_weight=1.0)
+    assert text(base[0][0]) == "cat cab "
+    assert text(fused[0][0]) == "cat cat "
+
+
+# ---------------------------------------------------------------------------
+# native C++ fusion parity
+# ---------------------------------------------------------------------------
+
+
+def _native_or_skip(fus):
+    nat = fus.native()
+    if nat is None:
+        pytest.skip("native library unavailable")
+    return nat
+
+
+def test_native_fusion_decode_parity():
+    rng = np.random.default_rng(5)
+    tt = BatchTextTransformer(tokens=list("abct "))
+    wlm = WordNGramLM(order=3).fit(["cat cat a", "cab a cat", "a cat cab"])
+    fus = WordFusionLM(wlm, tt)
+    _native_or_skip(fus)
+    blank = tt.vocab.blank_idx
+    logits = (rng.standard_normal((3, 50, tt.num_tokens)) * 2).astype(np.float32)
+    lengths = [50, 37, 12]
+    r_nat = beam_search_decode(logits, lengths, blank=blank, beam_width=8, lm=fus, lm_weight=1.3)
+    r_np = beam_search_decode(
+        logits, lengths, blank=blank, beam_width=8, lm=fus, lm_weight=1.3, use_native=False
+    )
+    assert all(np.array_equal(a, b) for a, b in zip(r_nat, r_np))
+
+
+def test_native_fusion_stream_parity_carries_word_state():
+    """Chunked decoding must carry partial words and word history across
+    windows identically on both paths."""
+    rng = np.random.default_rng(6)
+    tt = BatchTextTransformer(tokens=list("abct "))
+    fus = WordFusionLM(WordNGramLM(order=3).fit(["cat cat a", "cab a"]), tt)
+    _native_or_skip(fus)
+    blank = tt.vocab.blank_idx
+    lp = log_softmax((rng.standard_normal((48, tt.num_tokens)) * 2).astype(np.float32))
+    st_nat = st_np = None
+    for chunk in np.array_split(lp, 5):
+        st_nat = beam_search_stream(chunk, blank, beam_width=8, lm=fus, lm_weight=1.3, state=st_nat)
+        st_np = beam_search_stream(
+            chunk, blank, beam_width=8, lm=fus, lm_weight=1.3, state=st_np, use_native=False
+        )
+    assert np.array_equal(st_nat.best, st_np.best)
+    assert st_nat.best_score == pytest.approx(st_np.best_score, abs=1e-9)
+
+
+def test_native_fusion_arpa_sentencepiece_parity(arpa_lm):
+    rng = np.random.default_rng(7)
+    tt = BatchTextTransformer(tokens=["▁the", "▁ca", "t", "▁sat", "x"])
+    fus = WordFusionLM(arpa_lm, tt)
+    _native_or_skip(fus)
+    blank = tt.vocab.blank_idx
+    logits = (rng.standard_normal((2, 40, tt.num_tokens)) * 2).astype(np.float32)
+    r_nat = beam_search_decode(logits, blank=blank, beam_width=8, lm=fus, lm_weight=1.0)
+    r_np = beam_search_decode(
+        logits, blank=blank, beam_width=8, lm=fus, lm_weight=1.0, use_native=False
+    )
+    assert all(np.array_equal(a, b) for a, b in zip(r_nat, r_np))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through the module API
+# ---------------------------------------------------------------------------
+
+
+def test_module_predict_with_word_fusion():
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+
+    tt = BatchTextTransformer(tokens=list("abct "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(filters=(64,), kernel_sizes=(11,), repeat=1, repeat_blocks=1),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+    fus = WordFusionLM(WordNGramLM(order=2).fit(["cat a", "a cat"]), tt)
+    wav = (np.random.default_rng(0).standard_normal((1, 8000)) * 0.2).astype(np.float32)
+    lens = np.asarray([8000], np.int32)
+    out = module.predict(wav, lens, beam_width=8, lm=fus, lm_weight=0.5)
+    assert isinstance(out[0], str)
+    # matches a forced numpy-path decode of the same logits
+    logits, _, out_lengths = module._eval_fn()(module.variables, wav, lens)
+    ids = beam_search_decode(
+        np.asarray(logits, np.float32),
+        np.asarray(out_lengths),
+        blank=module.blank_idx,
+        beam_width=8,
+        lm=fus,
+        lm_weight=0.5,
+        use_native=False,
+    )
+    want = tt.decode_prediction(ids[0][None].astype(np.int64), remove_repeated=False)[0]
+    assert out[0] == want

@@ -32,6 +32,9 @@ _LAZY = {
     "Trainer": "thunder_tpu.training",
     "StreamingTranscriber": "thunder_tpu.streaming",
     "NGramLM": "thunder_tpu.text.lm",
+    "ArpaLM": "thunder_tpu.text.lm",
+    "WordFusionLM": "thunder_tpu.text.word_fusion",
+    "WordNGramLM": "thunder_tpu.text.word_fusion",
 }
 
 

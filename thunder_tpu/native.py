@@ -27,6 +27,7 @@ __all__ = [
     "native_ctc_beam_search_batch",
     "native_ctc_beam_search_stream",
     "NativeNGramLM",
+    "NativeWordFusion",
 ]
 
 _LIB_PATH = Path(__file__).parent / "libthunder_native.so"
@@ -75,11 +76,11 @@ def _load():
     # probe the NEWEST symbol: a stale .so from an older source revision must
     # rebuild once so missing symbols surface as ImportError (callers'
     # fallback guard), never as AttributeError mid-call
-    if not hasattr(lib, "tn_ctc_beam_search_batch"):
+    if not hasattr(lib, "tn_lm_create_arpa"):
         if not _build():
             raise ImportError("thunder_tpu native library is stale and rebuild failed")
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tn_ctc_beam_search_batch"):
+        if not hasattr(lib, "tn_lm_create_arpa"):
             raise ImportError("thunder_tpu native library is stale (missing symbols)")
     lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
     lib.tn_load_wav.restype = ctypes.c_int
@@ -183,6 +184,17 @@ def _load():
         ctypes.c_int32,
     ]
     lib.tn_lm_add.restype = ctypes.c_int
+    lib.tn_lm_create_arpa.argtypes = [ctypes.c_int32, ctypes.c_double, ctypes.c_int32]
+    lib.tn_lm_create_arpa.restype = ctypes.c_void_p
+    lib.tn_lm_add_arpa.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.tn_lm_add_arpa.restype = ctypes.c_int
     lib.tn_lm_finalize.argtypes = [ctypes.c_void_p]
     lib.tn_lm_finalize.restype = ctypes.c_int
     lib.tn_lm_free.argtypes = [ctypes.c_void_p]
@@ -194,6 +206,22 @@ def _load():
         ctypes.c_int32,
     ]
     lib.tn_lm_score.restype = ctypes.c_double
+    lib.tn_wfusion_create.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
+    lib.tn_wfusion_create.restype = ctypes.c_void_p
+    lib.tn_wfusion_free.argtypes = [ctypes.c_void_p]
+    lib.tn_wfusion_free.restype = None
     return lib
 
 
@@ -332,6 +360,35 @@ class NativeNGramLM:
             raise ValueError("tn_lm_finalize failed")
         return lm
 
+    @classmethod
+    def from_arpa_tables(cls, order: int, unk_logp: float, unk_id: int, tables):
+        """Build a Katz-backoff (ARPA-mode) scorer from ArpaLM's tables:
+        ``{gram_len: {gram_tuple: (ln_p, ln_bow)}}``."""
+        lm = cls.__new__(cls)
+        if _lib is None:
+            raise ImportError("thunder_tpu native library unavailable")
+        lm._handle = _lib.tn_lm_create_arpa(int(order), float(unk_logp), int(unk_id))
+        if not lm._handle:
+            raise ValueError("tn_lm_create_arpa failed (order must be >= 1)")
+        for gram_len, table in tables.items():
+            if not table:
+                continue
+            grams = np.ascontiguousarray(list(table.keys()), dtype=np.int32)
+            vals = np.asarray(list(table.values()), dtype=np.float64)
+            logps = np.ascontiguousarray(vals[:, 0])
+            bows = np.ascontiguousarray(vals[:, 1])
+            rc = _lib.tn_lm_add_arpa(
+                lm._handle,
+                grams.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                logps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                bows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(logps),
+                int(gram_len),
+            )
+            if rc != 0:
+                raise ValueError(f"tn_lm_add_arpa failed ({rc}) for gram_len={gram_len}")
+        return lm
+
     def score(self, context, token: int) -> float:
         ctx = np.ascontiguousarray(context, dtype=np.int32)
         return float(
@@ -347,6 +404,53 @@ class NativeNGramLM:
         handle = getattr(self, "_handle", None)
         if handle and _lib is not None:
             _lib.tn_lm_free(handle)
+            self._handle = None
+
+
+def _strings_blob(strings):
+    """Concatenate strings into a UTF-8 blob + int64 offsets (n+1 entries)."""
+    encoded = [s.encode("utf-8") for s in strings]
+    offsets = np.zeros((len(encoded) + 1,), np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    return b"".join(encoded), offsets
+
+
+class NativeWordFusion:
+    """Owned handle to the C++ word-level fusion config (tn_wfusion_*).
+
+    Wraps a word LM's :class:`NativeNGramLM` (kept alive by reference) plus
+    the acoustic token vocabulary, so the beam search scores completed words
+    entirely in C++.  Built by ``WordFusionLM.native()``; behavior parity
+    with the Python adapter is pinned in tests/test_word_fusion.py.
+    """
+
+    def __init__(self, word_lm_native, style: str, space_id: int, bos_id: int,
+                 unk_id: int, pieces, words):
+        if _lib is None:
+            raise ImportError("thunder_tpu native library unavailable")
+        self._word_lm = word_lm_native  # lifetime: C++ keeps a borrowed pointer
+        pieces_blob, piece_off = _strings_blob(pieces)
+        words_blob, word_off = _strings_blob(words)
+        self._handle = _lib.tn_wfusion_create(
+            word_lm_native._handle,
+            {"char": 0, "sentencepiece": 1}[style],
+            int(space_id),
+            int(bos_id),
+            int(unk_id),
+            pieces_blob,
+            piece_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(pieces),
+            words_blob,
+            word_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(words),
+        )
+        if not self._handle:
+            raise ValueError("tn_wfusion_create failed")
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle and _lib is not None:
+            _lib.tn_wfusion_free(handle)
             self._handle = None
 
 

@@ -8,5 +8,7 @@ from thunder_tpu.text.tokenizer import (  # noqa: F401
     train_sentencepiece_model,
     word_tokenizer,
 )
+from thunder_tpu.text.lm import ArpaLM, NGramLM  # noqa: F401
 from thunder_tpu.text.transform import BatchTextTransformer  # noqa: F401
 from thunder_tpu.text.vocab import Vocabulary  # noqa: F401
+from thunder_tpu.text.word_fusion import WordFusionLM, WordNGramLM  # noqa: F401

@@ -1,10 +1,15 @@
-"""Token-level n-gram language model for shallow-fusion beam decoding.
+"""N-gram language models for shallow-fusion beam decoding.
 
-A small, dependency-free LM over *token ids* (chars or sentencepiece pieces —
-whatever the model's vocabulary is), with stupid backoff (Brants et al.,
-2007).  Pairs with :func:`thunder_tpu.ops.ctc_beam.prefix_beam_search` via
-the ``lm=`` hook: each prefix extension is scored
-``lm_weight * lm(prefix_ids, next_id)``.
+Two scorers, both dependency-free:
+
+- :class:`NGramLM` — counts-based stupid backoff (Brants et al., 2007) over
+  *token ids* (chars or sentencepiece pieces).  Pairs directly with
+  :func:`thunder_tpu.ops.ctc_beam.prefix_beam_search` via the ``lm=`` hook:
+  each prefix extension is scored ``lm_weight * lm(prefix_ids, next_id)``.
+- :class:`ArpaLM` — a Katz-backoff LM loaded from a standard ARPA file
+  (the KenLM/SRILM interchange format), scoring over *words*; pair it with
+  :class:`thunder_tpu.text.word_fusion.WordFusionLM` to fuse at word
+  boundaries of a CTC beam.
 
 The reference framework has no LM support (greedy decode only); this is a
 beyond-parity serving feature.
@@ -12,11 +17,13 @@ beyond-parity serving feature.
 
 from __future__ import annotations
 
+import gzip
 import math
 from collections import defaultdict
-from typing import Dict, Iterable, Sequence, Tuple
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
-__all__ = ["NGramLM"]
+__all__ = ["NGramLM", "ArpaLM"]
 
 
 class NGramLM:
@@ -115,6 +122,144 @@ class NGramLM:
             try:
                 self._native = NativeNGramLM.from_counts(
                     self.order, self.backoff, self.oov_logp, self._counts
+                )
+            except (ValueError, ImportError):
+                return None
+        return self._native
+
+
+class ArpaLM:
+    """Katz-backoff n-gram LM read from an ARPA file (KenLM/SRILM format).
+
+    Scores *words* (whatever unit the ARPA file was trained on): standard
+    backoff — explicit ``log P`` when the n-gram is listed, else the
+    context's backoff weight plus the lower-order score, bottoming out at
+    ``<unk>``'s unigram (when present) or ``unk_logp``.  All values are
+    converted to natural log at load so they combine directly with the
+    beam's acoustic log-probs.
+
+    Interoperability entry point: train with KenLM (``lmplz``) on your
+    corpus, load the ``.arpa``/``.arpa.gz`` here, wrap in
+    :class:`~thunder_tpu.text.word_fusion.WordFusionLM` for decoding.
+    """
+
+    LOG10 = math.log(10.0)
+
+    def __init__(self, order: int, unk_logp: float = -20.0):
+        if order < 1:
+            raise ValueError("order must be >= 1")
+        self.order = order
+        self.unk_logp = unk_logp  # natural-log floor when no <unk> entry exists
+        self.vocab: Dict[str, int] = {}  # word -> id (unigram order)
+        self.words: List[str] = []
+        # per gram length: id-tuple -> (ln P, ln backoff-weight)
+        self._tables: Dict[int, Dict[Tuple[int, ...], Tuple[float, float]]] = {
+            n: {} for n in range(1, order + 1)
+        }
+        self._unk_id: Optional[int] = None
+        self._native = None
+
+    # -- construction ----------------------------------------------------
+
+    def _intern(self, word: str) -> int:
+        wid = self.vocab.get(word)
+        if wid is None:
+            wid = len(self.words)
+            self.vocab[word] = wid
+            self.words.append(word)
+        return wid
+
+    @classmethod
+    def load(cls, path, unk_logp: float = -20.0) -> "ArpaLM":
+        """Parse an ARPA file (plain text or ``.gz``)."""
+        path = Path(path)
+        opener = gzip.open if path.suffix == ".gz" else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            lines = iter(f)
+            # header: \data\ then "ngram N=count" lines fix the order
+            order = 0
+            for line in lines:
+                line = line.strip()
+                if line.startswith("ngram "):
+                    order = max(order, int(line[6:].split("=")[0]))
+                elif line.endswith("-grams:"):
+                    break
+                elif line == "\\end\\":
+                    raise ValueError(f"{path}: no n-gram sections found")
+            if order < 1:
+                raise ValueError(f"{path}: missing \\data\\ ngram declarations")
+            lm = cls(order, unk_logp=unk_logp)
+            n = 1  # the section header consumed above is "\1-grams:"
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    continue
+                if line == "\\end\\":
+                    break
+                if line.endswith("-grams:"):
+                    n = int(line[1:].split("-")[0])
+                    continue
+                parts = line.split()
+                # "logp w1 ... wn [backoff]" — both values in log10
+                has_bow = len(parts) == n + 2
+                if not has_bow and len(parts) != n + 1:
+                    raise ValueError(f"{path}: malformed {n}-gram line: {line!r}")
+                logp = float(parts[0]) * cls.LOG10
+                bow = float(parts[-1]) * cls.LOG10 if has_bow else 0.0
+                gram = tuple(lm._intern(w) for w in parts[1 : n + 1])
+                lm._tables[n][gram] = (logp, bow)
+        lm._unk_id = lm.vocab.get("<unk>")
+        return lm
+
+    # -- scoring -----------------------------------------------------------
+
+    def word_id(self, word: str) -> Optional[int]:
+        """Vocab id of ``word``; the ``<unk>`` id (or ``None``) when absent."""
+        return self.vocab.get(word, self._unk_id)
+
+    def score_ids(self, context: Sequence[int], token: Optional[int]) -> float:
+        """ln P(token | context) over vocab ids (Katz backoff).
+
+        ``token=None`` (a word with no vocab/``<unk>`` id) walks the backoff
+        chain to the ``unk_logp`` floor.
+        """
+        ctx = tuple(int(t) for t in context)[-(self.order - 1) :] if self.order > 1 else ()
+        tok = -1 if token is None else int(token)
+        penalty = 0.0
+        while True:
+            gram = ctx + (tok,)
+            ent = self._tables[len(gram)].get(gram) if tok >= 0 else None
+            if ent is not None:
+                return penalty + ent[0]
+            if not ctx:
+                if tok != self._unk_id and self._unk_id is not None:
+                    unk = self._tables[1].get((self._unk_id,))
+                    if unk is not None:
+                        return penalty + unk[0]
+                return penalty + self.unk_logp
+            bow = self._tables[len(ctx)].get(ctx)
+            if bow is not None:
+                penalty += bow[1]
+            ctx = ctx[1:]
+
+    def score(self, context: Sequence[str], word: str) -> float:
+        """ln P(word | context) over word strings."""
+        ctx_ids = [i for i in (self.vocab.get(w, self._unk_id) for w in context) if i is not None]
+        return self.score_ids(ctx_ids, self.vocab.get(word, self._unk_id))
+
+    def native(self):
+        """C++ mirror of this LM for in-beam fusion (``None`` if unavailable)."""
+        if self._native is None:
+            try:
+                from thunder_tpu.native import NativeNGramLM
+            except ImportError:
+                return None
+            try:
+                self._native = NativeNGramLM.from_arpa_tables(
+                    self.order,
+                    self.unk_logp,
+                    -1 if self._unk_id is None else self._unk_id,
+                    self._tables,
                 )
             except (ValueError, ImportError):
                 return None
