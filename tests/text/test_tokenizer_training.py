@@ -157,6 +157,20 @@ def test_loss_and_count_prune_produce_similar_vocabs():
     assert default == by_loss
 
 
+def test_equal_loss_ties_break_lexicographically():
+    """sentencepiece's Sorted() breaks equal scores by the piece string
+    ascending (util.h); the trainer's prune and final ordering mirror it."""
+    # an exactly-symmetric corpus: "ab"/"ba" (and "a"/"b") get bit-identical
+    # scores, so ordering between them is purely the tie-break
+    words = Counter({"ab": 10, "ba": 10})
+    pieces, scores = _unigram_train(words, target_size=8, max_piece_len=2, em_iters=2)
+    assert "ab" in pieces and "ba" in pieces
+    ia, ib = pieces.index("ab"), pieces.index("ba")
+    assert scores[ia] == scores[ib]
+    assert ia < ib  # "ab" < "ba" lexicographically
+    assert pieces.index("a") < pieces.index("b")
+
+
 def test_ngram_lm_incremental_fit_matches_single_fit():
     from thunder_tpu.text.lm import NGramLM
 

@@ -279,7 +279,11 @@ def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8
         used = [p for p in counts if len(p) > 1]
         if prune == "loss":
             losses = _likelihood_loss_rank(counts, scores, max_piece_len)
-            used.sort(key=lambda p: (losses.get(p, float("inf")), counts[p]), reverse=True)
+            # sentencepiece's Sorted(): descending loss, ties broken by the
+            # piece string ascending (util.h Sorted — pair falls through to
+            # first<), so equal-loss pieces keep the C++ trainer's order
+            used.sort()
+            used.sort(key=lambda p: losses.get(p, float("inf")), reverse=True)
         else:
             used.sort(key=lambda p: counts[p] * len(p), reverse=True)
         keep_multi = used[: max(target_size - len(chars), 0)]
@@ -289,7 +293,9 @@ def _unigram_train(word_freqs: Counter, target_size: int, max_piece_len: int = 8
             for p in pieces
         }
 
-    ordered = sorted(pieces, key=lambda p: scores[p], reverse=True)[:target_size]
+    # final piece order: score descending, ties lexicographic ascending
+    # (sentencepiece's Sorted() again)
+    ordered = sorted(sorted(pieces), key=lambda p: scores[p], reverse=True)[:target_size]
     # chars must survive the final cut for full coverage
     for ch in chars:
         if ch not in ordered:
