@@ -350,13 +350,15 @@ struct NGramLM {
 // either mode (counts / ARPA).
 struct WordFusion {
   const int32_t magic = kWfMagic;
-  const NGramLM* wlm = nullptr;
+  const NGramLM* wlm = nullptr;  // word LM (nullable: hotwords/word_score only)
   int32_t style = 0;     // 0 = char + separator token, 1 = sentencepiece
   int32_t space_id = -1; // style 0: the separator token id
   int32_t bos_id = -1;   // seed word history (-1 = none)
   int32_t unk_id = -1;   // history/scoring id for OOV words (-1 = opaque)
+  double word_score = 0.0;  // flat bonus per completed word (insertion knob)
   std::vector<std::string> pieces;               // token id -> text (UTF-8)
   std::unordered_map<std::string, int32_t> word_ids;  // word -> LM vocab id
+  std::unordered_map<std::string, double> hotwords;   // word -> extra boost
 
   int32_t lookup(const std::string& word) const {
     auto it = word_ids.find(word);
@@ -417,10 +419,12 @@ struct BeamSearch {
   }
 
   void push_word(WfState& st) const {
-    st.hist.push_back(wf->lookup(st.partial));
-    const size_t keep = wf->wlm->order > 1 ? (size_t)(wf->wlm->order - 1) : 0;
-    if (st.hist.size() > keep)
-      st.hist.erase(st.hist.begin(), st.hist.end() - keep);
+    if (wf->wlm) {
+      st.hist.push_back(wf->lookup(st.partial));
+      const size_t keep = wf->wlm->order > 1 ? (size_t)(wf->wlm->order - 1) : 0;
+      if (st.hist.size() > keep)
+        st.hist.erase(st.hist.begin(), st.hist.end() - keep);
+    }
     st.partial.clear();
   }
 
@@ -462,8 +466,15 @@ struct BeamSearch {
     } else if (!WordFusion::sp_start(wf->pieces[v])) {
       return 0.0;
     }
-    return wf->wlm->score(st.hist.data(), (int32_t)st.hist.size(),
-                          wf->lookup(st.partial));
+    double bonus = wf->word_score;
+    if (wf->wlm)
+      bonus += wf->wlm->score(st.hist.data(), (int32_t)st.hist.size(),
+                              wf->lookup(st.partial));
+    if (!wf->hotwords.empty()) {
+      auto hw = wf->hotwords.find(st.partial);
+      if (hw != wf->hotwords.end()) bonus += hw->second;
+    }
+    return bonus;
   }
 
   void seed_root() { beams[0] = BeamProbs{0.0, kNegInf}; }
@@ -675,19 +686,24 @@ int tn_lm_add_arpa(void* handle, const int32_t* grams, const double* logps,
 
 void tn_lm_free(void* handle) { delete static_cast<NGramLM*>(handle); }
 
-// Word-fusion config around an existing word-level LM handle (tn_lm_*).
+// Word-fusion config around an (optional) word-level LM handle (tn_lm_*).
 // pieces_blob/piece_offsets: n_tokens+1 offsets into the UTF-8 blob mapping
 // each acoustic-vocab token id to its text ("" for specials/blank).
 // words_blob/word_offsets: the word LM's vocabulary in id order (word i ->
-// LM id i).  The fusion handle does NOT own word_lm — the caller keeps it
-// alive (Python side holds a reference).
+// LM id i; empty when word_lm is null).  hotwords_blob/hotword_offsets/
+// hotword_boosts: per-word extra bonuses (n_hotwords entries).  word_score
+// is a flat bonus per completed word (insertion knob).  The fusion handle
+// does NOT own word_lm — the caller keeps it alive (Python side holds a
+// reference).
 void* tn_wfusion_create(void* word_lm, int32_t style, int32_t space_id,
-                        int32_t bos_id, int32_t unk_id,
+                        int32_t bos_id, int32_t unk_id, double word_score,
                         const char* pieces_blob, const int64_t* piece_offsets,
                         int32_t n_tokens, const char* words_blob,
-                        const int64_t* word_offsets, int32_t n_words) {
+                        const int64_t* word_offsets, int32_t n_words,
+                        const char* hotwords_blob, const int64_t* hotword_offsets,
+                        const double* hotword_boosts, int32_t n_hotwords) {
   NGramLM* wlm = static_cast<NGramLM*>(word_lm);
-  if (!wlm || wlm->magic != kLmMagic) return nullptr;
+  if (wlm && wlm->magic != kLmMagic) return nullptr;
   if (style != 0 && style != 1) return nullptr;
   if (style == 0 && space_id < 0) return nullptr;
   try {
@@ -697,6 +713,7 @@ void* tn_wfusion_create(void* word_lm, int32_t style, int32_t space_id,
     wfp->space_id = space_id;
     wfp->bos_id = bos_id;
     wfp->unk_id = unk_id;
+    wfp->word_score = word_score;
     wfp->pieces.reserve(n_tokens);
     for (int32_t i = 0; i < n_tokens; ++i)
       wfp->pieces.emplace_back(pieces_blob + piece_offsets[i],
@@ -707,6 +724,11 @@ void* tn_wfusion_create(void* word_lm, int32_t style, int32_t space_id,
           std::string(words_blob + word_offsets[i],
                       (size_t)(word_offsets[i + 1] - word_offsets[i])),
           i);
+    for (int32_t i = 0; i < n_hotwords; ++i)
+      wfp->hotwords.emplace(
+          std::string(hotwords_blob + hotword_offsets[i],
+                      (size_t)(hotword_offsets[i + 1] - hotword_offsets[i])),
+          hotword_boosts[i]);
     return wfp;
   } catch (...) {
     return nullptr;

@@ -177,6 +177,56 @@ def test_fusion_steers_ambiguous_decode():
     assert text(fused[0][0]) == "cat cat "
 
 
+def test_hotword_boost_flips_near_tie():
+    """Pure hotword fusion (no word LM): contextual biasing for names/terms."""
+    tt = BatchTextTransformer(tokens=list("abct "))
+    fus = WordFusionLM(None, tt, hotwords={"cat": 4.0})
+    stoi = tt.vocab.stoi
+    frames = [stoi["c"], stoi["a"], None, stoi[" "]]
+    logits = np.full((len(frames), tt.num_tokens), -6.0, np.float32)
+    for t, v in enumerate(frames):
+        if v is None:
+            logits[t, stoi["b"]] = 3.00
+            logits[t, stoi["t"]] = 2.95
+        else:
+            logits[t, v] = 3.0
+    lp = log_softmax(logits)
+    blank = tt.vocab.blank_idx
+
+    def text(pref):
+        return "".join(tt.vocab.itos[i] for i in pref)
+
+    base = prefix_beam_search(lp, blank, beam_width=8)
+    boosted = prefix_beam_search(lp, blank, beam_width=8, lm=fus, lm_weight=1.0)
+    assert text(base[0][0]) == "cab "
+    assert text(boosted[0][0]) == "cat "
+
+
+def test_word_score_penalizes_word_splits():
+    """A negative word_score acts as a word-insertion penalty: with a big
+    enough penalty the beam keeps near-tied short words from splitting."""
+    tt = BatchTextTransformer(tokens=list("ab "))
+    fus = WordFusionLM(None, tt, word_score=-5.0)
+    stoi = tt.vocab.stoi
+    # near-tie on frame 1 between 'b' (one word "ab") and ' ' (two words)
+    frames = [stoi["a"], None, stoi["b"]]
+    logits = np.full((len(frames), tt.num_tokens), -6.0, np.float32)
+    for t, v in enumerate(frames):
+        if v is None:
+            logits[t, stoi[" "]] = 3.00
+            logits[t, stoi["b"]] = 2.95
+        else:
+            logits[t, v] = 3.0
+    lp = log_softmax(logits)
+    blank = tt.vocab.blank_idx
+    base = prefix_beam_search(lp, blank, beam_width=8)
+    penalized = prefix_beam_search(lp, blank, beam_width=8, lm=fus, lm_weight=1.0)
+    base_txt = "".join(tt.vocab.itos[i] for i in base[0][0])
+    pen_txt = "".join(tt.vocab.itos[i] for i in penalized[0][0])
+    assert " " in base_txt
+    assert " " not in pen_txt
+
+
 # ---------------------------------------------------------------------------
 # native C++ fusion parity
 # ---------------------------------------------------------------------------
@@ -222,6 +272,25 @@ def test_native_fusion_stream_parity_carries_word_state():
         )
     assert np.array_equal(st_nat.best, st_np.best)
     assert st_nat.best_score == pytest.approx(st_np.best_score, abs=1e-9)
+
+
+def test_native_fusion_hotwords_word_score_parity():
+    rng = np.random.default_rng(9)
+    tt = BatchTextTransformer(tokens=list("abct "))
+    blank = tt.vocab.blank_idx
+    logits = (rng.standard_normal((3, 45, tt.num_tokens)) * 2).astype(np.float32)
+    wlm = WordNGramLM(order=2).fit(["cat a cat", "cab a"])
+    for fus in (
+        WordFusionLM(wlm, tt, word_score=-0.5, hotwords={"cab": 1.5}),
+        WordFusionLM(None, tt, hotwords={"cat": 4.0}),  # no word LM at all
+        WordFusionLM(None, tt, word_score=-2.0),
+    ):
+        _native_or_skip(fus)
+        r_nat = beam_search_decode(logits, blank=blank, beam_width=8, lm=fus, lm_weight=1.2)
+        r_np = beam_search_decode(
+            logits, blank=blank, beam_width=8, lm=fus, lm_weight=1.2, use_native=False
+        )
+        assert all(np.array_equal(a, b) for a, b in zip(r_nat, r_np))
 
 
 def test_native_fusion_arpa_sentencepiece_parity(arpa_lm):

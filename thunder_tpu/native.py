@@ -212,11 +212,16 @@ def _load():
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
+        ctypes.c_double,
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int32,
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
         ctypes.c_int32,
     ]
     lib.tn_wfusion_create.restype = ctypes.c_void_p
@@ -425,24 +430,32 @@ class NativeWordFusion:
     """
 
     def __init__(self, word_lm_native, style: str, space_id: int, bos_id: int,
-                 unk_id: int, pieces, words):
+                 unk_id: int, pieces, words, word_score: float = 0.0, hotwords=None):
         if _lib is None:
             raise ImportError("thunder_tpu native library unavailable")
         self._word_lm = word_lm_native  # lifetime: C++ keeps a borrowed pointer
         pieces_blob, piece_off = _strings_blob(pieces)
         words_blob, word_off = _strings_blob(words)
+        hotwords = dict(hotwords or {})
+        hw_blob, hw_off = _strings_blob(list(hotwords.keys()))
+        hw_boosts = np.asarray(list(hotwords.values()), np.float64)
         self._handle = _lib.tn_wfusion_create(
-            word_lm_native._handle,
+            word_lm_native._handle if word_lm_native is not None else None,
             {"char": 0, "sentencepiece": 1}[style],
             int(space_id),
             int(bos_id),
             int(unk_id),
+            float(word_score),
             pieces_blob,
             piece_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(pieces),
             words_blob,
             word_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(words),
+            hw_blob,
+            hw_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hw_boosts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(hotwords),
         )
         if not self._handle:
             raise ValueError("tn_wfusion_create failed")

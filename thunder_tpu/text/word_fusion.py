@@ -86,7 +86,8 @@ class WordFusionLM:
     Args:
         word_lm: an :class:`~thunder_tpu.text.lm.ArpaLM` or
             :class:`WordNGramLM` (anything with ``order``, ``word_id``,
-            ``score_ids``, and optionally ``native``/``vocab``).
+            ``score_ids``, and optionally ``native``/``vocab``).  ``None``
+            runs pure hotword-boost / word-score fusion with no LM.
         text_transform: the model's ``BatchTextTransformer`` — supplies the
             token vocabulary (id -> piece text) the beam emits.
         style: ``"char"`` or ``"sentencepiece"``; auto-detected from the
@@ -95,14 +96,30 @@ class WordFusionLM:
         bos: seed the word history with the LM's ``"<s>"`` entry when it has
             one (standard for ARPA files) so sentence-initial words use
             begin-of-sentence n-grams.
+        word_score: flat bonus added per completed word — the classic
+            insertion knob (negative penalizes many short words).
+        hotwords: ``{word: boost}`` extra bonus when that exact word
+            completes — contextual biasing for names/terms the LM undersells.
 
     Pass as ``lm=`` with a ``lm_weight`` to ``predict`` / ``beam_search_*``;
-    OOV completed words score through the LM's ``<unk>``/floor path and
-    enter the history as its unk id (or stay opaque when it has none).
+    all bonuses (LM, word_score, hotwords) share that single weight, so use
+    ``lm_weight=1.0`` to treat them as absolute log-domain values.  OOV
+    completed words score through the LM's ``<unk>``/floor path and enter
+    the history as its unk id (or stay opaque when it has none).
     """
 
-    def __init__(self, word_lm, text_transform, style: Optional[str] = None, bos: bool = True):
+    def __init__(
+        self,
+        word_lm,
+        text_transform,
+        style: Optional[str] = None,
+        bos: bool = True,
+        word_score: float = 0.0,
+        hotwords: Optional[Dict[str, float]] = None,
+    ):
         self.word_lm = word_lm
+        self.word_score = float(word_score)
+        self.hotwords = dict(hotwords or {})
         vocab = text_transform.vocab
         specials = {
             vocab.blank_token,
@@ -133,7 +150,7 @@ class WordFusionLM:
             if self.space_id < 0:
                 raise ValueError("char-style fusion needs a ' ' or '|' separator token")
         bos_id = None
-        if bos and getattr(word_lm, "vocab", None):
+        if bos and word_lm is not None and getattr(word_lm, "vocab", None):
             bos_id = word_lm.vocab.get("<s>")
         self._init_hist: Tuple[int, ...] = (bos_id,) if bos_id is not None else ()
         # prefix -> (word-history ids, partial word); the beam re-queries the
@@ -144,6 +161,8 @@ class WordFusionLM:
     # -- state -------------------------------------------------------------
 
     def _push_word(self, hist: Tuple[int, ...], word: str) -> Tuple[int, ...]:
+        if self.word_lm is None:
+            return hist
         wid = self.word_lm.word_id(word)
         hist = hist + (-1 if wid is None else wid,)
         keep = max(self.word_lm.order - 1, 0)
@@ -196,7 +215,10 @@ class WordFusionLM:
             completes = self.pieces[token].startswith(_SP_MARK) and bool(partial)
         if not completes:
             return 0.0
-        return self.word_lm.score_ids(hist, self.word_lm.word_id(partial))
+        bonus = self.word_score + self.hotwords.get(partial, 0.0)
+        if self.word_lm is not None:
+            bonus += self.word_lm.score_ids(hist, self.word_lm.word_id(partial))
+        return bonus
 
     def native(self):
         """C++ fusion handle so the beam scores words natively.
@@ -205,18 +227,19 @@ class WordFusionLM:
         fallback) when the native library is unavailable.  Rebuilt if the
         word LM was refit since the last call.
         """
-        wlm_native = self.word_lm.native() if hasattr(self.word_lm, "native") else None
-        if wlm_native is None:
-            return None
+        if self.word_lm is not None:
+            wlm_native = self.word_lm.native() if hasattr(self.word_lm, "native") else None
+            words = getattr(self.word_lm, "words", None)
+            if wlm_native is None or words is None:
+                return None
+        else:
+            wlm_native, words = None, []
         cached = getattr(self, "_native", None)
         if cached is not None and cached._word_lm is wlm_native:
             return cached
         try:
             from thunder_tpu.native import NativeWordFusion
         except ImportError:
-            return None
-        words = getattr(self.word_lm, "words", None)
-        if words is None:
             return None
         bos_id = self._init_hist[0] if self._init_hist else -1
         unk_id = getattr(self.word_lm, "_unk_id", None)
@@ -229,6 +252,8 @@ class WordFusionLM:
                 -1 if unk_id is None else unk_id,
                 self.pieces,
                 words,
+                word_score=self.word_score,
+                hotwords=self.hotwords,
             )
         except (ValueError, ImportError):
             return None

@@ -163,6 +163,10 @@ class Trainer:
     #: width (None = greedy, the reference's semantics); WER/CER then
     #: reflect serving-quality decoding
     eval_beam_width: Optional[int] = None
+    #: optional shallow-fusion LM for eval_beam_width decoding: an NGramLM,
+    #: or a WordFusionLM for word-level fusion (same objects predict() takes)
+    eval_lm: Optional[object] = None
+    eval_lm_weight: float = 0.5
     #: PRNG implementation for dropout/SpecAugment keys.  None = auto:
     #: "rbg" (XLA RngBitGenerator) on TPU, threefry elsewhere.  Measured on
     #: v5e: threefry random bits cost ~34 ms of an 84 ms QuartzNet15x5
@@ -318,6 +322,7 @@ class Trainer:
                 hyps = beam_search_decode(
                     np.asarray(logits, np.float32), np.asarray(out_lengths),
                     blank=module.blank_idx, beam_width=self.eval_beam_width,
+                    lm=self.eval_lm, lm_weight=self.eval_lm_weight,
                 )
                 decoded = [
                     module.text_transform.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else ""
