@@ -293,6 +293,61 @@ class CTCModule:
         # repeats already collapsed on ids; decode must not re-collapse
         return [self.text_transform.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]
 
+    def align(self, audio, texts, lengths=None, sample_rate: int = 16000):
+        """Forced alignment: time spans for known transcripts.
+
+        Runs the model forward, then Viterbi-aligns each transcript to its
+        CTC lattice (:func:`thunder_tpu.ops.ctc.ctc_forced_align` — a
+        scan-based jitted kernel, batched).  Beyond-parity tool (the
+        reference has no alignment support): word/char timestamps,
+        subtitle generation, long-corpus segmentation.
+
+        Args:
+            audio: ``(batch, time)`` padded waveforms (or a single 1-D clip).
+            texts: the known transcripts, one per sample.
+            lengths: valid samples per clip (defaults to full length).
+            sample_rate: for the frame -> seconds conversion.
+
+        Returns:
+            ``(spans, scores)``: per sample a list of
+            ``(token, start_seconds, end_seconds)`` covering its transcript
+            tokens in order, and the best-path log-prob per sample
+            (``-inf`` = the transcript cannot align, e.g. audio too short).
+        """
+        if self.text_transform is None:
+            raise ValueError("align requires a text_transform (checkpoint had no tokenizer)")
+        from thunder_tpu.ops.ctc import alignment_segments, ctc_forced_align
+
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        if lengths is None:
+            lengths = np.full((audio.shape[0],), audio.shape[-1], dtype=np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        bucket = pad_to_bucket(audio.shape[-1], self.pad_multiple)
+        if bucket != audio.shape[-1]:
+            audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
+        targets, target_lengths = self.text_transform.encode(list(texts))
+        logits, _, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
+        logp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+        states, _, scores = ctc_forced_align(
+            logp, out_lengths, jnp.asarray(targets), jnp.asarray(target_lengths), self.blank_idx
+        )
+        segments = alignment_segments(states, np.asarray(out_lengths), np.asarray(target_lengths))
+        itos = self.text_transform.vocab.itos
+        out_lengths = np.asarray(out_lengths)
+        targets = np.asarray(targets)
+        spans = []
+        for b, segs in enumerate(segments):
+            sec_per_frame = (lengths[b] / sample_rate) / max(int(out_lengths[b]), 1)
+            spans.append(
+                [
+                    (itos[int(targets[b, i])], start * sec_per_frame, end * sec_per_frame)
+                    for i, (start, end) in enumerate(segs)
+                ]
+            )
+        return spans, np.asarray(scores)
+
     def predict_long(
         self,
         audio,

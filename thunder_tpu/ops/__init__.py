@@ -21,8 +21,10 @@ from thunder_tpu.ops.stft import (  # noqa: F401
     stft,
 )
 from thunder_tpu.ops.ctc import (  # noqa: F401
+    alignment_segments,
     calculate_ctc,
     collapse_ctc,
+    ctc_forced_align,
     ctc_forward_scores,
     ctc_loss,
     greedy_decode,

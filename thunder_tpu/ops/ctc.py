@@ -21,7 +21,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ctc_forward_scores", "ctc_loss", "calculate_ctc", "greedy_decode", "collapse_ctc"]
+__all__ = [
+    "ctc_forward_scores",
+    "ctc_loss",
+    "calculate_ctc",
+    "greedy_decode",
+    "collapse_ctc",
+    "ctc_forced_align",
+    "alignment_segments",
+]
 
 _NEG = -1e30
 
@@ -157,6 +165,129 @@ def calculate_ctc(
         reduction="mean",
         zero_infinity=True,
     )
+
+
+@partial(jax.jit, static_argnames=("blank",))
+def ctc_forced_align(
+    log_probs: jax.Array,
+    logit_lengths: jax.Array,
+    targets: jax.Array,
+    target_lengths: jax.Array,
+    blank: int,
+):
+    """Viterbi forced alignment: the best CTC path for each (audio, text).
+
+    Same lattice as :func:`ctc_forward_scores` with max in place of
+    logsumexp, plus a backpointer trace — both as ``lax.scan``s over time
+    (static shapes, jits cleanly, batched).  The per-frame *state* sequence
+    distinguishes repeated tokens, so token time spans fall out directly
+    (:func:`alignment_segments`).  The reference has no alignment support
+    (torchaudio gained ``forced_align`` separately); beyond-parity tool for
+    timestamping and corpus segmentation.
+
+    Args:
+        log_probs: ``(batch, time, vocab)`` log-softmax outputs.
+        logit_lengths / targets / target_lengths / blank: as in
+            :func:`ctc_forward_scores`.
+
+    Returns:
+        ``(states, labels, scores)``: extended-lattice state per frame
+        ``(batch, time)`` int32 (state ``2i+1`` = target token ``i``, even =
+        blank; frames past a sample's length repeat its end state — mask by
+        length), per-frame label ids ``(batch, time)`` int32, and best-path
+        log-probs ``(batch,)`` (``-inf`` when no alignment fits, e.g.
+        ``time < 2 * target_length`` alignments).
+    """
+    batch, max_t, _ = log_probs.shape
+    max_l = targets.shape[1]
+    s_dim = 2 * max_l + 1
+
+    targets = targets.astype(jnp.int32)
+    logit_lengths = logit_lengths.astype(jnp.int32)
+    target_lengths = target_lengths.astype(jnp.int32)
+
+    z = jnp.full((batch, s_dim), blank, dtype=jnp.int32)
+    z = z.at[:, 1::2].set(targets)
+    z_prev2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s_dim]
+    is_label = jnp.arange(s_dim) % 2 == 1
+    skip_ok = is_label[None, :] & (z != z_prev2)
+
+    lp_z = jnp.take_along_axis(log_probs, z[:, None, :], axis=2)
+    lp_z = jnp.moveaxis(lp_z, 1, 0)  # (T, B, S)
+
+    neg = jnp.asarray(_NEG, log_probs.dtype)
+    alpha0 = jnp.full((batch, s_dim), neg, dtype=log_probs.dtype)
+    alpha0 = alpha0.at[:, 0].set(lp_z[0][:, 0])
+    if s_dim > 1:
+        first_label = jnp.where(target_lengths > 0, lp_z[0][:, 1], neg)
+        alpha0 = alpha0.at[:, 1].set(first_label)
+
+    def fwd(alpha, inputs):
+        lp_t, t = inputs
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=_NEG)[:, :s_dim]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=_NEG)[:, :s_dim]
+        a2 = jnp.where(skip_ok, a2, neg)
+        stacked = jnp.stack([alpha, a1, a2])  # choice = states back (0/1/2)
+        choice = jnp.argmax(stacked, axis=0).astype(jnp.int8)
+        new_alpha = jnp.max(stacked, axis=0) + lp_t
+        active = (t < logit_lengths)[:, None]
+        return jnp.where(active, new_alpha, alpha), choice
+
+    ts = jnp.arange(1, max_t)
+    alpha, choices = jax.lax.scan(fwd, alpha0, (lp_z[1:], ts))
+    # choices[t-1] holds frame t's backpointer; prepend a zero row so
+    # choices_full[t] indexes directly by frame
+    choices_full = jnp.concatenate(
+        [jnp.zeros((1, batch, s_dim), jnp.int8), choices], axis=0
+    )
+
+    end = 2 * target_lengths
+    a_end = jnp.take_along_axis(alpha, end[:, None], axis=1)[:, 0]
+    a_end1 = jnp.take_along_axis(alpha, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0]
+    a_end1 = jnp.where(target_lengths > 0, a_end1, neg)
+    scores = jnp.maximum(a_end, a_end1)
+    end_state = jnp.where(a_end >= a_end1, end, jnp.maximum(end - 1, 0))
+
+    # Backtrace, scanned over reversed time.  When the scan reaches a
+    # sample's final frame it resets the carry to that sample's end state;
+    # above it (padding frames) the carry is pinned to the end state too, so
+    # the emitted tail is well-defined.
+    def back(s, t):
+        ch = jnp.take_along_axis(choices_full[t + 1], s[:, None], axis=1)[:, 0]
+        s_prev = s - ch.astype(jnp.int32)
+        s_new = jnp.where(t == logit_lengths - 1, end_state,
+                          jnp.where(t < logit_lengths - 1, s_prev, s))
+        return s_new, s_new
+
+    ts_rev = jnp.arange(max_t - 1, -1, -1)
+    _, states_rev = jax.lax.scan(back, end_state, ts_rev)
+    states = jnp.flip(states_rev, axis=0).T  # (B, T)
+    labels = jnp.take_along_axis(z, states, axis=1)
+    scores = jnp.where(scores < 0.5 * _NEG, -jnp.inf, scores)
+    return states.astype(jnp.int32), labels.astype(jnp.int32), scores
+
+
+def alignment_segments(states, logit_lengths, target_lengths):
+    """Token time spans from forced-alignment states (host-side).
+
+    Args:
+        states: ``(batch, time)`` from :func:`ctc_forced_align`.
+        logit_lengths / target_lengths: valid frames / tokens per sample.
+
+    Returns:
+        Per sample, a list of ``(start_frame, end_frame_exclusive)`` — entry
+        ``i`` is the span of target token ``i`` (lattice state ``2i+1``).
+    """
+    states = np.asarray(states)
+    out = []
+    for b in range(states.shape[0]):
+        row = states[b, : int(logit_lengths[b])]
+        spans = []
+        for i in range(int(target_lengths[b])):
+            idx = np.nonzero(row == 2 * i + 1)[0]
+            spans.append((int(idx[0]), int(idx[-1]) + 1) if idx.size else (0, 0))
+        out.append(spans)
+    return out
 
 
 @jax.jit
