@@ -177,6 +177,37 @@ def test_fusion_steers_ambiguous_decode():
     assert text(fused[0][0]) == "cat cat "
 
 
+def test_lm_save_load_round_trip(tmp_path):
+    """Fitted LMs persist (counts + vocab) and score identically after load."""
+    from thunder_tpu.text.lm import NGramLM
+
+    rng = np.random.default_rng(2)
+    lm = NGramLM(order=3, backoff=0.35, oov_logp=-10.0).fit(
+        [rng.integers(0, 20, size=15).tolist() for _ in range(30)]
+    )
+    p = tmp_path / "lm.npz"
+    lm.save(p)
+    lm2 = NGramLM.load(p)
+    for _ in range(200):
+        ctx = rng.integers(0, 20, size=rng.integers(0, 5)).tolist()
+        tok = int(rng.integers(0, 20))
+        assert lm2.score(ctx, tok) == lm.score(ctx, tok)
+
+    wlm = WordNGramLM(order=2).fit(["cat a cat", "cab a", "the cat sat"])
+    pw = tmp_path / "wlm.npz"
+    wlm.save(pw)
+    wlm2 = WordNGramLM.load(pw)
+    assert wlm2.words == wlm.words and wlm2.vocab == wlm.vocab
+    for ctx in ([0], [1, 2], []):
+        for tok in range(len(wlm.words)):
+            assert wlm2.score_ids(ctx, tok) == wlm.score_ids(ctx, tok)
+
+    empty = WordNGramLM(order=2).fit([])
+    pe = tmp_path / "e.npz"
+    empty.save(pe)
+    assert WordNGramLM.load(pe).words == []
+
+
 def test_hotword_boost_flips_near_tie():
     """Pure hotword fusion (no word LM): contextual biasing for names/terms."""
     tt = BatchTextTransformer(tokens=list("abct "))

@@ -106,6 +106,42 @@ class NGramLM:
     def __call__(self, context: Sequence[int], token: int) -> float:
         return self.score(context, token)
 
+    def save(self, path) -> None:
+        """Persist the fitted LM (counts + hyperparameters) as an ``.npz``.
+
+        Grams pack into flat int32 arrays per order, so a multi-million-gram
+        LM round-trips without Python-object overhead.
+        """
+        import numpy as np
+
+        arrays = {
+            "meta": np.asarray([self.order, self._total_unigrams], np.int64),
+            "hyper": np.asarray([self.backoff, self.oov_logp], np.float64),
+        }
+        for n in range(1, self.order + 1):
+            table = self._counts[n]
+            arrays[f"grams{n}"] = np.asarray(list(table.keys()), np.int32).reshape(-1, n)
+            arrays[f"counts{n}"] = np.asarray(list(table.values()), np.int64)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path) -> "NGramLM":
+        """Restore an LM saved with :meth:`save`."""
+        import numpy as np
+
+        data = np.load(path)
+        order, total = (int(x) for x in data["meta"])
+        backoff, oov_logp = (float(x) for x in data["hyper"])
+        lm = cls(order=order, backoff=backoff, oov_logp=oov_logp)
+        for n in range(1, order + 1):
+            for gram, c in zip(data[f"grams{n}"], data[f"counts{n}"]):
+                lm._counts[n][tuple(int(t) for t in gram)] = int(c)
+        for n in range(2, order + 1):
+            for gram, c in lm._counts[n].items():
+                lm._context_totals[gram[:-1]] += c
+        lm._total_unigrams = total
+        return lm
+
     def native(self):
         """C++ mirror of this LM for in-beam fusion (``None`` if unavailable).
 

@@ -79,6 +79,44 @@ class WordNGramLM:
     def native(self):
         return self._lm.native()
 
+    def save(self, path) -> None:
+        """Persist the fitted word LM (vocabulary + counts) as an ``.npz``.
+
+        The word list rides along the inner :class:`NGramLM`'s arrays
+        (newline-joined — words come from ``str.split`` so contain no
+        whitespace).
+        """
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        self._lm.save(buf)
+        buf.seek(0)
+        inner = dict(np.load(buf))
+        inner["words"] = np.asarray("\n".join(self.words))
+        np.savez_compressed(path, **inner)
+
+    @classmethod
+    def load(cls, path) -> "WordNGramLM":
+        """Restore a word LM saved with :meth:`save`."""
+        import io
+
+        import numpy as np
+
+        from thunder_tpu.text.lm import NGramLM
+
+        data = np.load(path)
+        lm = cls.__new__(cls)
+        words_str = str(data["words"])
+        lm.words = words_str.split("\n") if words_str else []
+        lm.vocab = {w: i for i, w in enumerate(lm.words)}
+        buf = io.BytesIO()
+        np.savez(buf, **{k: data[k] for k in data.files if k != "words"})
+        buf.seek(0)
+        lm._lm = NGramLM.load(buf)
+        return lm
+
 
 class WordFusionLM:
     """Adapter fusing a word-level LM into the token-id prefix beam search.
