@@ -571,15 +571,39 @@ struct BeamSearch {
     }
   }
 
-  // surviving beams, best-first, truncated to beam_width
-  std::vector<std::pair<int32_t, BeamProbs>> ranked_beams() const {
+  // bonus for a COMPLETED utterance whose prefix ends in a pending partial
+  // word: word fusion is boundary-driven, so without this the final word of
+  // every utterance (all of a single-word one) would never see the LM or a
+  // hotword boost.  Applied at final ranking only — never baked into
+  // carried (stream) state, where the partial may still grow.
+  double wf_final_bonus(int32_t node) const {
+    const WfState& st = wstate[node];
+    if (st.partial.empty()) return 0.0;
+    double bonus = wf->word_score;
+    if (wf->wlm)
+      bonus += wf->wlm->score(st.hist.data(), (int32_t)st.hist.size(),
+                              wf->lookup(st.partial));
+    if (!wf->hotwords.empty()) {
+      auto hw = wf->hotwords.find(st.partial);
+      if (hw != wf->hotwords.end()) bonus += hw->second;
+    }
+    return bonus;
+  }
+
+  // surviving beams, best-first, truncated to beam_width.  finalize adds
+  // the pending-partial-word fusion bonus to the ranking key (one-shot /
+  // batch decodes of complete utterances; stream windows pass false).
+  std::vector<std::pair<int32_t, BeamProbs>> ranked_beams(bool finalize = false) const {
     std::vector<std::pair<int32_t, BeamProbs>> out(beams.begin(), beams.end());
+    const bool fin = finalize && wf != nullptr;
+    auto key = [&](const std::pair<int32_t, BeamProbs>& p) {
+      double s = log_add(p.second.pb, p.second.pnb);
+      if (fin) s += lm_weight * wf_final_bonus(p.first);
+      return s;
+    };
     std::sort(out.begin(), out.end(),
-              [](const std::pair<int32_t, BeamProbs>& a,
-                 const std::pair<int32_t, BeamProbs>& b) {
-                return log_add(a.second.pb, a.second.pnb) >
-                       log_add(b.second.pb, b.second.pnb);
-              });
+              [&](const std::pair<int32_t, BeamProbs>& a,
+                  const std::pair<int32_t, BeamProbs>& b) { return key(a) > key(b); });
     if (out.size() > static_cast<size_t>(beam_width)) out.resize(beam_width);
     return out;
   }
@@ -760,7 +784,7 @@ int64_t tn_ctc_beam_search_lm(const float* logp, int64_t T, int64_t V,
     if (bs.wf && (int64_t)bs.wf->pieces.size() < V) return -1;
     bs.seed_root();
     bs.run(logp, T);
-    auto ranked = bs.ranked_beams();
+    auto ranked = bs.ranked_beams(/*finalize=*/true);
     if (ranked.empty()) {
       if (out_score) *out_score = kNegInf;
       return 0;
@@ -881,7 +905,7 @@ int64_t tn_ctc_beam_search_batch(
         if (bs.wf && (int64_t)bs.wf->pieces.size() < V) { out_lens[b] = -1; continue; }
         bs.seed_root();
         bs.run(logp + b * T * V, Tb);
-        auto ranked = bs.ranked_beams();
+        auto ranked = bs.ranked_beams(/*finalize=*/true);
         if (ranked.empty()) { out_lens[b] = 0; continue; }
         auto seq = bs.prefix_of(ranked[0].first);
         if ((int64_t)seq.size() > out_stride) { out_lens[b] = -1; continue; }

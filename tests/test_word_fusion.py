@@ -339,6 +339,75 @@ def test_native_fusion_arpa_sentencepiece_parity(arpa_lm):
 
 
 # ---------------------------------------------------------------------------
+# finalization: the pending partial word scores at end-of-utterance
+# ---------------------------------------------------------------------------
+
+
+def test_final_partial_word_gets_fused():
+    """A single-word utterance with no trailing separator must still receive
+    LM/hotword fusion — applied when ranking FINAL beams only."""
+    tt = BatchTextTransformer(tokens=list("abct "))
+    fus = WordFusionLM(None, tt, hotwords={"cat": 4.0})
+    stoi = tt.vocab.stoi
+    frames = [stoi["c"], stoi["a"], None]  # near-tie 'b'/'t', no space after
+    logits = np.full((len(frames), tt.num_tokens), -6.0, np.float32)
+    for t, v in enumerate(frames):
+        if v is None:
+            logits[t, stoi["b"]] = 3.00
+            logits[t, stoi["t"]] = 2.95
+        else:
+            logits[t, v] = 3.0
+    lp = log_softmax(logits)
+    blank = tt.vocab.blank_idx
+
+    def text(pref):
+        return "".join(tt.vocab.itos[i] for i in pref)
+
+    # raw search (finalize off, the carried-state semantics) keeps 'cab'
+    raw = prefix_beam_search(lp, blank, beam_width=8, lm=fus, lm_weight=1.0)
+    assert text(raw[0][0]) == "cab"
+    # finalized ranking flips to the hotword
+    fin = prefix_beam_search(lp, blank, beam_width=8, lm=fus, lm_weight=1.0, finalize=True)
+    assert text(fin[0][0]) == "cat"
+    # decode paths finalize on both the native and numpy paths
+    for use_native in (True, False):
+        ids = beam_search_decode(
+            logits[None], blank=blank, beam_width=8, lm=fus, lm_weight=1.0,
+            use_native=use_native,
+        )[0]
+        assert text(ids) == "cat", use_native
+
+
+def test_stream_flush_finalizes_like_full_decode():
+    """flush() must apply the same pending-partial bonus as the one-shot
+    decode; partial_text (stream still open) must NOT."""
+    from thunder_tpu.ops.ctc_beam import beam_search_stream
+
+    tt = BatchTextTransformer(tokens=list("abct "))
+    fus = WordFusionLM(None, tt, hotwords={"cat": 4.0})
+    stoi = tt.vocab.stoi
+    frames = [stoi["c"], stoi["a"], None]
+    logits = np.full((len(frames), tt.num_tokens), -6.0, np.float32)
+    for t, v in enumerate(frames):
+        if v is None:
+            logits[t, stoi["b"]] = 3.00
+            logits[t, stoi["t"]] = 2.95
+        else:
+            logits[t, v] = 3.0
+    lp = log_softmax(logits)
+    blank = tt.vocab.blank_idx
+    state = beam_search_stream(lp, blank, beam_width=8, lm=fus, lm_weight=1.0)
+
+    def text(ids):
+        return "".join(tt.vocab.itos[int(i)] for i in ids)
+
+    assert text(state.best) == "cab"  # open stream: raw ranking
+    assert text(state.best_final(fus, 1.0)) == "cat"  # finalized
+    full = beam_search_decode(logits[None], blank=blank, beam_width=8, lm=fus, lm_weight=1.0)
+    assert text(full[0]) == "cat"
+
+
+# ---------------------------------------------------------------------------
 # end-to-end through the module API
 # ---------------------------------------------------------------------------
 

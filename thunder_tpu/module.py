@@ -135,8 +135,13 @@ def chunked_transcribe(
             ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
             pieces.append(trim_chunk_ids(ids, seg_len, overlap, is_first=first, is_last=last))
     if use_beam:
-        # the carried search's best prefix is already a collapsed label sequence
-        best = beam_state.best
+        # the carried search's best prefix is already a collapsed label
+        # sequence; end of utterance = the finalization point (word fusion's
+        # pending-partial bonus joins the ranking here, same as flush())
+        kw = beam_kwargs or {}
+        # 0.5 mirrors beam_search_stream's lm_weight default (the weight the
+        # windows were searched with)
+        best = beam_state.best_final(kw.get("lm"), kw.get("lm_weight", 0.5))
         return text_transform.decode_prediction(best[None].astype(np.int64), remove_repeated=False)[0]
     joined = np.concatenate(pieces)
     return text_transform.decode_prediction(joined[None])[0]

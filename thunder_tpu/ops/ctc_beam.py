@@ -49,6 +49,7 @@ def prefix_beam_search(
     lm_weight: float = 0.5,
     init_beams: Optional[Dict[Tuple[int, ...], Tuple[float, float]]] = None,
     return_beams: bool = False,
+    finalize: bool = False,
 ) -> List[Tuple[Tuple[int, ...], float]]:
     """Exact prefix beam search over one utterance.
 
@@ -70,6 +71,10 @@ def prefix_beam_search(
             window (cross-chunk decoding); default seeds the empty prefix.
         return_beams: also return the final beam dict, for carrying into the
             next window.
+        finalize: the utterance is COMPLETE — when ``lm`` has a
+            ``final_score(prefix)`` method (word fusion's pending-partial
+            bonus), add ``lm_weight * final_score`` to the output ranking
+            (the returned beam dict stays raw, it is carried state).
 
     Returns:
         Up to ``beam_width`` ``(prefix, log_prob)`` pairs, best first, where
@@ -118,7 +123,15 @@ def prefix_beam_search(
             continue
         ranked = sorted(nxt.items(), key=lambda kv: -_logaddexp(*kv[1]))
         beams = dict(ranked[:beam_width])
-    out = [(prefix, _logaddexp(pb, pnb)) for prefix, (pb, pnb) in beams.items()]
+    final_fn = getattr(lm, "final_score", None) if (finalize and lm is not None) else None
+    out = [
+        (
+            prefix,
+            _logaddexp(pb, pnb)
+            + (lm_weight * final_fn(prefix) if final_fn is not None else 0.0),
+        )
+        for prefix, (pb, pnb) in beams.items()
+    ]
     out.sort(key=lambda kv: -kv[1])
     if return_beams:
         # truncate: with T == 0 the loop never ran, so init/seed beams may
@@ -157,6 +170,23 @@ class BeamState:
         if not self.beams:
             return _NEG_INF
         return max(_logaddexp(pb, pnb) for pb, pnb in self.beams.values())
+
+    def best_final(self, lm=None, lm_weight: float = 0.0) -> np.ndarray:
+        """Best prefix for a FINISHED stream.
+
+        When ``lm`` has ``final_score`` (word fusion), the pending-partial-
+        word bonus joins the ranking — the final word of the utterance gets
+        its LM/hotword score like every other word.  Carried state is never
+        mutated, so this may only be used at flush/end-of-utterance.
+        """
+        final_fn = getattr(lm, "final_score", None) if lm is not None else None
+        if final_fn is None or not self.beams:
+            return self.best
+        prefix = max(
+            self.beams.items(),
+            key=lambda kv: _logaddexp(*kv[1]) + lm_weight * final_fn(kv[0]),
+        )[0]
+        return np.asarray(prefix, np.int32)
 
 
 def beam_search_stream(
@@ -272,7 +302,10 @@ def beam_search_decode(
     out = []
     for b in range(B):
         lp = logp[b, : int(lengths[b])]
-        hyps = prefix_beam_search(lp, blank, beam_width, prune_logp, max_tokens_per_step, lm=lm, lm_weight=lm_weight)
+        hyps = prefix_beam_search(
+            lp, blank, beam_width, prune_logp, max_tokens_per_step,
+            lm=lm, lm_weight=lm_weight, finalize=True,
+        )
         best = hyps[0][0] if hyps else ()
         out.append(np.asarray(best, np.int32))
     return out

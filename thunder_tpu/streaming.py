@@ -212,7 +212,15 @@ class StreamingTranscriber:
 
     def _joined(self) -> np.ndarray:
         if self.beam_width:
-            return np.zeros((0,), np.int32) if self._beam_state is None else self._beam_state.best
+            if self._beam_state is None:
+                return np.zeros((0,), np.int32)
+            if self._closed:
+                # flush = the finalization point: word fusion's pending-
+                # partial-word bonus joins the ranking (== predict_long)
+                return self._beam_state.best_final(
+                    self._beam_kwargs.get("lm"), self._beam_kwargs.get("lm_weight", 0.0)
+                )
+            return self._beam_state.best
         if not self._pieces:
             return np.zeros((0,), np.int32)
         return np.concatenate(self._pieces).astype(np.int32)

@@ -258,6 +258,24 @@ class WordFusionLM:
             bonus += self.word_lm.score_ids(hist, self.word_lm.word_id(partial))
         return bonus
 
+    def final_score(self, prefix: Sequence[int]) -> float:
+        """Bonus for a COMPLETED utterance ending in a pending partial word.
+
+        Fusion is boundary-driven, so without this the final word of every
+        utterance (all of a single-word one) would never see the LM or a
+        hotword boost.  The decode paths apply it when ranking final beams
+        only — never to carried streaming state, where the partial may still
+        grow (``flush``/full-utterance decode are the finalization points,
+        keeping chunked == unchunked).
+        """
+        hist, partial = self.state_of(prefix)
+        if not partial:
+            return 0.0
+        bonus = self.word_score + self.hotwords.get(partial, 0.0)
+        if self.word_lm is not None:
+            bonus += self.word_lm.score_ids(hist, self.word_lm.word_id(partial))
+        return bonus
+
     def native(self):
         """C++ fusion handle so the beam scores words natively.
 
