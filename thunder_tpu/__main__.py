@@ -21,6 +21,29 @@ def _load(checkpoint: str):
     return load_pretrained(checkpoint)
 
 
+def _build_lm(args, module):
+    """Word-fusion LM from the CLI flags (None when no LM flag given)."""
+    hotwords = {}
+    for spec in args.hotword:
+        word, _, boost = spec.rpartition(":")
+        hotwords[word] = float(boost)
+    if not (args.arpa or args.lm_transcripts or hotwords or args.word_score):
+        return None
+    from thunder_tpu.text.word_fusion import WordFusionLM, WordNGramLM
+
+    word_lm = None
+    if args.arpa:
+        from thunder_tpu.text.lm import ArpaLM
+
+        word_lm = ArpaLM.load(args.arpa)
+    elif args.lm_transcripts:
+        with open(args.lm_transcripts, encoding="utf-8") as f:
+            word_lm = WordNGramLM(order=args.lm_order).fit(line.strip() for line in f)
+    return WordFusionLM(
+        word_lm, module.text_transform, word_score=args.word_score, hotwords=hotwords
+    )
+
+
 def cmd_transcribe(args):
     import numpy as np
 
@@ -32,6 +55,12 @@ def cmd_transcribe(args):
         from thunder_tpu.engine import InferenceEngine
 
         predictor = InferenceEngine(module)
+    lm = _build_lm(args, module)
+    beam_kwargs = {}
+    if lm is not None:
+        if not args.beam_width:
+            args.beam_width = 16  # LM fusion requires the beam decode
+        beam_kwargs = {"lm": lm, "lm_weight": args.lm_weight}
     for path in args.audio:
         audio, sr = load_audio(path)
         audio = audio.mean(axis=0) if audio.shape[0] > 1 else audio[0]
@@ -49,12 +78,22 @@ def cmd_transcribe(args):
                 overlap_seconds=overlap,
                 sample_rate=args.sample_rate,
                 beam_width=args.beam_width,
+                **beam_kwargs,
             )
         else:
             text = predictor.predict(
-                np.asarray(audio, dtype=np.float32), beam_width=args.beam_width
+                np.asarray(audio, dtype=np.float32), beam_width=args.beam_width, **beam_kwargs
             )[0]
-        print(json.dumps({"audio": path, "text": text.strip()}))
+        record = {"audio": path, "text": text.strip()}
+        if args.timestamps and text.strip():
+            spans, _ = module.align(
+                np.asarray(audio, dtype=np.float32), [text], sample_rate=args.sample_rate
+            )
+            record["tokens"] = [
+                {"token": tok, "start": round(s, 3), "end": round(e, 3)}
+                for tok, s, e in spans[0]
+            ]
+        print(json.dumps(record))
 
 
 def cmd_train(args):
@@ -125,6 +164,16 @@ def main(argv=None):
     p.add_argument("--chunk-seconds", type=float, default=20.0)
     p.add_argument("--overlap-seconds", type=float, default=None,
                    help="chunk overlap (default: min(2s, chunk/4))")
+    p.add_argument("--arpa", help="ARPA/.gz word LM for shallow fusion (implies beam)")
+    p.add_argument("--lm-transcripts", help="text file to fit a word n-gram LM on")
+    p.add_argument("--lm-order", type=int, default=3)
+    p.add_argument("--lm-weight", type=float, default=1.0)
+    p.add_argument("--hotword", action="append", default=[], metavar="WORD:BOOST",
+                   help="bias a word up at decode time (repeatable)")
+    p.add_argument("--word-score", type=float, default=0.0,
+                   help="flat bonus per decoded word (negative = insertion penalty)")
+    p.add_argument("--timestamps", action="store_true",
+                   help="also emit per-token time spans (forced alignment)")
     p.add_argument("--beam-width", type=int, default=None,
                    help="CTC prefix beam search width (default: greedy)")
     p.set_defaults(fn=cmd_transcribe)
