@@ -109,3 +109,46 @@ def test_cli_train_smoke(tmp_path, capsys):
     man.write_text("\n".join(json.dumps(e) for e in entries))
     main(["train", "--checkpoint", FIXTURE, "--train-manifest", str(man),
           "--val-manifest", str(man), "--epochs", "1", "--batch-size", "2"])
+
+
+def _write_manifest(tmp_path, n=3):
+    t = np.arange(8000) / 16000.0
+    entries = []
+    for i in range(n):
+        x = (0.3 * np.sin(2 * np.pi * (300 + 100 * i) * t)).astype(np.float32)
+        p = tmp_path / f"e{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((x * 32767).astype(np.int16).tobytes())
+        entries.append({"audio_filepath": str(p), "duration": 0.5, "text": "tu ta"})
+    man = tmp_path / "eval.json"
+    man.write_text("\n".join(json.dumps(e) for e in entries))
+    return str(man)
+
+
+def test_cli_eval_greedy_and_fused(tmp_path, capsys):
+    man = _write_manifest(tmp_path)
+    main(["eval", "--checkpoint", FIXTURE, "--manifest", man, "--batch-size", "2",
+          "--num-workers", "0"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["utterances"] == 3
+    assert 0.0 <= rec["cer"] and 0.0 <= rec["wer"]
+    assert rec["audio_seconds"] == pytest.approx(1.5, abs=0.01)
+
+    # hotword fusion implies the beam decode; still produces a valid report
+    main(["eval", "--checkpoint", FIXTURE, "--manifest", man, "--batch-size", "2",
+          "--num-workers", "0", "--hotword", "tu:3"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["utterances"] == 3 and rec["rtf"] > 0
+
+
+def test_cli_transcribe_timestamps(wav_path, capsys):
+    main(["transcribe", "--checkpoint", FIXTURE, "--timestamps", wav_path])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    if rec["text"]:
+        assert rec["tokens"], rec
+        assert all(0.0 <= tk["start"] <= tk["end"] for tk in rec["tokens"])
+        # spans cover the (unstripped) decoded transcript token-for-token
+        assert "".join(tk["token"] for tk in rec["tokens"]).strip() == rec["text"]

@@ -96,6 +96,57 @@ def cmd_transcribe(args):
         print(json.dumps(record))
 
 
+def cmd_eval(args):
+    import time
+
+    import numpy as np
+
+    from thunder_tpu.data import ManifestDatamodule
+    from thunder_tpu.training.metrics import CharErrorRate, WordErrorRate
+
+    module = _load(args.checkpoint)
+    predictor = module
+    if args.engine:
+        from thunder_tpu.engine import InferenceEngine
+
+        predictor = InferenceEngine(module)
+    lm = _build_lm(args, module)
+    beam_kwargs = {}
+    if lm is not None:
+        if not args.beam_width:
+            args.beam_width = 16
+        beam_kwargs = {"lm": lm, "lm_weight": args.lm_weight}
+    dm = ManifestDatamodule(
+        args.manifest, args.manifest, args.manifest,
+        batch_size=args.batch_size, num_workers=args.num_workers,
+    )
+    dm.setup("test")
+    wer, cer = WordErrorRate(), CharErrorRate()
+    utterances, audio_seconds, decode_seconds = 0, 0.0, 0.0
+    for audio, lengths, texts in dm.test_dataloader():
+        t0 = time.time()
+        hyps = predictor.predict(
+            np.asarray(audio), np.asarray(lengths), beam_width=args.beam_width, **beam_kwargs
+        )
+        decode_seconds += time.time() - t0
+        wer.update(hyps, list(texts))
+        cer.update(hyps, list(texts))
+        utterances += len(texts)
+        audio_seconds += float(np.asarray(lengths).sum()) / args.sample_rate
+    print(
+        json.dumps(
+            {
+                "manifest": args.manifest,
+                "utterances": utterances,
+                "audio_seconds": round(audio_seconds, 1),
+                "wer": round(wer.compute(), 4),
+                "cer": round(cer.compute(), 4),
+                "rtf": round(audio_seconds / max(decode_seconds, 1e-9), 1),
+            }
+        )
+    )
+
+
 def cmd_train(args):
     from thunder_tpu.data import ManifestDatamodule
     from thunder_tpu.finetune import finetune_ctc_module
@@ -140,6 +191,17 @@ def cmd_export(args):
         print(f"aot: {path}")
 
 
+def _add_lm_args(p):
+    p.add_argument("--arpa", help="ARPA/.gz word LM for shallow fusion (implies beam)")
+    p.add_argument("--lm-transcripts", help="text file to fit a word n-gram LM on")
+    p.add_argument("--lm-order", type=int, default=3)
+    p.add_argument("--lm-weight", type=float, default=1.0)
+    p.add_argument("--hotword", action="append", default=[], metavar="WORD:BOOST",
+                   help="bias a word up at decode time (repeatable)")
+    p.add_argument("--word-score", type=float, default=0.0,
+                   help="flat bonus per decoded word (negative = insertion penalty)")
+
+
 def main(argv=None):
     # honor an explicit JAX_PLATFORMS env var even when a site hook
     # re-registers another platform after env processing
@@ -164,19 +226,23 @@ def main(argv=None):
     p.add_argument("--chunk-seconds", type=float, default=20.0)
     p.add_argument("--overlap-seconds", type=float, default=None,
                    help="chunk overlap (default: min(2s, chunk/4))")
-    p.add_argument("--arpa", help="ARPA/.gz word LM for shallow fusion (implies beam)")
-    p.add_argument("--lm-transcripts", help="text file to fit a word n-gram LM on")
-    p.add_argument("--lm-order", type=int, default=3)
-    p.add_argument("--lm-weight", type=float, default=1.0)
-    p.add_argument("--hotword", action="append", default=[], metavar="WORD:BOOST",
-                   help="bias a word up at decode time (repeatable)")
-    p.add_argument("--word-score", type=float, default=0.0,
-                   help="flat bonus per decoded word (negative = insertion penalty)")
+    _add_lm_args(p)
     p.add_argument("--timestamps", action="store_true",
                    help="also emit per-token time spans (forced alignment)")
     p.add_argument("--beam-width", type=int, default=None,
                    help="CTC prefix beam search width (default: greedy)")
     p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("eval", help="WER/CER of a checkpoint over a NeMo manifest")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--engine", action="store_true", help="use the optimized inference engine")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--beam-width", type=int, default=None)
+    _add_lm_args(p)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="finetune a checkpoint on NeMo manifests")
     p.add_argument("--checkpoint", required=True)
