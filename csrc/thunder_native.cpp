@@ -761,6 +761,125 @@ void* tn_wfusion_create(void* word_lm, int32_t style, int32_t space_id,
 
 void tn_wfusion_free(void* handle) { delete static_cast<WordFusion*>(handle); }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SentencePiece unigram Viterbi encode (hot loop of the text pipeline)
+//
+// The reference tokenizes through the sentencepiece C++ library; this is the
+// native mirror of thunder_tpu/text/sentencepiece_model.py:_encode_unigram —
+// exact same DP (char positions, strict-improvement tie-break, known pieces
+// before the unknown single-char fallback), ~20x the Python loop.  Operates
+// on the ALREADY-NORMALIZED UTF-8 text (normalization stays in Python) and
+// returns piece boundaries as byte offsets, so unknown characters keep their
+// surface exactly like the Python backtrack.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SpmEncoder {
+  std::unordered_map<std::string, int32_t> index;  // piece -> slot
+  std::vector<double> scores;                      // per slot
+  int32_t max_piece_chars = 1;
+  double unk_score = -10.0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// pieces_blob/offsets: n indexable pieces (NORMAL/USER_DEFINED, UTF-8);
+// scores aligned per piece.  unk_score = min(all model scores) - 10.
+void* tn_spm_create(const char* pieces_blob, const int64_t* offsets,
+                    const double* scores, int32_t n, double unk_score) {
+  try {
+    SpmEncoder* enc = new SpmEncoder();
+    enc->unk_score = unk_score;
+    enc->index.reserve((size_t)n * 2);
+    enc->scores.assign(scores, scores + n);
+    for (int32_t i = 0; i < n; ++i) {
+      std::string piece(pieces_blob + offsets[i], (size_t)(offsets[i + 1] - offsets[i]));
+      int32_t chars = 0;
+      for (char c : piece)
+        if ((c & 0xC0) != 0x80) ++chars;  // count UTF-8 lead bytes
+      if (chars > enc->max_piece_chars) enc->max_piece_chars = chars;
+      enc->index.emplace(std::move(piece), i);
+    }
+    return enc;
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void tn_spm_free(void* handle) { delete static_cast<SpmEncoder*>(handle); }
+
+// Viterbi-segments `text` (normalized UTF-8, len bytes).  Writes piece byte
+// spans into out_starts/out_ends (capacity cap) and returns the piece count,
+// or -1 on error/overflow.
+int64_t tn_spm_encode(void* handle, const char* text, int64_t len,
+                      int32_t* out_starts, int32_t* out_ends, int64_t cap) {
+  SpmEncoder* enc = static_cast<SpmEncoder*>(handle);
+  if (!enc || len < 0) return -1;
+  if (len == 0) return 0;
+  try {
+    // char-boundary byte offsets
+    std::vector<int32_t> off;
+    off.reserve(len + 1);
+    for (int64_t b = 0; b < len; ++b)
+      if ((text[b] & 0xC0) != 0x80) off.push_back((int32_t)b);
+    off.push_back((int32_t)len);
+    const int32_t n = (int32_t)off.size() - 1;  // chars
+
+    constexpr double kNeg = -1e18;
+    std::vector<double> best(n + 1, kNeg);
+    std::vector<int32_t> back(n + 1, -1);  // char index the best piece starts at
+    best[0] = 0.0;
+    std::string sub;
+    for (int32_t i = 0; i < n; ++i) {
+      if (best[i] <= kNeg / 2) continue;
+      const double base = best[i];
+      const int32_t upper = std::min(n, i + enc->max_piece_chars);
+      for (int32_t j = i + 1; j <= upper; ++j) {
+        sub.assign(text + off[i], (size_t)(off[j] - off[i]));
+        auto it = enc->index.find(sub);
+        if (it != enc->index.end()) {
+          const double cand = base + enc->scores[it->second];
+          if (cand > best[j]) {
+            best[j] = cand;
+            back[j] = i;
+          }
+        }
+      }
+      // unknown single-char fallback (after known pieces — mirror the
+      // Python loop's strict-improvement ordering)
+      const double cand = base + enc->unk_score;
+      if (cand > best[i + 1]) {
+        best[i + 1] = cand;
+        back[i + 1] = i;
+      }
+    }
+    // count + emit spans in order (backtrack, then reverse)
+    std::vector<int32_t> bounds;
+    for (int32_t j = n; j > 0;) {
+      const int32_t i = back[j];
+      if (i < 0) return -1;  // unreachable (cannot happen: unk always links)
+      bounds.push_back(j);
+      j = i;
+    }
+    const int64_t count = (int64_t)bounds.size();
+    if (count > cap) return -1;
+    int32_t start = 0;
+    for (int64_t k = count - 1, o = 0; k >= 0; --k, ++o) {
+      out_starts[o] = off[start];
+      out_ends[o] = off[bounds[(size_t)k]];
+      start = bounds[(size_t)k];
+    }
+    return count;
+  } catch (...) {
+    return -1;
+  }
+}
+
 double tn_lm_score(void* handle, const int32_t* ctx, int32_t ctx_len, int32_t token) {
   NGramLM* lm = static_cast<NGramLM*>(handle);
   if (!lm) return 0.0;

@@ -99,3 +99,24 @@ def test_from_sentencepiece_classmethod(tmp_path, corpus_file):
     assert ids.shape[0] == 1
     decoded = tt.decode_prediction(ids, remove_repeated=False)
     assert decoded[0].strip() == "the quick brown fox"
+
+
+def test_native_unigram_encode_matches_python_dp(tmp_path, corpus_file):
+    """The C++ Viterbi (tn_spm_encode) must segment exactly like the Python
+    DP — same pieces, same unknown-char surfaces — across unicode inputs."""
+    out = train_sentencepiece_model(corpus_file, 64, str(tmp_path / "sp"))
+    tok = BPETokenizer(f"{out}/tokenizer.model")
+    model = tok.model
+    if model._native_encoder() is None:
+        pytest.skip("native library unavailable")
+    texts = [
+        "the quick brown fox",
+        "héllo wörld ünïcode",
+        "zzz qqq unknown chars 123",
+        "a",
+        "ação coração",
+        "the the the fox fox",
+    ]
+    for text in texts:
+        s = model.normalize(text)
+        assert model._encode_unigram(s) == model._encode_unigram_py(s), text

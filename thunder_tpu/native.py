@@ -27,6 +27,7 @@ __all__ = [
     "native_ctc_beam_search_batch",
     "native_ctc_beam_search_stream",
     "NativeNGramLM",
+    "NativeSpmEncoder",
     "NativeWordFusion",
 ]
 
@@ -227,6 +228,25 @@ def _load():
     lib.tn_wfusion_create.restype = ctypes.c_void_p
     lib.tn_wfusion_free.argtypes = [ctypes.c_void_p]
     lib.tn_wfusion_free.restype = None
+    lib.tn_spm_create.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int32,
+        ctypes.c_double,
+    ]
+    lib.tn_spm_create.restype = ctypes.c_void_p
+    lib.tn_spm_free.argtypes = [ctypes.c_void_p]
+    lib.tn_spm_free.restype = None
+    lib.tn_spm_encode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    lib.tn_spm_encode.restype = ctypes.c_int64
     return lib
 
 
@@ -418,6 +438,55 @@ def _strings_blob(strings):
     offsets = np.zeros((len(encoded) + 1,), np.int64)
     np.cumsum([len(e) for e in encoded], out=offsets[1:])
     return b"".join(encoded), offsets
+
+
+class NativeSpmEncoder:
+    """Owned handle to the C++ unigram Viterbi encoder (tn_spm_*).
+
+    Mirror of ``SentencePieceModel._encode_unigram`` (exact DP, spans parity
+    pinned in tests/text/test_tokenizer.py); built from the model's
+    indexable pieces by ``SentencePieceModel``.
+    """
+
+    def __init__(self, pieces, scores, unk_score: float):
+        if _lib is None:
+            raise ImportError("thunder_tpu native library unavailable")
+        blob, offsets = _strings_blob(pieces)
+        sc = np.asarray(scores, np.float64)
+        self._handle = _lib.tn_spm_create(
+            blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(pieces),
+            float(unk_score),
+        )
+        if not self._handle:
+            raise ValueError("tn_spm_create failed")
+
+    def encode_spans(self, normalized_text: str):
+        """Byte spans of the Viterbi pieces over normalized UTF-8 text, or
+        ``None`` on error (caller falls back to the Python DP)."""
+        raw = normalized_text.encode("utf-8")
+        cap = len(raw) + 1
+        starts = np.empty((cap,), np.int32)
+        ends = np.empty((cap,), np.int32)
+        n = _lib.tn_spm_encode(
+            self._handle,
+            raw,
+            len(raw),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap,
+        )
+        if n < 0:
+            return None
+        return [raw[starts[i] : ends[i]].decode("utf-8") for i in range(n)]
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle and _lib is not None:
+            _lib.tn_spm_free(handle)
+            self._handle = None
 
 
 class NativeWordFusion:

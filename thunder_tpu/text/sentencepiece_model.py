@@ -129,6 +129,30 @@ class SentencePieceModel:
                 self._index[p] = i
                 if len(p) > self._max_piece_len:
                     self._max_piece_len = len(p)
+        self._native_enc = None  # stale after any piece change
+
+    def _native_encoder(self):
+        """C++ Viterbi encoder (tn_spm_*), lazily built; None if unavailable.
+
+        The reference tokenizes through the sentencepiece C++ library — this
+        keeps the encode hot loop native here too (~20x the Python DP, same
+        spans; parity pinned in tests)."""
+        if self._native_enc is None:
+            try:
+                from thunder_tpu.native import NativeSpmEncoder
+            except ImportError:
+                return None
+            min_score = min(self.scores) if self.scores else 0.0
+            pieces = list(self._index.keys())
+            try:
+                self._native_enc = NativeSpmEncoder(
+                    pieces,
+                    [self.scores[self._index[p]] for p in pieces],
+                    min_score - 10.0,
+                )
+            except (ValueError, ImportError):
+                return None
+        return self._native_enc
 
     # -- loading ----------------------------------------------------------
 
@@ -168,7 +192,17 @@ class SentencePieceModel:
         return self._encode_unigram(s)
 
     def _encode_unigram(self, s: str) -> List[str]:
-        """Viterbi segmentation maximizing total piece score."""
+        """Viterbi segmentation maximizing total piece score (C++ when
+        available, else the pure-Python DP — identical output)."""
+        enc = self._native_encoder()
+        if enc is not None:
+            out = enc.encode_spans(s)
+            if out is not None:
+                return out
+        return self._encode_unigram_py(s)
+
+    def _encode_unigram_py(self, s: str) -> List[str]:
+        """The exact-reference Python Viterbi DP (tn_spm_encode's pin)."""
         n = len(s)
         min_score = min(self.scores) if self.scores else 0.0
         unk_score = min_score - 10.0
