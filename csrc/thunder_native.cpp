@@ -459,22 +459,13 @@ struct BeamSearch {
   // bonus for extending `node`'s prefix with token v: the word LM score of
   // the completed word, or 0 when v does not close a word boundary
   double wf_bonus(int32_t node, int32_t v) const {
-    const WfState& st = wstate[node];
-    if (st.partial.empty()) return 0.0;
+    if (wstate[node].partial.empty()) return 0.0;
     if (wf->style == 0) {
       if (v != wf->space_id) return 0.0;
     } else if (!WordFusion::sp_start(wf->pieces[v])) {
       return 0.0;
     }
-    double bonus = wf->word_score;
-    if (wf->wlm)
-      bonus += wf->wlm->score(st.hist.data(), (int32_t)st.hist.size(),
-                              wf->lookup(st.partial));
-    if (!wf->hotwords.empty()) {
-      auto hw = wf->hotwords.find(st.partial);
-      if (hw != wf->hotwords.end()) bonus += hw->second;
-    }
-    return bonus;
+    return wf_final_bonus(node);  // same completed-word score, boundary-gated
   }
 
   void seed_root() { beams[0] = BeamProbs{0.0, kNegInf}; }

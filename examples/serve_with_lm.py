@@ -58,7 +58,9 @@ def main():
         word_lm = None
     hotwords = {}
     for spec in args.hotword:
-        word, _, boost = spec.rpartition(":")
+        word, sep, boost = spec.rpartition(":")
+        if not sep or not word:
+            raise SystemExit(f"--hotword expects WORD:BOOST, got {spec!r}")
         hotwords[word] = float(boost)
     lm = WordFusionLM(
         word_lm, module.text_transform, word_score=args.word_score, hotwords=hotwords

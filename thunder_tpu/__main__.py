@@ -21,12 +21,22 @@ def _load(checkpoint: str):
     return load_pretrained(checkpoint)
 
 
+def _parse_hotwords(specs):
+    hotwords = {}
+    for spec in specs:
+        word, sep, boost = spec.rpartition(":")
+        if not sep or not word:
+            raise SystemExit(f"--hotword expects WORD:BOOST, got {spec!r}")
+        try:
+            hotwords[word] = float(boost)
+        except ValueError:
+            raise SystemExit(f"--hotword boost must be a number, got {spec!r}")
+    return hotwords
+
+
 def _build_lm(args, module):
     """Word-fusion LM from the CLI flags (None when no LM flag given)."""
-    hotwords = {}
-    for spec in args.hotword:
-        word, _, boost = spec.rpartition(":")
-        hotwords[word] = float(boost)
+    hotwords = _parse_hotwords(args.hotword)
     if not (args.arpa or args.lm_transcripts or hotwords or args.word_score):
         return None
     from thunder_tpu.text.word_fusion import WordFusionLM, WordNGramLM
@@ -86,13 +96,26 @@ def cmd_transcribe(args):
             )[0]
         record = {"audio": path, "text": text.strip()}
         if args.timestamps and text.strip():
-            spans, _ = module.align(
-                np.asarray(audio, dtype=np.float32), [text], sample_rate=args.sample_rate
-            )
-            record["tokens"] = [
-                {"token": tok, "start": round(s, 3), "end": round(e, 3)}
-                for tok, s, e in spans[0]
-            ]
+            # alignment runs ONE unchunked forward pass — only safe for
+            # clips that took the short path (a chunked-length clip would
+            # compile/allocate for the full waveform, which the chunk grid
+            # exists to avoid)
+            if audio.shape[-1] > args.sample_rate * args.chunk_seconds:
+                import warnings
+
+                warnings.warn(
+                    f"--timestamps skipped for {path}: clip exceeds "
+                    f"--chunk-seconds ({args.chunk_seconds}); align shorter "
+                    "clips or raise --chunk-seconds"
+                )
+            else:
+                spans, _ = module.align(
+                    np.asarray(audio, dtype=np.float32), [text], sample_rate=args.sample_rate
+                )
+                record["tokens"] = [
+                    {"token": tok, "start": round(s, 3), "end": round(e, 3)}
+                    for tok, s, e in spans[0]
+                ]
         print(json.dumps(record))
 
 
@@ -119,6 +142,7 @@ def cmd_eval(args):
     dm = ManifestDatamodule(
         args.manifest, args.manifest, args.manifest,
         batch_size=args.batch_size, num_workers=args.num_workers,
+        sample_rate=args.sample_rate,
     )
     dm.setup("test")
     wer, cer = WordErrorRate(), CharErrorRate()

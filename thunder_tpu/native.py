@@ -77,11 +77,11 @@ def _load():
     # probe the NEWEST symbol: a stale .so from an older source revision must
     # rebuild once so missing symbols surface as ImportError (callers'
     # fallback guard), never as AttributeError mid-call
-    if not hasattr(lib, "tn_lm_create_arpa"):
+    if not hasattr(lib, "tn_spm_create"):
         if not _build():
             raise ImportError("thunder_tpu native library is stale and rebuild failed")
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tn_lm_create_arpa"):
+        if not hasattr(lib, "tn_spm_create"):
             raise ImportError("thunder_tpu native library is stale (missing symbols)")
     lib.tn_load_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_TnAudio)]
     lib.tn_load_wav.restype = ctypes.c_int

@@ -253,9 +253,13 @@ class WordFusionLM:
             completes = self.pieces[token].startswith(_SP_MARK) and bool(partial)
         if not completes:
             return 0.0
-        bonus = self.word_score + self.hotwords.get(partial, 0.0)
+        return self._word_bonus(hist, partial)
+
+    def _word_bonus(self, hist: Tuple[int, ...], word: str) -> float:
+        """Score of one completed word: insertion bonus + hotword + LM."""
+        bonus = self.word_score + self.hotwords.get(word, 0.0)
         if self.word_lm is not None:
-            bonus += self.word_lm.score_ids(hist, self.word_lm.word_id(partial))
+            bonus += self.word_lm.score_ids(hist, self.word_lm.word_id(word))
         return bonus
 
     def final_score(self, prefix: Sequence[int]) -> float:
@@ -269,12 +273,7 @@ class WordFusionLM:
         keeping chunked == unchunked).
         """
         hist, partial = self.state_of(prefix)
-        if not partial:
-            return 0.0
-        bonus = self.word_score + self.hotwords.get(partial, 0.0)
-        if self.word_lm is not None:
-            bonus += self.word_lm.score_ids(hist, self.word_lm.word_id(partial))
-        return bonus
+        return self._word_bonus(hist, partial) if partial else 0.0
 
     def native(self):
         """C++ fusion handle so the beam scores words natively.
