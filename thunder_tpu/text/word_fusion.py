@@ -237,7 +237,11 @@ class WordFusionLM:
                 start = len(prefix) - 1
         for tok in prefix[start:]:
             hist, partial = self._advance(hist, partial, tok)
-        if len(self._memo) > 100_000:
+        # small cap: the beam only re-queries the current generation of
+        # prefixes (~beam_width per frame); a large cap would pin every dead
+        # prefix tuple of a long stream in memory.  After a clear, the
+        # ancestor chain rebuilds each live prefix once (O(len)).
+        if len(self._memo) > 4096:
             self._memo.clear()
         self._memo[prefix] = (hist, partial)
         return hist, partial
