@@ -141,3 +141,86 @@ def test_streaming_beam_kwargs_without_width_raise(module):
         StreamingTranscriber(module, prune_logp=-5.0)
     with pytest.raises(TypeError):
         StreamingTranscriber(module, lm_weight=0.3)
+
+
+# ---------------------------------------------------------------------------
+# StreamingPool: batched concurrent streams == independent transcribers
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("batch_size", [1, 3, 8])
+@pytest.mark.parametrize("beam", [False, True], ids=["greedy", "beam"])
+def test_pool_matches_individual_streams(module, batch_size, beam):
+    from thunder_tpu.streaming import StreamingPool
+
+    kw = dict(chunk_seconds=2.0, overlap_seconds=0.5)
+    if beam:
+        kw["beam_width"] = 4
+    rng = np.random.default_rng(7)
+    feeds = [
+        (rng.standard_normal(int(s * 16000)) * 0.2).astype(np.float32)
+        for s in (3.7, 5.2, 2.0)
+    ]
+
+    want = []
+    for audio in feeds:
+        st = StreamingTranscriber(module, **kw)
+        st.push(audio)
+        want.append(st.flush())
+
+    pool = StreamingPool(module, batch_size=batch_size, **kw)
+    sids = [pool.open() for _ in feeds]
+    # interleave ragged pushes across the streams
+    cursors = [0] * len(feeds)
+    sizes = [4100, 16000, 7000]
+    done = False
+    while not done:
+        done = True
+        for k, (sid, audio) in enumerate(zip(sids, feeds)):
+            if cursors[k] < len(audio):
+                step = sizes[(k + cursors[k] // 5000) % len(sizes)]
+                pool.push(sid, audio[cursors[k] : cursors[k] + step])
+                cursors[k] += step
+                done = False
+    got = [pool.flush(sid) for sid in sids]
+    assert got == want
+
+
+def test_pool_with_word_fusion_matches_lone_stream(module):
+    from thunder_tpu.streaming import StreamingPool
+    from thunder_tpu.text.word_fusion import WordFusionLM, WordNGramLM
+
+    fus = WordFusionLM(
+        WordNGramLM(order=2).fit(["cat a", "a cat"]), module.text_transform, word_score=-0.2
+    )
+    kw = dict(chunk_seconds=2.0, overlap_seconds=0.5, beam_width=4, lm=fus, lm_weight=0.8)
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal(int(4.4 * 16000)) * 0.2).astype(np.float32)
+
+    lone = StreamingTranscriber(module, **kw)
+    lone.push(audio)
+    want = lone.flush()
+
+    pool = StreamingPool(module, batch_size=4, **kw)
+    a = pool.open("a")
+    b = pool.open("b")
+    for i in range(0, len(audio), 9000):
+        pool.push(a, audio[i : i + 9000])
+        pool.push(b, audio[i : i + 9000])
+    pool.drain()
+    assert pool.flush(a) == want
+    assert pool.flush(b) == want
+
+
+def test_pool_stream_lifecycle_errors(module):
+    from thunder_tpu.streaming import StreamingPool
+
+    pool = StreamingPool(module, batch_size=2, chunk_seconds=2.0, overlap_seconds=0.5)
+    sid = pool.open()
+    with pytest.raises(ValueError):
+        pool.open(sid)
+    with pytest.raises(KeyError):
+        pool.push("nope", np.zeros(10, np.float32))
+    pool.flush(sid)
+    with pytest.raises(KeyError):
+        pool.push(sid, np.zeros(10, np.float32))  # closed streams are removed

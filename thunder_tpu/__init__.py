@@ -31,6 +31,7 @@ _LAZY = {
     "InferenceEngine": "thunder_tpu.engine",
     "Trainer": "thunder_tpu.training",
     "StreamingTranscriber": "thunder_tpu.streaming",
+    "StreamingPool": "thunder_tpu.streaming",
     "NGramLM": "thunder_tpu.text.lm",
     "ArpaLM": "thunder_tpu.text.lm",
     "WordFusionLM": "thunder_tpu.text.word_fusion",

@@ -27,7 +27,35 @@ import numpy as np
 
 from thunder_tpu.module import _BEAM_UNSET, check_beam_args
 
-__all__ = ["StreamingTranscriber"]
+__all__ = ["StreamingTranscriber", "StreamingPool"]
+
+
+def _make_infer(predictor):
+    """(module, infer_fn) from a CTCModule or InferenceEngine.
+
+    ``infer_fn(padded (B, chunk), lengths (B,)) -> (logits, preds,
+    out_lengths)`` — batch-size agnostic (B=1 for a lone stream, the pool
+    batch for concurrent streams)."""
+    from thunder_tpu.engine import InferenceEngine
+    from thunder_tpu.module import CTCModule
+
+    if isinstance(predictor, InferenceEngine):
+
+        def infer(padded, lengths):
+            return predictor._infer(*predictor._place(padded, lengths))
+
+        return predictor.module, infer
+    if isinstance(predictor, CTCModule):
+
+        def infer(padded, lengths):
+            import jax.numpy as jnp
+
+            return predictor._eval_fn()(
+                predictor.variables, jnp.asarray(padded), jnp.asarray(lengths)
+            )
+
+        return predictor, infer
+    raise TypeError("predictor must be a CTCModule or InferenceEngine")
 
 
 class StreamingTranscriber:
@@ -56,31 +84,10 @@ class StreamingTranscriber:
         lm_weight: float = _BEAM_UNSET,
         **beam_kwargs,
     ):
-        from thunder_tpu.engine import InferenceEngine
-        from thunder_tpu.module import CTCModule
-
         check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
-        if isinstance(predictor, InferenceEngine):
-            self._module = predictor.module
-
-            def infer(padded, lengths):
-                return predictor._infer(*predictor._place(padded, lengths))
-
-        elif isinstance(predictor, CTCModule):
-            self._module = predictor
-
-            def infer(padded, lengths):
-                import jax.numpy as jnp
-
-                return predictor._eval_fn()(
-                    predictor.variables, jnp.asarray(padded), jnp.asarray(lengths)
-                )
-
-        else:
-            raise TypeError("predictor must be a CTCModule or InferenceEngine")
+        self._module, self._infer = _make_infer(predictor)
         if self._module.text_transform is None:
             raise ValueError("streaming requires a text_transform")
-        self._infer = infer
         self.chunk = int(chunk_seconds * sample_rate)
         self.overlap = int(overlap_seconds * sample_rate)
         if self.overlap >= self.chunk:
@@ -103,17 +110,28 @@ class StreamingTranscriber:
     # -- internals -----------------------------------------------------
 
     def _decode_chunk(self, start: int, seg: np.ndarray, last: bool) -> None:
-        from thunder_tpu.module import trim_chunk_ids
-
         seg_len = seg.shape[0]
         padded = np.zeros((1, self.chunk), np.float32)
         padded[0, :seg_len] = seg
         logits, preds, out_lengths = self._infer(padded, np.asarray([seg_len], np.int32))
         n = int(np.asarray(out_lengths)[0])
+        self._apply_chunk(
+            start, seg_len, last, np.asarray(logits)[0], np.asarray(preds)[0], n
+        )
+
+    def _apply_chunk(
+        self, start: int, seg_len: int, last: bool, logits_row, preds_row, n: int
+    ) -> None:
+        """Advance the decode state with one chunk's model outputs.
+
+        Split from the inference call so a pool can batch chunks from many
+        streams into one device call and feed each stream its row."""
+        from thunder_tpu.module import trim_chunk_ids
+
         if self.beam_width:
             from thunder_tpu.ops.ctc_beam import beam_search_stream, log_softmax
 
-            win = np.asarray(logits, np.float32)[0, :n]
+            win = np.asarray(logits_row, np.float32)[:n]
             win = trim_chunk_ids(win, seg_len, self.overlap, is_first=start == 0, is_last=last)
             self._beam_state = beam_search_stream(
                 log_softmax(win),
@@ -123,14 +141,20 @@ class StreamingTranscriber:
                 **self._beam_kwargs,
             )
         else:
-            ids = np.asarray(preds)[0, :n]
+            ids = np.asarray(preds_row)[:n]
             self._pieces.append(
                 trim_chunk_ids(ids, seg_len, self.overlap, is_first=start == 0, is_last=last)
             )
         self._chunks_done += 1
 
-    def _drain(self, flush: bool = False) -> None:
+    def _take_ready(self, flush: bool = False):
+        """Pop every chunk whose window is complete: ``[(start, seg, last)]``.
+
+        Advances the grid position and trims the buffer; the caller must then
+        decode each chunk in order (``_decode_chunk`` inline, or batched
+        across streams via ``_apply_chunk``)."""
         total = self._buffer_start + self._buffer.shape[0]
+        ready = []
         while True:
             start = self._next_start
             # strict: if the stream ended exactly at start+chunk this would be
@@ -144,15 +168,21 @@ class StreamingTranscriber:
             if flush and seg.shape[0] == 0:
                 break
             last = flush and (start + self.step >= max(total - self.overlap, 1))
-            self._decode_chunk(start, seg, last=last)
+            ready.append((start, seg, last))
             self._next_start += self.step
             if flush and last:
                 break
-        # drop samples no longer needed by any future chunk
+        # drop samples no longer needed by any future chunk (the extracted
+        # segs reference the OLD buffer array, so they stay valid)
         keep_from = self._next_start - self._buffer_start
         if keep_from > 0:
             self._buffer = self._buffer[keep_from:]
             self._buffer_start += keep_from
+        return ready
+
+    def _drain(self, flush: bool = False) -> None:
+        for start, seg, last in self._take_ready(flush):
+            self._decode_chunk(start, seg, last=last)
 
     # -- public API ----------------------------------------------------
 
@@ -224,3 +254,132 @@ class StreamingTranscriber:
         if not self._pieces:
             return np.zeros((0,), np.int32)
         return np.concatenate(self._pieces).astype(np.int32)
+
+
+class StreamingPool:
+    """Concurrent streaming transcription: many live feeds, batched chunks.
+
+    Each stream keeps its own chunk grid and decode state (an internal
+    :class:`StreamingTranscriber`), but whenever pushes complete chunk
+    windows — across ANY streams — the pool runs them through the model as
+    ONE padded ``(batch_size, chunk)`` call instead of one call per chunk.
+    Per-stream transcripts are exactly what a lone ``StreamingTranscriber``
+    would produce (pinned by tests/test_streaming.py); the win is device
+    utilization when serving many concurrent feeds: one executable, one
+    dispatch per drain, MXU-sized batches.
+
+    Args:
+        predictor: shared ``CTCModule`` or ``InferenceEngine``.
+        batch_size: chunks per device call; ready chunks are processed in
+            groups padded to exactly this size (one compiled executable).
+        chunk_seconds / overlap_seconds / sample_rate / beam_width /
+            beam kwargs: per-stream decode settings, as in
+            :class:`StreamingTranscriber`.
+    """
+
+    def __init__(
+        self,
+        predictor,
+        batch_size: int = 8,
+        chunk_seconds: float = 20.0,
+        overlap_seconds: float = 2.0,
+        sample_rate: int = 16000,
+        beam_width: Optional[int] = None,
+        **beam_kwargs,
+    ):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self._module, self._infer = _make_infer(predictor)
+        self._predictor = predictor
+        self._batch = batch_size
+        self._stream_kwargs = dict(
+            chunk_seconds=chunk_seconds,
+            overlap_seconds=overlap_seconds,
+            sample_rate=sample_rate,
+            beam_width=beam_width,
+            **beam_kwargs,
+        )
+        self._streams: dict = {}
+        self._pending: List[tuple] = []  # (stream, start, seg, last) FIFO
+        self._next_id = 0
+
+    def open(self, stream_id=None):
+        """Register a new stream; returns its id (auto-assigned if None)."""
+        if stream_id is None:
+            stream_id = self._next_id
+            self._next_id += 1
+        if stream_id in self._streams:
+            raise ValueError(f"stream {stream_id!r} already open")
+        self._streams[stream_id] = StreamingTranscriber(
+            self._predictor, **self._stream_kwargs
+        )
+        return stream_id
+
+    def _stream(self, stream_id) -> StreamingTranscriber:
+        st = self._streams.get(stream_id)
+        if st is None:
+            raise KeyError(f"unknown stream {stream_id!r} (open() it first)")
+        return st
+
+    def _process(self, work) -> None:
+        """Run ``[(stream, start, seg, last)]`` in batched device calls.
+
+        Chunks keep their listed order (a stream's beam state is sequential);
+        every batch is padded to exactly ``batch_size`` rows so one compiled
+        executable serves the whole pool."""
+        chunk = None
+        for i in range(0, len(work), self._batch):
+            group = work[i : i + self._batch]
+            if chunk is None:
+                chunk = group[0][0].chunk
+            padded = np.zeros((self._batch, chunk), np.float32)
+            lengths = np.zeros((self._batch,), np.int32)
+            for row, (_, _, seg, _) in enumerate(group):
+                padded[row, : seg.shape[0]] = seg
+                lengths[row] = seg.shape[0]
+            logits, preds, out_lengths = self._infer(padded, lengths)
+            logits = np.asarray(logits)
+            preds = np.asarray(preds)
+            out_lengths = np.asarray(out_lengths)
+            for row, (st, start, seg, last) in enumerate(group):
+                st._apply_chunk(
+                    start, seg.shape[0], last, logits[row], preds[row], int(out_lengths[row])
+                )
+
+    def push(self, stream_id, samples) -> str:
+        """Append samples to one stream; completed chunk windows join the
+        pool's pending queue, which auto-drains in full ``batch_size``
+        device calls.  Returns the stream's stable transcript as of the last
+        drain (call :meth:`drain` to force pending chunks through)."""
+        st = self._stream(stream_id)
+        if st._closed:
+            raise RuntimeError("push() after flush()")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        st._buffer = np.concatenate([st._buffer, samples])
+        self._pending.extend((st, start, seg, last) for start, seg, last in st._take_ready(False))
+        while len(self._pending) >= self._batch:
+            self._process(self._pending[: self._batch])
+            del self._pending[: self._batch]
+        return st.partial_text
+
+    def drain(self) -> None:
+        """Run every pending chunk now (a final, possibly partial batch)."""
+        if self._pending:
+            self._process(self._pending)
+            self._pending.clear()
+
+    def flush(self, stream_id) -> str:
+        """Finalize one stream and return its transcript (stream closes).
+
+        Drains ALL pending chunks first (order across streams is FIFO), then
+        decodes this stream's tail."""
+        st = self._stream(stream_id)
+        if not st._closed:
+            self.drain()
+            self._process([(st, start, seg, last) for start, seg, last in st._take_ready(True)])
+            st._closed = True
+        del self._streams[stream_id]
+        return st.text
+
+    def partial_text(self, stream_id) -> str:
+        return self._stream(stream_id).partial_text
