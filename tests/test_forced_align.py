@@ -150,3 +150,74 @@ def test_module_align_end_to_end():
             assert 0.0 <= start < end <= duration + 1e-6
             assert start >= prev_end - 1e-6  # tokens in temporal order
             prev_end = start
+
+
+# ---------------------------------------------------------------------------
+# word spans + subtitle rendering (host-side, on top of align output)
+# ---------------------------------------------------------------------------
+
+
+def test_word_spans_char_and_sentencepiece():
+    from thunder_tpu.text.subtitles import word_spans
+
+    # char style: separators end words and are dropped
+    toks = [("c", 0.0, 0.1), ("a", 0.1, 0.2), ("t", 0.2, 0.3), (" ", 0.3, 0.35),
+            ("g", 0.4, 0.5), ("o", 0.5, 0.6)]
+    assert word_spans(toks) == [("cat", 0.0, 0.3), ("go", 0.4, 0.6)]
+    # sentencepiece style: ▁ starts a word
+    toks = [("▁ca", 0.0, 0.2), ("t", 0.2, 0.3), ("▁go", 0.4, 0.6)]
+    assert word_spans(toks) == [("cat", 0.0, 0.3), ("go", 0.4, 0.6)]
+    # trailing partial word still closes
+    assert word_spans([("a", 0.0, 0.1)]) == [("a", 0.0, 0.1)]
+    assert word_spans([]) == []
+
+
+def test_srt_and_vtt_rendering():
+    from thunder_tpu.text.subtitles import to_srt, to_vtt
+
+    toks = [("h", 0.0, 0.2), ("i", 0.2, 0.4), (" ", 0.4, 0.45),
+            ("t", 1.0, 1.2), ("u", 1.2, 1.5)]
+    srt = to_srt(toks)
+    assert srt.startswith("1\n00:00:00,000 --> 00:00:01,500\nhi tu")
+    vtt = to_vtt(toks)
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:00.000 --> 00:00:01.500" in vtt
+
+    # cue splitting by max_chars
+    many = []
+    t = 0.0
+    for w in ["alpha", "beta", "gamma", "delta"]:
+        for ch in w:
+            many.append((ch, t, t + 0.1))
+            t += 0.1
+        many.append((" ", t, t))
+    srt = to_srt(many, max_chars=11)
+    blocks = [b for b in srt.split("\n\n") if b.strip()]
+    assert len(blocks) == 2
+    assert "alpha beta" in blocks[0] and "gamma delta" in blocks[1]
+
+
+def test_align_to_srt_end_to_end():
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+    from thunder_tpu.text.subtitles import to_srt, word_spans
+
+    tt = BatchTextTransformer(tokens=list("abct "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(filters=(64,), kernel_sizes=(11,), repeat=1, repeat_blocks=1),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+    audio = (np.random.default_rng(0).standard_normal((1, 16000)) * 0.2).astype(np.float32)
+    spans, _ = module.align(audio, ["cat ab"], np.asarray([16000], np.int32))
+    words = word_spans(spans[0])
+    assert [w for w, _, _ in words] == ["cat", "ab"]
+    srt = to_srt(spans[0])
+    assert "cat ab" in srt and "-->" in srt

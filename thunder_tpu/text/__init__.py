@@ -10,5 +10,6 @@ from thunder_tpu.text.tokenizer import (  # noqa: F401
 )
 from thunder_tpu.text.lm import ArpaLM, NGramLM  # noqa: F401
 from thunder_tpu.text.transform import BatchTextTransformer  # noqa: F401
+from thunder_tpu.text.subtitles import to_srt, to_vtt, word_spans  # noqa: F401
 from thunder_tpu.text.vocab import Vocabulary  # noqa: F401
 from thunder_tpu.text.word_fusion import WordFusionLM, WordNGramLM  # noqa: F401
