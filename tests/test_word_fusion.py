@@ -86,6 +86,20 @@ def test_arpa_gzip_load(arpa_lm, tmp_path):
     assert lm2.score(["<s>", "the"], "cat") == arpa_lm.score(["<s>", "the"], "cat")
 
 
+def test_arpa_malformed_files_raise_cleanly(tmp_path):
+    cases = {
+        "empty.arpa": "",
+        "no_sections.arpa": "\\data\\\nngram 1=2\n\\end\\\n",
+        "no_data.arpa": "\\1-grams:\n-1.0 the\n\\end\\\n",
+        "bad_line.arpa": "\\data\\\nngram 1=1\n\n\\1-grams:\n-1.0 the extra tok here\n\\end\\\n",
+    }
+    for name, content in cases.items():
+        path = tmp_path / name
+        path.write_text(content)
+        with pytest.raises(ValueError):
+            ArpaLM.load(path)
+
+
 def test_arpa_native_score_parity(arpa_lm):
     nat = arpa_lm.native()
     if nat is None:
