@@ -170,6 +170,14 @@ def test_word_spans_char_and_sentencepiece():
     # trailing partial word still closes
     assert word_spans([("a", 0.0, 0.1)]) == [("a", 0.0, 0.1)]
     assert word_spans([]) == []
+    # vocabulary specials are dropped, not glued into words
+    toks = [("<s>", 0.0, 0.1), ("c", 0.1, 0.2), ("<unk>", 0.2, 0.3), ("a", 0.3, 0.4),
+            (" ", 0.4, 0.45), ("</s>", 0.5, 0.6)]
+    assert word_spans(toks) == [("ca", 0.1, 0.4)]
+    # explicit specials override the <...> default
+    assert word_spans([("<x>", 0.0, 0.1), ("a", 0.1, 0.2)], specials={"a"}) == [
+        ("<x>", 0.0, 0.1)
+    ]
 
 
 def test_srt_and_vtt_rendering():

@@ -224,3 +224,47 @@ def test_pool_stream_lifecycle_errors(module):
     pool.flush(sid)
     with pytest.raises(KeyError):
         pool.push(sid, np.zeros(10, np.float32))  # closed streams are removed
+    # mixing user-chosen and auto ids must not collide
+    pool.open(1)
+    assert pool.open() not in (1,)
+    # beam-only kwargs without beam_width fail AT CONSTRUCTION
+    with pytest.raises(TypeError):
+        StreamingPool(module, lm_weight=0.3)
+
+
+def test_pool_threaded_pushes_match_lone_streams(module):
+    """Per-stream results stay exact when feeds push from separate threads
+    (the pool's pending queue and state advance under one lock)."""
+    import threading
+
+    from thunder_tpu.streaming import StreamingPool
+
+    kw = dict(chunk_seconds=2.0, overlap_seconds=0.5)
+    rng = np.random.default_rng(13)
+    feeds = [
+        (rng.standard_normal(int(s * 16000)) * 0.2).astype(np.float32)
+        for s in (3.3, 4.1, 2.6, 3.8)
+    ]
+    want = []
+    for audio in feeds:
+        st = StreamingTranscriber(module, **kw)
+        st.push(audio)
+        want.append(st.flush())
+
+    pool = StreamingPool(module, batch_size=3, **kw)
+    sids = [pool.open() for _ in feeds]
+
+    def feed(sid, audio):
+        for i in range(0, len(audio), 6000):
+            pool.push(sid, audio[i : i + 6000])
+
+    threads = [
+        threading.Thread(target=feed, args=(sid, audio))
+        for sid, audio in zip(sids, feeds)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    got = [pool.flush(sid) for sid in sids]
+    assert got == want

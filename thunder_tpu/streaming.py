@@ -115,9 +115,10 @@ class StreamingTranscriber:
         padded[0, :seg_len] = seg
         logits, preds, out_lengths = self._infer(padded, np.asarray([seg_len], np.int32))
         n = int(np.asarray(out_lengths)[0])
-        self._apply_chunk(
-            start, seg_len, last, np.asarray(logits)[0], np.asarray(preds)[0], n
-        )
+        # greedy only reads preds — don't pay the (frames, vocab) logits
+        # device->host transfer unless the beam needs them
+        logits_row = np.asarray(logits)[0] if self.beam_width else None
+        self._apply_chunk(start, seg_len, last, logits_row, np.asarray(preds)[0], n)
 
     def _apply_chunk(
         self, start: int, seg_len: int, last: bool, logits_row, preds_row, n: int
@@ -287,11 +288,16 @@ class StreamingPool:
         beam_width: Optional[int] = None,
         **beam_kwargs,
     ):
+        import threading
+
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
+        # fail at the faulty call site, not at the first open()
+        check_beam_args(beam_width, dict(beam_kwargs))
         self._module, self._infer = _make_infer(predictor)
         self._predictor = predictor
         self._batch = batch_size
+        self._beam_width = beam_width
         self._stream_kwargs = dict(
             chunk_seconds=chunk_seconds,
             overlap_seconds=overlap_seconds,
@@ -302,18 +308,25 @@ class StreamingPool:
         self._streams: dict = {}
         self._pending: List[tuple] = []  # (stream, start, seg, last) FIFO
         self._next_id = 0
+        # server handlers drive feeds from separate threads; the shared
+        # pending queue and per-stream state advance under one lock
+        self._lock = threading.RLock()
 
     def open(self, stream_id=None):
         """Register a new stream; returns its id (auto-assigned if None)."""
-        if stream_id is None:
-            stream_id = self._next_id
-            self._next_id += 1
-        if stream_id in self._streams:
-            raise ValueError(f"stream {stream_id!r} already open")
-        self._streams[stream_id] = StreamingTranscriber(
-            self._predictor, **self._stream_kwargs
-        )
-        return stream_id
+        with self._lock:
+            if stream_id is None:
+                # skip over any user-chosen ids so mixing styles never collides
+                while self._next_id in self._streams:
+                    self._next_id += 1
+                stream_id = self._next_id
+                self._next_id += 1
+            if stream_id in self._streams:
+                raise ValueError(f"stream {stream_id!r} already open")
+            self._streams[stream_id] = StreamingTranscriber(
+                self._predictor, **self._stream_kwargs
+            )
+            return stream_id
 
     def _stream(self, stream_id) -> StreamingTranscriber:
         st = self._streams.get(stream_id)
@@ -338,12 +351,16 @@ class StreamingPool:
                 padded[row, : seg.shape[0]] = seg
                 lengths[row] = seg.shape[0]
             logits, preds, out_lengths = self._infer(padded, lengths)
-            logits = np.asarray(logits)
+            # greedy pools never read logits — skip the (B, frames, vocab)
+            # device->host transfer on the serving hot path
+            logits = np.asarray(logits) if self._beam_width else None
             preds = np.asarray(preds)
             out_lengths = np.asarray(out_lengths)
             for row, (st, start, seg, last) in enumerate(group):
                 st._apply_chunk(
-                    start, seg.shape[0], last, logits[row], preds[row], int(out_lengths[row])
+                    start, seg.shape[0], last,
+                    logits[row] if logits is not None else None,
+                    preds[row], int(out_lengths[row]),
                 )
 
     def push(self, stream_id, samples) -> str:
@@ -351,35 +368,39 @@ class StreamingPool:
         pool's pending queue, which auto-drains in full ``batch_size``
         device calls.  Returns the stream's stable transcript as of the last
         drain (call :meth:`drain` to force pending chunks through)."""
-        st = self._stream(stream_id)
-        if st._closed:
-            raise RuntimeError("push() after flush()")
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        st._buffer = np.concatenate([st._buffer, samples])
-        self._pending.extend((st, start, seg, last) for start, seg, last in st._take_ready(False))
-        while len(self._pending) >= self._batch:
-            self._process(self._pending[: self._batch])
-            del self._pending[: self._batch]
-        return st.partial_text
+        with self._lock:
+            st = self._stream(stream_id)
+            samples = np.asarray(samples, np.float32).reshape(-1)
+            st._buffer = np.concatenate([st._buffer, samples])
+            self._pending.extend(
+                (st, start, seg, last) for start, seg, last in st._take_ready(False)
+            )
+            while len(self._pending) >= self._batch:
+                group = self._pending[: self._batch]
+                del self._pending[: self._batch]
+                self._process(group)
+            return st.partial_text
 
     def drain(self) -> None:
         """Run every pending chunk now (a final, possibly partial batch)."""
-        if self._pending:
-            self._process(self._pending)
-            self._pending.clear()
+        with self._lock:
+            if self._pending:
+                pending, self._pending = self._pending, []
+                self._process(pending)
 
     def flush(self, stream_id) -> str:
         """Finalize one stream and return its transcript (stream closes).
 
         Drains ALL pending chunks first (order across streams is FIFO), then
         decodes this stream's tail."""
-        st = self._stream(stream_id)
-        if not st._closed:
+        with self._lock:
+            st = self._stream(stream_id)
             self.drain()
             self._process([(st, start, seg, last) for start, seg, last in st._take_ready(True)])
             st._closed = True
-        del self._streams[stream_id]
-        return st.text
+            del self._streams[stream_id]
+            return st.text
 
     def partial_text(self, stream_id) -> str:
-        return self._stream(stream_id).partial_text
+        with self._lock:
+            return self._stream(stream_id).partial_text

@@ -15,15 +15,29 @@ __all__ = ["word_spans", "to_srt", "to_vtt"]
 _SP_MARK = "▁"
 
 
-def word_spans(token_spans: Sequence[Tuple[str, float, float]]) -> List[Tuple[str, float, float]]:
+def word_spans(
+    token_spans: Sequence[Tuple[str, float, float]],
+    specials=None,
+) -> List[Tuple[str, float, float]]:
     """Group aligned token spans into ``(word, start_s, end_s)`` spans.
 
     Handles both vocabulary styles: separator tokens (``" "``/``"|"``) end a
     word and are dropped; sentencepiece ``"▁"``-initial pieces start one.
     A word's span runs from its first token's start to its last token's end.
+
+    ``specials``: tokens to drop entirely (a vocab's start/end/unknown/pad
+    markers, which the text transform can emit into encoded targets).  By
+    default any multi-character ``<...>`` token is dropped — the convention
+    every shipped vocabulary uses (``<s>``, ``</s>``, ``<unk>``, ``<blank>``,
+    ``<pad>``); pass an explicit collection to override.
     """
     words: List[Tuple[str, float, float]] = []
     cur, start, end = "", 0.0, 0.0
+
+    def is_special(tok: str) -> bool:
+        if specials is not None:
+            return tok in specials
+        return len(tok) > 1 and tok.startswith("<") and tok.endswith(">")
 
     def close():
         nonlocal cur
@@ -32,6 +46,8 @@ def word_spans(token_spans: Sequence[Tuple[str, float, float]]) -> List[Tuple[st
             cur = ""
 
     for tok, s, e in token_spans:
+        if is_special(tok):
+            continue
         if tok in (" ", "|"):
             close()
             continue
@@ -82,6 +98,7 @@ def to_srt(
     token_spans: Sequence[Tuple[str, float, float]],
     max_chars: int = 42,
     max_seconds: float = 5.0,
+    specials=None,
 ) -> str:
     """SRT subtitle document from aligned token spans.
 
@@ -89,7 +106,9 @@ def to_srt(
     and ``max_seconds`` duration (standard subtitle readability limits).
     """
     lines = []
-    for i, (start, end, text) in enumerate(_cues(word_spans(token_spans), max_chars, max_seconds), 1):
+    for i, (start, end, text) in enumerate(
+        _cues(word_spans(token_spans, specials), max_chars, max_seconds), 1
+    ):
         lines.append(f"{i}\n{_fmt_ts(start, ',')} --> {_fmt_ts(end, ',')}\n{text}\n")
     return "\n".join(lines)
 
@@ -98,9 +117,10 @@ def to_vtt(
     token_spans: Sequence[Tuple[str, float, float]],
     max_chars: int = 42,
     max_seconds: float = 5.0,
+    specials=None,
 ) -> str:
     """WebVTT subtitle document from aligned token spans."""
     lines = ["WEBVTT\n"]
-    for start, end, text in _cues(word_spans(token_spans), max_chars, max_seconds):
+    for start, end, text in _cues(word_spans(token_spans, specials), max_chars, max_seconds):
         lines.append(f"{_fmt_ts(start, '.')} --> {_fmt_ts(end, '.')}\n{text}\n")
     return "\n".join(lines)
