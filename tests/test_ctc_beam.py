@@ -393,6 +393,85 @@ def test_native_batch_beam_matches_per_sample():
             assert all(np.array_equal(a, b) for a, b in zip(batch, single)), (use_lm, n_threads)
 
 
+def test_nbest_top1_matches_decode_and_scores_sorted():
+    from thunder_tpu.ops.ctc_beam import beam_search_nbest
+    from thunder_tpu.text.lm import NGramLM
+
+    rng = np.random.default_rng(17)
+    V, blank, T = 8, 7, 30
+    logits = (rng.standard_normal((3, T, V)) * 2).astype(np.float32)
+    lengths = [30, 22, 9]
+    lm = NGramLM(order=2).fit([rng.integers(0, blank, size=12).tolist() for _ in range(20)])
+    for kw in ({}, {"lm": lm, "lm_weight": 0.6}):
+        best = beam_search_decode(logits, lengths, blank=blank, beam_width=8, **kw)
+        ranked = beam_search_nbest(logits, lengths, blank=blank, beam_width=8, nbest=4, **kw)
+        for b in range(3):
+            assert 1 <= len(ranked[b]) <= 4
+            scores = [s for _, s in ranked[b]]
+            assert scores == sorted(scores, reverse=True)
+            assert np.array_equal(ranked[b][0][0], best[b]), b
+
+
+def test_nbest_finalized_ranking_with_word_fusion():
+    """nbest scores include the end-of-utterance fusion bonus, so the
+    hotworded hypothesis outranks the acoustically-better one."""
+    from thunder_tpu.ops.ctc_beam import beam_search_nbest
+    from thunder_tpu.text.transform import BatchTextTransformer
+    from thunder_tpu.text.word_fusion import WordFusionLM
+
+    tt = BatchTextTransformer(tokens=list("abct "))
+    fus = WordFusionLM(None, tt, hotwords={"cat": 4.0})
+    stoi = tt.vocab.stoi
+    frames = [stoi["c"], stoi["a"], None]
+    logits = np.full((1, len(frames), tt.num_tokens), -6.0, np.float32)
+    for t, v in enumerate(frames):
+        if v is None:
+            logits[0, t, stoi["b"]] = 3.00
+            logits[0, t, stoi["t"]] = 2.95
+        else:
+            logits[0, t, v] = 3.0
+    ranked = beam_search_nbest(
+        logits, blank=tt.vocab.blank_idx, beam_width=8, nbest=3, lm=fus, lm_weight=1.0
+    )[0]
+
+    def text(ids):
+        return "".join(tt.vocab.itos[int(i)] for i in ids)
+
+    assert text(ranked[0][0]) == "cat"
+    assert "cab" in [text(ids) for ids, _ in ranked[1:]]
+
+
+def test_module_predict_nbest():
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+
+    tt = BatchTextTransformer(tokens=list("abct "))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(filters=(64,), kernel_sizes=(11,), repeat=1, repeat_blocks=1),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=1600,
+    )
+    wav = (np.random.default_rng(0).standard_normal((2, 8000)) * 0.2).astype(np.float32)
+    lens = np.asarray([8000, 6000], np.int32)
+    single = module.predict(wav, lens, beam_width=8)
+    ranked = module.predict(wav, lens, beam_width=8, nbest=3)
+    assert len(ranked) == 2
+    for b in range(2):
+        assert ranked[b][0][0] == single[b]  # top-1 text == plain beam
+        scores = [s for _, s in ranked[b]]
+        assert scores == sorted(scores, reverse=True)
+        assert all(isinstance(t, str) for t, _ in ranked[b])
+    with pytest.raises(TypeError):
+        module.predict(wav, lens, nbest=3)  # nbest is beam-only
+
+
 def test_native_lm_invalidated_by_refit():
     """fit() after native() must rebuild the C++ mirror with the new counts."""
     from thunder_tpu.text.lm import NGramLM

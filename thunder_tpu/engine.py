@@ -509,9 +509,15 @@ class InferenceEngine:
             beam_kwargs=beam_kwargs or None,
         )
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, **beam_kwargs) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, nbest: Optional[int] = None, **beam_kwargs) -> List[str]:
         """Greedy decode by default; ``beam_width`` switches to host-side CTC
-        prefix beam search over the logits (see ops/ctc_beam.py)."""
+        prefix beam search over the logits (see ops/ctc_beam.py).
+
+        With ``nbest=k``, returns per sample the top-k ``(text, log_prob)``
+        pairs instead of one string (hypothesis scores include any
+        end-of-utterance fusion bonus — comparable for rescoring)."""
+        if nbest is not None and not beam_width:
+            raise TypeError("beam-search arguments without beam_width: ['nbest']")
         check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
         if prune_logp is _BEAM_UNSET:
             prune_logp = -12.0
@@ -537,6 +543,27 @@ class InferenceEngine:
                 lengths = np.pad(lengths, (0, extra), constant_values=1)
         logits, preds, out_lengths = self._infer(*self._place(audio, lengths))
         tt = self.module.text_transform
+        if beam_width and nbest is not None:
+            from thunder_tpu.ops.ctc_beam import beam_search_nbest
+
+            ranked = beam_search_nbest(
+                np.asarray(logits, np.float32)[:n],
+                np.asarray(out_lengths)[:n],
+                blank=self.module.blank_idx,
+                beam_width=beam_width,
+                nbest=nbest,
+                prune_logp=prune_logp,
+                lm=lm,
+                lm_weight=lm_weight,
+                **beam_kwargs,
+            )
+            return [
+                [
+                    (tt.decode_prediction(ids[None], remove_repeated=False)[0] if len(ids) else "", score)
+                    for ids, score in sample
+                ]
+                for sample in ranked
+            ]
         if beam_width:
             from thunder_tpu.ops.ctc_beam import beam_search_decode
 

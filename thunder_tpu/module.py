@@ -252,19 +252,23 @@ class CTCModule:
 
     __call__ = forward
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, **beam_kwargs) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, nbest: Optional[int] = None, **beam_kwargs) -> List[str]:
         """Audio batch -> transcriptions.
 
         Greedy CTC decode by default (`module.py:88-100` reference parity);
         pass ``beam_width`` for host-side prefix beam search over the logits
         (ops/ctc_beam.py — C++ runtime when available), which sums posterior
         probability over alignments instead of taking the argmax path.
+        With ``nbest=k``, returns per sample the top-k ``(text, log_prob)``
+        pairs instead of one string.
 
         Pads time to a bucket multiple so repeated calls with nearby lengths
         reuse the same compiled executable.
         """
         if self.text_transform is None:
             raise ValueError("predict requires a text_transform (checkpoint had no tokenizer)")
+        if nbest is not None and not beam_width:
+            raise TypeError("beam-search arguments without beam_width: ['nbest']")
         check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
         if prune_logp is _BEAM_UNSET:
             prune_logp = -12.0
@@ -280,6 +284,28 @@ class CTCModule:
         if bucket != audio.shape[-1]:
             audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
         logits, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
+        if beam_width and nbest is not None:
+            from thunder_tpu.ops.ctc_beam import beam_search_nbest
+
+            ranked = beam_search_nbest(
+                np.asarray(logits, np.float32),
+                np.asarray(out_lengths),
+                blank=self.blank_idx,
+                beam_width=beam_width,
+                nbest=nbest,
+                prune_logp=prune_logp,
+                lm=lm,
+                lm_weight=lm_weight,
+                **beam_kwargs,
+            )
+            tt = self.text_transform
+            return [
+                [
+                    (tt.decode_prediction(ids[None], remove_repeated=False)[0] if len(ids) else "", score)
+                    for ids, score in sample
+                ]
+                for sample in ranked
+            ]
         if beam_width:
             from thunder_tpu.ops.ctc_beam import beam_search_decode
 

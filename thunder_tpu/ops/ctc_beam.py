@@ -18,7 +18,14 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["prefix_beam_search", "beam_search_decode", "BeamState", "beam_search_stream", "log_softmax"]
+__all__ = [
+    "prefix_beam_search",
+    "beam_search_decode",
+    "beam_search_nbest",
+    "BeamState",
+    "beam_search_stream",
+    "log_softmax",
+]
 
 
 def log_softmax(logits: np.ndarray) -> np.ndarray:
@@ -247,6 +254,61 @@ def beam_search_stream(
         return_beams=True,
     )
     return BeamState(beams)
+
+
+def beam_search_nbest(
+    logits: np.ndarray,
+    lengths: Optional[Sequence[int]] = None,
+    blank: Optional[int] = None,
+    beam_width: int = 16,
+    nbest: int = 4,
+    prune_logp: float = -12.0,
+    max_tokens_per_step: int = 50,
+    lm=None,
+    lm_weight: float = 0.5,
+    use_native: bool = True,
+) -> List[List[Tuple[np.ndarray, float]]]:
+    """N-best decode: ``(B, T, V)`` logits -> per sample the top ``nbest``
+    ``(label ids, total log-prob)`` pairs, best first.
+
+    Runs the same search as :func:`beam_search_decode` (C++ when available —
+    the stream entry point exports every surviving beam) and ranks the final
+    beams with the end-of-utterance fusion bonus applied, so hypothesis
+    scores are directly comparable for downstream rescoring.
+    """
+    logits = np.asarray(logits, np.float32)
+    B, T, V = logits.shape
+    if blank is None:
+        blank = V - 1
+    if lengths is None:
+        lengths = [T] * B
+    logp = log_softmax(logits)
+    final_fn = getattr(lm, "final_score", None) if lm is not None else None
+    out = []
+    for b in range(B):
+        state = beam_search_stream(
+            logp[b, : int(lengths[b])],
+            blank,
+            beam_width=beam_width,
+            prune_logp=prune_logp,
+            max_tokens_per_step=max_tokens_per_step,
+            lm=lm,
+            lm_weight=lm_weight,
+            use_native=use_native,
+        )
+        ranked = sorted(
+            (
+                (
+                    prefix,
+                    _logaddexp(pb, pnb)
+                    + (lm_weight * final_fn(prefix) if final_fn is not None else 0.0),
+                )
+                for prefix, (pb, pnb) in state.beams.items()
+            ),
+            key=lambda kv: -kv[1],
+        )
+        out.append([(np.asarray(p, np.int32), s) for p, s in ranked[:nbest]])
+    return out
 
 
 def beam_search_decode(
