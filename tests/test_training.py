@@ -209,3 +209,82 @@ def test_trainer_rbg_prng(tiny_module, manifest):
     trainer.fit(tiny_module, datamodule=dm)
     losses = [l["loss/train_loss"] for l in trainer.logs if "loss/train_loss" in l]
     assert losses and np.isfinite(losses[0])
+
+
+def test_accumulate_grad_batches_exact_and_deferred(tiny_module, manifest):
+    """accumulate_grad_batches semantics (Lightning parity): params change
+    only at optimizer steps, and k identical micro-batches with accumulate=k
+    produce EXACTLY the single-step update (the mean of k equal grads is the
+    grad; params exclude BN running stats, which advance per micro-batch)."""
+    import optax
+
+    from thunder_tpu.training.optim import build_optimizer
+    from thunder_tpu.training.trainer import TrainState, make_train_step
+
+    # deterministic forward: dither injects rng noise folded with the step
+    # counter, which advances per MICRO-batch — disable it so the two
+    # micro-grads are bit-identical and the exactness claim holds
+    tt = tiny_module.text_transform
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(dither=0.0),
+        encoder=QuartznetEncoder(repeat=1, filters=(64,), kernel_sizes=(33,)),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=0)
+    dm.setup("fit")
+    audio, lengths, texts = next(iter(dm.train_dataloader()))
+    targets, target_lengths = module.text_transform.encode(list(texts))
+
+    def make_state(accum):
+        tx = build_optimizer(optimizer_kwargs={"learning_rate": 1e-3})
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        variables = jax.tree_util.tree_map(np.array, module.variables)
+        return TrainState.create(
+            apply_fn=module.model.apply,
+            params=variables["params"],
+            tx=tx,
+            batch_stats=variables.get("batch_stats"),
+        )
+
+    train_step = make_train_step(module.model, module.blank_idx)
+    rng = jax.random.PRNGKey(0)
+
+    one = make_state(1)
+    one, _ = train_step(one, audio, lengths, targets, target_lengths, rng)
+
+    acc = make_state(2)
+    acc, _ = train_step(acc, audio, lengths, targets, target_lengths, rng)
+    # first micro-batch: update deferred, params untouched
+    leaves_before = jax.tree_util.tree_leaves(module.variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(acc.params), leaves_before):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    acc, _ = train_step(acc, audio, lengths, targets, target_lengths, rng)
+    # second: optimizer applies the mean grad == the single-step grad
+    for a, b in zip(
+        jax.tree_util.tree_leaves(acc.params), jax.tree_util.tree_leaves(one.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+
+
+def test_trainer_fit_with_accumulation(tiny_module, manifest):
+    """Trainer.fit composes accumulation with clipping and the scheduler."""
+    from thunder_tpu.training.optim import onecycle
+
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=0)
+    trainer = Trainer(
+        max_epochs=1,
+        optimizer_kwargs={"learning_rate": 1e-3},
+        lr_scheduler_builder=onecycle,
+        lr_scheduler_kwargs={"max_lr": 1e-3, "total_steps_arg": "total_steps"},
+        gradient_clip_norm=1.0,
+        accumulate_grad_batches=2,
+        log_every=1,
+    )
+    module = trainer.fit(tiny_module, datamodule=dm)
+    assert trainer.logs, "training must have logged steps"
+    losses = [e["loss/train_loss"] for e in trainer.logs if "loss/train_loss" in e]
+    assert losses and np.isfinite(losses[-1])

@@ -167,6 +167,11 @@ class Trainer:
     #: or a WordFusionLM for word-level fusion (same objects predict() takes)
     eval_lm: Optional[object] = None
     eval_lm_weight: float = 0.5
+    #: accumulate gradients over this many batches before each optimizer
+    #: step (Lightning's accumulate_grad_batches, which the reference
+    #: inherits) — large effective batches without the memory; schedulers
+    #: and epoch-based callbacks count OPTIMIZER steps, as in Lightning
+    accumulate_grad_batches: int = 1
     #: PRNG implementation for dropout/SpecAugment keys.  None = auto:
     #: "rbg" (XLA RngBitGenerator) on TPU, threefry elsewhere.  Measured on
     #: v5e: threefry random bits cost ~34 ms of an 84 ms QuartzNet15x5
@@ -186,7 +191,9 @@ class Trainer:
             datamodule.setup("fit")
             train_loader = datamodule.train_dataloader()
             val_loader = datamodule.val_dataloader()
-        steps_per_epoch = len(train_loader)
+        accum = max(int(self.accumulate_grad_batches), 1)
+        # schedulers and epoch callbacks advance per OPTIMIZER step
+        steps_per_epoch = -(-len(train_loader) // accum)
         total_steps = 1 if self.fast_dev_run else steps_per_epoch * self.max_epochs
 
         # ReduceLROnPlateau is not a per-step schedule: it scales updates by a
@@ -217,6 +224,11 @@ class Trainer:
             from thunder_tpu.training.optim import freeze_subtrees_transform
 
             tx = freeze_subtrees_transform(tx, frozen_paths)
+        if accum > 1:
+            # averages grads over `accum` micro-batches, applying the wrapped
+            # optimizer (incl. clipping, at the accumulated gradient) every
+            # accum-th call; between real steps the update is zero
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
         if plateau_kwargs is not None:
             # outermost so the scale multiplies the final updates and the
             # plateau state sits at the top of opt_state for epoch-end surgery
