@@ -288,3 +288,44 @@ def test_trainer_fit_with_accumulation(tiny_module, manifest):
     assert trainer.logs, "training must have logged steps"
     losses = [e["loss/train_loss"] for e in trainer.logs if "loss/train_loss" in e]
     assert losses and np.isfinite(losses[-1])
+
+
+def test_early_stopping_callback_logic():
+    from thunder_tpu.training import EarlyStopping
+
+    es = EarlyStopping(patience=1, min_delta=0.1)
+    assert not es.should_stop({"loss/val_loss": 5.0})  # first sets best
+    assert not es.should_stop({"loss/val_loss": 4.0})  # improved
+    assert not es.should_stop({"loss/val_loss": 3.95})  # < min_delta: bad #1
+    assert es.should_stop({"loss/val_loss": 3.96})      # bad #2 > patience
+    # improvement resets the counter
+    es = EarlyStopping(patience=1, min_delta=0.0)
+    assert not es.should_stop({"loss/val_loss": 5.0})
+    assert not es.should_stop({"loss/val_loss": 5.0})   # bad #1
+    assert not es.should_stop({"loss/val_loss": 4.0})   # reset
+    assert not es.should_stop({"loss/val_loss": 4.0})   # bad #1 again
+    assert es.should_stop({"loss/val_loss": 4.0})
+    # max mode + missing metric is a no-op
+    es = EarlyStopping(monitor="metrics/acc", patience=0, mode="max")
+    assert not es.should_stop({"loss/val_loss": 1.0})
+    assert not es.should_stop({"metrics/acc": 0.5})
+    assert es.should_stop({"metrics/acc": 0.5})
+    with pytest.raises(ValueError):
+        EarlyStopping(mode="sideways")
+
+
+def test_early_stopping_ends_fit(tiny_module, manifest):
+    """A min_delta no epoch can beat stops fit after patience+2 epochs."""
+    from thunder_tpu.training import EarlyStopping
+
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=0)
+    trainer = Trainer(
+        max_epochs=6,
+        optimizer_kwargs={"learning_rate": 1e-4},
+        callbacks=[EarlyStopping(patience=0, min_delta=1e9)],
+        log_every=1,
+    )
+    trainer.fit(tiny_module, datamodule=dm)
+    assert any(e.get("early_stop") for e in trainer.logs)
+    epochs_seen = {e["epoch"] for e in trainer.logs if "epoch" in e}
+    assert max(epochs_seen) == 1  # epoch 0 sets best, epoch 1 stops

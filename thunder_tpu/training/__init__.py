@@ -11,4 +11,9 @@ from thunder_tpu.training.optim import (  # noqa: F401
     reduce_on_plateau,
     sgd,
 )
-from thunder_tpu.training.trainer import FinetuneEncoderDecoder, Trainer, TrainState  # noqa: F401
+from thunder_tpu.training.trainer import (  # noqa: F401
+    EarlyStopping,
+    FinetuneEncoderDecoder,
+    Trainer,
+    TrainState,
+)

@@ -32,7 +32,7 @@ from thunder_tpu.parallel.mesh import batch_sharding, make_mesh, shard_variables
 from thunder_tpu.training.metrics import CharErrorRate, WordErrorRate
 from thunder_tpu.training.optim import adamw, build_optimizer, finetune_schedule_transform
 
-__all__ = ["TrainState", "Trainer", "FinetuneEncoderDecoder", "make_train_step"]
+__all__ = ["TrainState", "Trainer", "FinetuneEncoderDecoder", "EarlyStopping", "make_train_step"]
 
 
 class TrainState(train_state.TrainState):
@@ -60,6 +60,46 @@ class FinetuneEncoderDecoder:
             unfreeze_encoder_at_step=self.unfreeze_encoder_at_epoch * steps_per_epoch,
             encoder_initial_lr_div=self.encoder_initial_lr_div,
         )
+
+
+@dataclass
+class EarlyStopping:
+    """Stop ``fit`` when a validation metric stops improving (parity with
+    Lightning's ``EarlyStopping``, which the reference inherits through
+    ``pl.Trainer(callbacks=...)``).
+
+    Checked once per epoch after validation; an epoch "improves" when the
+    monitored value beats the best seen by more than ``min_delta`` in the
+    given ``mode``; after ``patience`` consecutive non-improving epochs the
+    fit loop ends (the returned module holds the last epoch's weights).
+    """
+
+    monitor: str = "loss/val_loss"
+    patience: int = 3
+    min_delta: float = 0.0
+    mode: str = "min"
+
+    def __post_init__(self):
+        if self.mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'min' or 'max', got {self.mode!r}")
+        self._best: Optional[float] = None
+        self._bad_epochs = 0
+
+    def should_stop(self, metrics: Dict[str, float]) -> bool:
+        current = metrics.get(self.monitor)
+        if current is None:
+            return False
+        improved = self._best is None or (
+            current < self._best - self.min_delta
+            if self.mode == "min"
+            else current > self._best + self.min_delta
+        )
+        if improved:
+            self._best = float(current)
+            self._bad_epochs = 0
+            return False
+        self._bad_epochs += 1
+        return self._bad_epochs > self.patience
 
 
 def make_train_step(model, blank_idx: int) -> Callable:
@@ -304,6 +344,16 @@ class Trainer:
                     state = state.replace(opt_state={**state.opt_state, "plateau": new_plateau})
                     metrics["lr_scale/plateau"] = float(new_plateau.scale)
                 self._log(metrics)
+                if any(
+                    isinstance(cb, EarlyStopping) and cb.should_stop(metrics)
+                    for cb in self.callbacks
+                ):
+                    self._log({"epoch": epoch, "early_stop": 1.0})
+                    if self.checkpoint_dir:
+                        from thunder_tpu.training.checkpointing import save_checkpoint
+
+                        save_checkpoint(self.checkpoint_dir, state, step=step)
+                    return module
             if self.checkpoint_dir:
                 from thunder_tpu.training.checkpointing import save_checkpoint
 
