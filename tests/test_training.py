@@ -329,3 +329,31 @@ def test_early_stopping_ends_fit(tiny_module, manifest):
     assert any(e.get("early_stop") for e in trainer.logs)
     epochs_seen = {e["epoch"] for e in trainer.logs if "epoch" in e}
     assert max(epochs_seen) == 1  # epoch 0 sets best, epoch 1 stops
+
+
+def test_gradient_clip_value_and_checkpoint_monitor(tiny_module, manifest, tmp_path, monkeypatch):
+    """clip-by-value composes; checkpoint_monitor saves only improving epochs."""
+    saved_steps = []
+
+    import thunder_tpu.training.checkpointing as ckpt
+
+    real_save = ckpt.save_checkpoint
+
+    def spy(path, state, step):
+        saved_steps.append(step)
+        return real_save(path, state, step=step)
+
+    monkeypatch.setattr(ckpt, "save_checkpoint", spy)
+
+    dm = ManifestDatamodule(manifest, manifest, manifest, batch_size=2, num_workers=0)
+    trainer = Trainer(
+        max_epochs=3,
+        optimizer_kwargs={"learning_rate": 0.0},  # loss frozen: no improvement
+        gradient_clip_value=0.5,
+        checkpoint_dir=str(tmp_path / "ck"),
+        checkpoint_monitor="loss/val_loss",
+        log_every=1,
+    )
+    trainer.fit(tiny_module, datamodule=dm)
+    # lr=0 => identical val loss every epoch: only epoch 0 improves (sets best)
+    assert len(saved_steps) == 1

@@ -189,7 +189,13 @@ class Trainer:
     callbacks: List[Any] = field(default_factory=list)
     #: clip global gradient norm before the optimizer (None = off)
     gradient_clip_norm: Optional[float] = None
+    #: element-wise clip (Lightning's gradient_clip_algorithm="value")
+    gradient_clip_value: Optional[float] = None
     checkpoint_dir: Optional[str] = None
+    #: save a checkpoint only when this validation metric improves
+    #: (Lightning's ModelCheckpoint(monitor=..., save_top_k=1) semantics);
+    #: None keeps the default save-every-epoch behavior
+    checkpoint_monitor: Optional[str] = None
     mesh: Optional[Any] = None
     model_parallel: int = 1
     seed: int = 0
@@ -255,6 +261,8 @@ class Trainer:
         )
         if self.gradient_clip_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(self.gradient_clip_norm), tx)
+        if self.gradient_clip_value is not None:
+            tx = optax.chain(optax.clip(self.gradient_clip_value), tx)
         for cb in self.callbacks:
             if isinstance(cb, FinetuneEncoderDecoder):
                 tx = cb.wrap(tx, steps_per_epoch)
@@ -308,6 +316,7 @@ class Trainer:
         data_shard = batch_sharding(mesh) if mesh is not None else None
 
         step = 0
+        best_monitored: Optional[float] = None  # checkpoint_monitor state
         t0 = time.perf_counter()
         for epoch in range(self.max_epochs):
             for audio, audio_lengths, texts in train_loader:
@@ -355,9 +364,19 @@ class Trainer:
                         save_checkpoint(self.checkpoint_dir, state, step=step)
                     return module
             if self.checkpoint_dir:
-                from thunder_tpu.training.checkpointing import save_checkpoint
+                save = True
+                if self.checkpoint_monitor is not None:
+                    # best-only (min) semantics: skip epochs that don't improve
+                    current = metrics.get(self.checkpoint_monitor) if val_loader is not None else None
+                    save = current is not None and (
+                        best_monitored is None or current < best_monitored
+                    )
+                    if save:
+                        best_monitored = float(current)
+                if save:
+                    from thunder_tpu.training.checkpointing import save_checkpoint
 
-                save_checkpoint(self.checkpoint_dir, state, step=step)
+                    save_checkpoint(self.checkpoint_dir, state, step=step)
             if self.fast_dev_run:
                 break
         return module
