@@ -120,3 +120,40 @@ def test_native_unigram_encode_matches_python_dp(tmp_path, corpus_file):
     for text in texts:
         s = model.normalize(text)
         assert model._encode_unigram(s) == model._encode_unigram_py(s), text
+
+
+def test_native_unigram_encode_hypothesis_parity():
+    """Property fuzz: random piece vocabularies and unicode-ish texts must
+    segment identically on the C++ and Python Viterbi paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from thunder_tpu.text.sentencepiece_model import NORMAL, SentencePieceModel
+
+    alphabet = "abcdeé▁ç漢 "
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pieces=st.lists(
+            st.text(alphabet=alphabet.replace(" ", ""), min_size=1, max_size=4),
+            min_size=2,
+            max_size=24,
+            unique=True,
+        ),
+        scores=st.lists(st.floats(-12.0, -0.1), min_size=24, max_size=24),
+        text=st.text(alphabet=alphabet, max_size=40),
+    )
+    def check(pieces, scores, text):
+        model = SentencePieceModel(
+            pieces=list(pieces),
+            scores=scores[: len(pieces)],
+            types=[NORMAL] * len(pieces),
+        )
+        if model._native_encoder() is None:
+            pytest.skip("native library unavailable")
+        s = model.normalize(text)
+        if not s:
+            return
+        assert model._encode_unigram(s) == model._encode_unigram_py(s)
+
+    check()
