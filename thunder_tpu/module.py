@@ -398,6 +398,11 @@ class CTCModule:
         if self.text_transform is None:
             raise ValueError("predict_long requires a text_transform")
         check_beam_args(beam_width, beam_kwargs)
+        if "nbest" in beam_kwargs:
+            raise TypeError(
+                "nbest is not supported by predict_long (the chunked beam "
+                "yields one continuous search; use predict for n-best)"
+            )
 
         def infer(padded, lengths):
             _, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(padded), jnp.asarray(lengths))
