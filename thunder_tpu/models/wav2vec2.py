@@ -206,8 +206,10 @@ class _FeatureExtractor(nn.Module):
         specs = list(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride))
         use_fused = self.fused_stride2
         if use_fused is None:
-            # default off until the kernel's on-chip win is confirmed (the
-            # interpret-mode numerics are pinned by tests/test_stride2_kernel.py)
+            # default off: the on-chip A/B (scripts/ab_stride2.py, v5e)
+            # measured the fused kernel 20-28% SLOWER end-to-end than XLA's
+            # strided-conv emitter (docs/benchmarks.md); numerics stay
+            # pinned by tests/test_stride2_kernel.py
             use_fused = False
         # the fused path covers the standard extractor tail: group-norm
         # config (no per-layer LN between conv and gelu) and every layer
