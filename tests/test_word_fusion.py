@@ -422,6 +422,95 @@ def test_stream_flush_finalizes_like_full_decode():
 
 
 # ---------------------------------------------------------------------------
+# partial-word lookahead (streaming display ranking)
+# ---------------------------------------------------------------------------
+
+
+def test_partial_lookahead_scores():
+    """partial_score = best completion's unigram + hotword boost (+word_score),
+    the unk floor when nothing completes the partial, 0 at a word boundary."""
+    tt = BatchTextTransformer(tokens=list("abcdorswx "))
+    wlm = WordNGramLM(order=2).fit(["cards cards cards cow"])
+    fus = WordFusionLM(wlm, tt, hotwords={"cows": 5.0}, word_score=-0.5)
+    stoi = tt.vocab.stoi
+
+    def ids(s):
+        return [stoi[c] for c in s]
+
+    uni = lambda w: wlm.score_ids((), wlm.word_id(w))
+    # "car" completes only into "cards"
+    assert fus.partial_score(ids("car")) == pytest.approx(-0.5 + uni("cards"))
+    # "co" completes into "cow" (unigram) and the hotword "cows" (0 + 5.0)
+    assert fus.partial_score(ids("co")) == pytest.approx(-0.5 + max(uni("cow"), 5.0))
+    # nothing in vocab∪hotwords starts with "x": the unk floor
+    assert fus.partial_score(ids("x")) == pytest.approx(-0.5 + wlm.score_ids((), None))
+    # at a boundary (no partial) there is nothing to look ahead for
+    assert fus.partial_score(ids("cow ")) == 0.0
+    # a partial that IS a full vocab word counts itself as a completion
+    assert fus.partial_score(ids("cow")) >= -0.5 + uni("cow")
+
+
+def test_best_partial_ranks_in_flight_word():
+    """Mid-stream ranking carries the in-flight word's best-case LM evidence;
+    carried state and best/best_final are untouched."""
+    from thunder_tpu.ops.ctc_beam import BeamState
+
+    tt = BatchTextTransformer(tokens=list("abct "))
+    wlm = WordNGramLM(order=2).fit(["cat cat cat cat"])
+    fus = WordFusionLM(wlm, tt)
+    stoi = tt.vocab.stoi
+
+    def ids(s):
+        return tuple(stoi[c] for c in s)
+
+    # acoustics barely prefer the prefix whose pending word can't complete
+    beams = {
+        ids("cat cb"): (np.log(0.51), float("-inf")),
+        ids("cat ca"): (np.log(0.49), float("-inf")),
+    }
+    state = BeamState(dict(beams))
+
+    def text(arr):
+        return "".join(tt.vocab.itos[int(i)] for i in arr)
+
+    assert text(state.best) == "cat cb"  # raw acoustic ranking
+    assert text(state.best_partial(fus, 1.0)) == "cat ca"  # lookahead flips it
+    # no partial_score hook (plain token LM / None) falls back to .best
+    assert text(state.best_partial(None, 1.0)) == "cat cb"
+    assert state.beams == beams  # ranking only — state untouched
+
+
+def test_stream_partial_text_uses_lookahead():
+    """Live beam state threaded through beam_search_stream ranks partials
+    with the lookahead, while flush finalization is unchanged."""
+    from thunder_tpu.ops.ctc_beam import beam_search_stream
+
+    tt = BatchTextTransformer(tokens=list("abct "))
+    fus = WordFusionLM(None, tt, hotwords={"cat": 4.0})
+    stoi = tt.vocab.stoi
+    frames = [stoi["c"], stoi["a"], None]  # near-tie 'b'/'t', word in flight
+    logits = np.full((len(frames), tt.num_tokens), -6.0, np.float32)
+    for t, v in enumerate(frames):
+        if v is None:
+            logits[t, stoi["b"]] = 3.00
+            logits[t, stoi["t"]] = 2.95
+        else:
+            logits[t, v] = 3.0
+    state = beam_search_stream(
+        log_softmax(logits), tt.vocab.blank_idx, beam_width=8, lm=fus, lm_weight=1.0
+    )
+
+    def text(ids):
+        return "".join(tt.vocab.itos[int(i)] for i in ids)
+
+    # hotword lookahead surfaces "cat" in the live display ranking even
+    # though the raw carried ranking still holds "cab"
+    assert text(state.best) == "cab"
+    assert text(state.best_partial(fus, 1.0)) == "cat"
+    assert text(state.best_final(fus, 1.0)) == "cat"
+
+
+# ---------------------------------------------------------------------------
 # end-to-end through the module API
 # ---------------------------------------------------------------------------
 

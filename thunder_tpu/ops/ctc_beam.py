@@ -195,6 +195,25 @@ class BeamState:
         )[0]
         return np.asarray(prefix, np.int32)
 
+    def best_partial(self, lm=None, lm_weight: float = 0.0) -> np.ndarray:
+        """Best prefix for a LIVE stream's partial display.
+
+        When ``lm`` has ``partial_score`` (word fusion's completion
+        lookahead), the trailing in-flight word contributes its best-case
+        LM/hotword evidence to the ranking — so partial text doesn't flip
+        away from a hypothesis whose last word is still being emitted.
+        Ranking-only: carried state is never mutated, and finalization
+        (:meth:`best_final` at flush) is unaffected.
+        """
+        partial_fn = getattr(lm, "partial_score", None) if lm is not None else None
+        if partial_fn is None or not self.beams:
+            return self.best
+        prefix = max(
+            self.beams.items(),
+            key=lambda kv: _logaddexp(*kv[1]) + lm_weight * partial_fn(kv[0]),
+        )[0]
+        return np.asarray(prefix, np.int32)
+
 
 def beam_search_stream(
     logp: np.ndarray,

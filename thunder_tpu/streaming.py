@@ -251,7 +251,12 @@ class StreamingTranscriber:
                 return self._beam_state.best_final(
                     self._beam_kwargs.get("lm"), self._beam_kwargs.get("lm_weight", 0.0)
                 )
-            return self._beam_state.best
+            # live: rank with word fusion's completion lookahead so the
+            # in-flight trailing word carries its best-case LM/hotword
+            # evidence (display-only; carried state untouched)
+            return self._beam_state.best_partial(
+                self._beam_kwargs.get("lm"), self._beam_kwargs.get("lm_weight", 0.0)
+            )
         if not self._pieces:
             return np.zeros((0,), np.int32)
         return np.concatenate(self._pieces).astype(np.int32)

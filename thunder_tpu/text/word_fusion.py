@@ -279,6 +279,64 @@ class WordFusionLM:
         hist, partial = self.state_of(prefix)
         return self._word_bonus(hist, partial) if partial else 0.0
 
+    # -- partial-word lookahead (streaming display ranking) -----------------
+
+    def _lookahead_table(self):
+        """Sorted completion table: ``(words, scores)`` built once, lazily.
+
+        ``words`` is every candidate completion (LM vocabulary ∪ hotwords)
+        sorted lexicographically; ``scores[i]`` is the context-free value of
+        completing into ``words[i]``: its unigram log-prob (when an LM is
+        present) plus its hotword boost.  A prefix query is then a bisect
+        range + one vectorized max — O(log V + range) per live beam, host-side
+        only.
+        """
+        table = getattr(self, "_lookahead", None)
+        if table is None:
+            import numpy as np
+
+            cand: Dict[str, float] = {}
+            if self.word_lm is not None:
+                for w in getattr(self.word_lm, "words", []):
+                    # context-free unigram: the best single-word estimate of
+                    # the pending word's eventual LM score
+                    cand[w] = self.word_lm.score_ids((), self.word_lm.word_id(w))
+            for w, boost in self.hotwords.items():
+                cand[w] = cand.get(w, 0.0) + boost
+            words = sorted(cand)
+            table = (words, np.asarray([cand[w] for w in words], np.float32))
+            self._lookahead = table
+        return table
+
+    def partial_score(self, prefix: Sequence[int]) -> float:
+        """Lookahead bonus for a prefix ending in an in-flight partial word.
+
+        Streaming ``partial_text`` ranks live beams with this so the trailing
+        word-in-progress carries LM/hotword evidence *before* its boundary
+        token arrives (the pyctcdecode partial-word recipe): the bonus is the
+        best completion's context-free unigram score plus its hotword boost,
+        or the LM's unknown-word floor when nothing in the vocabulary starts
+        with the partial.  Display-only — carried beam state and ``flush()``
+        ranking (:meth:`final_score`) are untouched, so chunked == unchunked
+        finalization still holds.
+        """
+        _, partial = self.state_of(prefix)
+        if not partial:
+            return 0.0
+        import bisect
+
+        words, scores = self._lookahead_table()
+        lo = bisect.bisect_left(words, partial)
+        hi = bisect.bisect_left(words, partial + "\uffff")
+        bonus = self.word_score
+        if hi > lo:
+            return bonus + float(scores[lo:hi].max())
+        if self.word_lm is not None:
+            # no completion exists: the word can only resolve via the
+            # unknown-word path, so penalize with the LM's floor now
+            return bonus + self.word_lm.score_ids((), None)
+        return bonus
+
     def native(self):
         """C++ fusion handle so the beam scores words natively.
 
