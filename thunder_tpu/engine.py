@@ -514,15 +514,19 @@ class InferenceEngine:
             beam_kwargs=beam_kwargs or None,
         )
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, nbest: Optional[int] = None, **beam_kwargs) -> List[str]:
-        """Greedy decode by default; ``beam_width`` switches to host-side CTC
-        prefix beam search over the logits (see ops/ctc_beam.py).
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, nbest: Optional[int] = None, beam_backend: Optional[str] = None, **beam_kwargs) -> List[str]:
+        """Greedy decode by default; ``beam_width`` switches to CTC prefix
+        beam search over the logits — ``beam_backend="host"`` (default, see
+        ops/ctc_beam.py; required for LM fusion) or ``"device"`` (jitted
+        on-accelerator search, logits never leave the chip).
 
         With ``nbest=k``, returns per sample the top-k ``(text, log_prob)``
         pairs instead of one string (hypothesis scores include any
         end-of-utterance fusion bonus — comparable for rescoring)."""
         if nbest is not None and not beam_width:
             raise TypeError("beam-search arguments without beam_width: ['nbest']")
+        if beam_backend is not None and not beam_width:
+            raise TypeError("beam-search arguments without beam_width: ['beam_backend']")
         check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
         if prune_logp is _BEAM_UNSET:
             prune_logp = -12.0
@@ -548,41 +552,22 @@ class InferenceEngine:
                 lengths = np.pad(lengths, (0, extra), constant_values=1)
         logits, preds, out_lengths = self._infer(*self._place(audio, lengths))
         tt = self.module.text_transform
-        if beam_width and nbest is not None:
-            from thunder_tpu.ops.ctc_beam import beam_search_nbest
+        if beam_width:
+            from thunder_tpu.module import run_beam_decode
 
-            ranked = beam_search_nbest(
-                np.asarray(logits, np.float32)[:n],
-                np.asarray(out_lengths)[:n],
+            return run_beam_decode(
+                logits[:n],
+                out_lengths[:n],
                 blank=self.module.blank_idx,
+                text_transform=tt,
                 beam_width=beam_width,
                 nbest=nbest,
                 prune_logp=prune_logp,
                 lm=lm,
                 lm_weight=lm_weight,
-                **beam_kwargs,
+                backend=beam_backend,
+                beam_kwargs=beam_kwargs,
             )
-            return [
-                [
-                    (tt.decode_prediction(ids[None], remove_repeated=False)[0] if len(ids) else "", score)
-                    for ids, score in sample
-                ]
-                for sample in ranked
-            ]
-        if beam_width:
-            from thunder_tpu.ops.ctc_beam import beam_search_decode
-
-            hyps = beam_search_decode(
-                np.asarray(logits, np.float32)[:n],
-                np.asarray(out_lengths)[:n],
-                blank=self.module.blank_idx,
-                beam_width=beam_width,
-                prune_logp=prune_logp,
-                lm=lm,
-                lm_weight=lm_weight,
-                **beam_kwargs,
-            )
-            return [tt.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
         collapsed = collapse_ctc(np.asarray(preds)[:n], np.asarray(out_lengths)[:n])
         # repeats already collapsed on ids; decode must not re-collapse
         return [tt.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]

@@ -52,6 +52,95 @@ def check_beam_args(beam_width, beam_kwargs, prune_logp=_BEAM_UNSET, lm=None, lm
         raise TypeError(f"beam-search arguments without beam_width: {sorted(stray)}")
 
 
+def run_beam_decode(
+    logits,
+    out_lengths,
+    *,
+    blank: int,
+    text_transform,
+    beam_width: int,
+    nbest: Optional[int],
+    prune_logp: float,
+    lm,
+    lm_weight: float,
+    backend: Optional[str] = None,
+    beam_kwargs: Optional[dict] = None,
+):
+    """Shared beam-decode tail for :meth:`CTCModule.predict` and the serving
+    engine's ``predict``: logits -> transcriptions (or, with ``nbest``,
+    ranked ``(text, log_prob)`` pairs per sample).
+
+    ``backend`` selects where the search runs:
+
+    - ``"host"`` (default) — ops/ctc_beam.py (C++ runtime when available,
+      numpy reference otherwise); the only backend that supports LM fusion.
+    - ``"device"`` — the jitted on-accelerator search
+      (:func:`thunder_tpu.ops.ctc_beam_device.beam_search_device`); the
+      ``(B, T, V)`` logits never cross the device->host link and the decode
+      scales with the chip instead of host cores.
+    """
+    kw = dict(beam_kwargs or {})
+    if backend == "device":
+        if lm is not None:
+            raise ValueError(
+                "beam_backend='device' does not support LM fusion (the "
+                "scorers are host-only); drop lm= or use the host backend"
+            )
+        stray = sorted(set(kw) - {"max_tokens_per_step"})
+        if stray:
+            raise ValueError(f"beam_backend='device' does not support: {stray}")
+        from thunder_tpu.ops.ctc_beam_device import beam_search_device
+
+        hyps = beam_search_device(
+            logits,
+            out_lengths,
+            blank=blank,
+            beam_width=beam_width,
+            prune_logp=prune_logp,
+            nbest=nbest,
+            **kw,
+        )
+    elif backend not in (None, "host"):
+        raise ValueError(f"unknown beam_backend: {backend!r} (use 'host' or 'device')")
+    elif nbest is not None:
+        from thunder_tpu.ops.ctc_beam import beam_search_nbest
+
+        hyps = beam_search_nbest(
+            np.asarray(logits, np.float32),
+            np.asarray(out_lengths),
+            blank=blank,
+            beam_width=beam_width,
+            nbest=nbest,
+            prune_logp=prune_logp,
+            lm=lm,
+            lm_weight=lm_weight,
+            **kw,
+        )
+    else:
+        from thunder_tpu.ops.ctc_beam import beam_search_decode
+
+        hyps = beam_search_decode(
+            np.asarray(logits, np.float32),
+            np.asarray(out_lengths),
+            blank=blank,
+            beam_width=beam_width,
+            prune_logp=prune_logp,
+            lm=lm,
+            lm_weight=lm_weight,
+            **kw,
+        )
+    tt = text_transform
+    if nbest is not None:
+        return [
+            [
+                (tt.decode_prediction(ids[None], remove_repeated=False)[0] if len(ids) else "", score)
+                for ids, score in sample
+            ]
+            for sample in hyps
+        ]
+    return [tt.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
+
+
 def trim_chunk_ids(ids, seg_len: int, overlap: int, is_first: bool, is_last: bool):
     """Drop half the overlap's frames from interior chunk boundaries.
 
@@ -252,15 +341,18 @@ class CTCModule:
 
     __call__ = forward
 
-    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, nbest: Optional[int] = None, **beam_kwargs) -> List[str]:
+    def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, nbest: Optional[int] = None, beam_backend: Optional[str] = None, **beam_kwargs) -> List[str]:
         """Audio batch -> transcriptions.
 
         Greedy CTC decode by default (`module.py:88-100` reference parity);
-        pass ``beam_width`` for host-side prefix beam search over the logits
-        (ops/ctc_beam.py — C++ runtime when available), which sums posterior
-        probability over alignments instead of taking the argmax path.
-        With ``nbest=k``, returns per sample the top-k ``(text, log_prob)``
-        pairs instead of one string.
+        pass ``beam_width`` for prefix beam search over the logits, which
+        sums posterior probability over alignments instead of taking the
+        argmax path.  ``beam_backend`` picks the search implementation:
+        ``"host"`` (default — ops/ctc_beam.py, C++ runtime when available,
+        required for LM fusion) or ``"device"`` (jitted on-accelerator
+        search; the logits never leave the chip).  With ``nbest=k``, returns
+        per sample the top-k ``(text, log_prob)`` pairs instead of one
+        string.
 
         Pads time to a bucket multiple so repeated calls with nearby lengths
         reuse the same compiled executable.
@@ -269,6 +361,8 @@ class CTCModule:
             raise ValueError("predict requires a text_transform (checkpoint had no tokenizer)")
         if nbest is not None and not beam_width:
             raise TypeError("beam-search arguments without beam_width: ['nbest']")
+        if beam_backend is not None and not beam_width:
+            raise TypeError("beam-search arguments without beam_width: ['beam_backend']")
         check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
         if prune_logp is _BEAM_UNSET:
             prune_logp = -12.0
@@ -284,42 +378,20 @@ class CTCModule:
         if bucket != audio.shape[-1]:
             audio = np.pad(audio, ((0, 0), (0, bucket - audio.shape[-1])))
         logits, preds, out_lengths = self._eval_fn()(self.variables, jnp.asarray(audio), jnp.asarray(lengths))
-        if beam_width and nbest is not None:
-            from thunder_tpu.ops.ctc_beam import beam_search_nbest
-
-            ranked = beam_search_nbest(
-                np.asarray(logits, np.float32),
-                np.asarray(out_lengths),
+        if beam_width:
+            return run_beam_decode(
+                logits,
+                out_lengths,
                 blank=self.blank_idx,
+                text_transform=self.text_transform,
                 beam_width=beam_width,
                 nbest=nbest,
                 prune_logp=prune_logp,
                 lm=lm,
                 lm_weight=lm_weight,
-                **beam_kwargs,
+                backend=beam_backend,
+                beam_kwargs=beam_kwargs,
             )
-            tt = self.text_transform
-            return [
-                [
-                    (tt.decode_prediction(ids[None], remove_repeated=False)[0] if len(ids) else "", score)
-                    for ids, score in sample
-                ]
-                for sample in ranked
-            ]
-        if beam_width:
-            from thunder_tpu.ops.ctc_beam import beam_search_decode
-
-            hyps = beam_search_decode(
-                np.asarray(logits, np.float32),
-                np.asarray(out_lengths),
-                blank=self.blank_idx,
-                beam_width=beam_width,
-                prune_logp=prune_logp,
-                lm=lm,
-                lm_weight=lm_weight,
-                **beam_kwargs,
-            )
-            return [self.text_transform.decode_prediction(h[None], remove_repeated=False)[0] if len(h) else "" for h in hyps]
         collapsed = collapse_ctc(np.asarray(preds), np.asarray(out_lengths))
         # repeats already collapsed on ids; decode must not re-collapse
         return [self.text_transform.decode_prediction(c[None], remove_repeated=False)[0] for c in collapsed]
