@@ -1,4 +1,4 @@
-"""HuggingFace wav2vec2 checkpoint import.
+"""HuggingFace checkpoint import for the wav2vec2 model family.
 
 Rebuild of `/root/reference/src/thunder/huggingface/compatibility.py:23-135`:
 ``load_huggingface_checkpoint(name)`` pulls a torch ``AutoModelForCTC`` (hub
@@ -6,6 +6,13 @@ id or local directory), converts its weights onto the flax
 :class:`~thunder_tpu.models.wav2vec2.Wav2Vec2Encoder`, builds the text
 transform from the tokenizer vocab, and copies ``lm_head`` into a
 ``LinearDecoder`` — returning a ready ``CTCModule``.
+
+Covered architectures (everything ``AutoModelForCTC`` accepts that shares
+the conv-frontend + transformer shape): **wav2vec2** (both norm variants),
+**HuBERT** (optional feature-projection LayerNorm), **data2vec-audio**
+(stacked positional convs, per-layer conv LayerNorms), and **WavLM** (gated
+bucketed relative position bias).  Logit parity with the torch models is
+pinned in tests/wav2vec2/.
 
 Weight-norm on the positional conv (``weight_g``/``weight_v`` or the newer
 ``parametrizations.weight.original{0,1}``) is folded into a plain kernel at
@@ -89,17 +96,30 @@ def hf_state_to_variables(state: Dict[str, np.ndarray], config: Wav2Vec2Config) 
         elif config.feat_extract_norm == "layer":
             norm(f"{base}.layer_norm", ("feature_extractor", f"ln{i}"))
 
-    norm("feature_projection.layer_norm", ("fp_layer_norm",))
+    if config.feat_proj_layer_norm:
+        norm("feature_projection.layer_norm", ("fp_layer_norm",))
     dense("feature_projection.projection", ("fp_projection",))
 
-    pc = "encoder.pos_conv_embed.conv"
-    if f"{pc}.weight_g" in state:
-        g, v = state[f"{pc}.weight_g"], state[f"{pc}.weight_v"]
+    if config.pos_conv_stack:
+        # data2vec-audio: a stack of plain (un-normed) grouped convs
+        for i in range(config.num_conv_pos_embeddings):
+            base = f"encoder.pos_conv_embed.layers.{i}.conv"
+            p[(f"pos_conv{i}", "kernel")] = _conv_t(state[f"{base}.weight"])
+            p[(f"pos_conv{i}", "bias")] = state[f"{base}.bias"]
     else:
-        g = state[f"{pc}.parametrizations.weight.original0"]
-        v = state[f"{pc}.parametrizations.weight.original1"]
-    p[("pos_conv", "kernel")] = _conv_t(_fold_weight_norm(np.asarray(g), np.asarray(v)))
-    p[("pos_conv", "bias")] = state[f"{pc}.bias"]
+        pc = "encoder.pos_conv_embed.conv"
+        if f"{pc}.weight_g" in state:
+            g, v = state[f"{pc}.weight_g"], state[f"{pc}.weight_v"]
+        else:
+            g = state[f"{pc}.parametrizations.weight.original0"]
+            v = state[f"{pc}.parametrizations.weight.original1"]
+        p[("pos_conv", "kernel")] = _conv_t(_fold_weight_norm(np.asarray(g), np.asarray(v)))
+        p[("pos_conv", "bias")] = state[f"{pc}.bias"]
+
+    if config.rel_pos_buckets:
+        # WavLM: the bucketed bias table lives on layer 0 only (later layers
+        # reuse the computed bias); the flax encoder owns it at top level
+        p[("rel_attn_embed",)] = state["encoder.layers.0.attention.rel_attn_embed.weight"]
 
     norm("encoder.layer_norm", ("enc_layer_norm",))
     for i in range(config.num_hidden_layers):
@@ -117,6 +137,9 @@ def hf_state_to_variables(state: Dict[str, np.ndarray], config: Wav2Vec2Config) 
             [state[f"{base}.attention.{proj}.bias"] for proj in ("q_proj", "k_proj", "v_proj")]
         )
         dense(f"{base}.attention.out_proj", dst + ("attention", "out_proj"))
+        if config.rel_pos_buckets:
+            dense(f"{base}.attention.gru_rel_pos_linear", dst + ("attention", "gru_rel_pos_linear"))
+            p[dst + ("attention", "gru_rel_pos_const")] = state[f"{base}.attention.gru_rel_pos_const"]
         norm(f"{base}.layer_norm", dst + ("layer_norm",))
         dense(f"{base}.feed_forward.intermediate_dense", dst + ("intermediate_dense",))
         dense(f"{base}.feed_forward.output_dense", dst + ("output_dense",))

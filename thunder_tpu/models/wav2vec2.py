@@ -16,6 +16,7 @@ Dense projections so HF weights map 1:1 (see compat/hf.py).
 
 from __future__ import annotations
 
+import math
 from dataclasses import field
 from typing import Optional, Sequence, Tuple
 
@@ -88,6 +89,11 @@ class Wav2Vec2Config:
         hidden_dropout: float = 0.1,
         attention_dropout: float = 0.1,
         feat_proj_dropout: float = 0.1,
+        feat_proj_layer_norm: bool = True,
+        pos_conv_stack: bool = False,
+        conv_pos_kernel_size: Optional[int] = None,
+        rel_pos_buckets: int = 0,
+        rel_pos_max_distance: int = 0,
     ):
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -105,9 +111,28 @@ class Wav2Vec2Config:
         self.hidden_dropout = hidden_dropout
         self.attention_dropout = attention_dropout
         self.feat_proj_dropout = feat_proj_dropout
+        #: HuBERT can drop the feature-projection LayerNorm (HF
+        #: ``feat_proj_layer_norm=False``); wav2vec2 always has it
+        self.feat_proj_layer_norm = feat_proj_layer_norm
+        #: data2vec-audio replaces the single weight-normed positional conv
+        #: with a stack of ``num_conv_pos_embeddings`` plain convs (kernel
+        #: ``conv_pos_kernel_size``), each followed by a parameter-free
+        #: LayerNorm + GELU
+        self.pos_conv_stack = pos_conv_stack
+        self.conv_pos_kernel_size = conv_pos_kernel_size
+        #: WavLM: T5-style bucketed relative position bias, gated per layer
+        #: (``rel_pos_buckets`` > 0 switches it on)
+        self.rel_pos_buckets = rel_pos_buckets
+        self.rel_pos_max_distance = rel_pos_max_distance
 
     @classmethod
     def from_hf(cls, hf_config) -> "Wav2Vec2Config":
+        """Any wav2vec2-family HF config (wav2vec2 / hubert / wavlm /
+        data2vec-audio — everything ``AutoModelForCTC`` covers that shares
+        the conv-frontend + transformer shape, reference
+        `huggingface/compatibility.py:65-112`)."""
+        model_type = getattr(hf_config, "model_type", "wav2vec2")
+        is_d2v = model_type == "data2vec-audio"
         return cls(
             hidden_size=hf_config.hidden_size,
             num_hidden_layers=hf_config.num_hidden_layers,
@@ -117,14 +142,21 @@ class Wav2Vec2Config:
             conv_kernel=hf_config.conv_kernel,
             conv_stride=hf_config.conv_stride,
             conv_bias=hf_config.conv_bias,
-            feat_extract_norm=hf_config.feat_extract_norm,
-            do_stable_layer_norm=hf_config.do_stable_layer_norm,
+            # data2vec-audio hardcodes per-layer LN convs and post-norm
+            # layers (its config has neither flag)
+            feat_extract_norm="layer" if is_d2v else hf_config.feat_extract_norm,
+            do_stable_layer_norm=getattr(hf_config, "do_stable_layer_norm", False),
             num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
             num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
             layer_norm_eps=hf_config.layer_norm_eps,
             hidden_dropout=getattr(hf_config, "hidden_dropout", 0.1),
             attention_dropout=getattr(hf_config, "attention_dropout", 0.1),
             feat_proj_dropout=getattr(hf_config, "feat_proj_dropout", 0.1),
+            feat_proj_layer_norm=getattr(hf_config, "feat_proj_layer_norm", True),
+            pos_conv_stack=is_d2v,
+            conv_pos_kernel_size=getattr(hf_config, "conv_pos_kernel_size", None),
+            rel_pos_buckets=getattr(hf_config, "num_buckets", 0) if model_type == "wavlm" else 0,
+            rel_pos_max_distance=getattr(hf_config, "max_bucket_distance", 0) if model_type == "wavlm" else 0,
         )
 
 
@@ -306,12 +338,40 @@ def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
     )
 
 
+def _wavlm_position_bias(embed: jax.Array, T: int, num_buckets: int, max_distance: int) -> jax.Array:
+    """WavLM relative position bias: ``(num_buckets, H)`` table -> ``(H, T, T)``.
+
+    T5-style bidirectional bucketing (`modeling_wavlm.WavLMAttention.
+    _relative_positions_bucket`): half the buckets for sign, half of those
+    exact small distances, the rest log-spaced up to ``max_distance``.
+    """
+    nb = num_buckets // 2
+    rel = jnp.arange(T, dtype=jnp.int32)[None, :] - jnp.arange(T, dtype=jnp.int32)[:, None]
+    buckets = (rel > 0).astype(jnp.int32) * nb
+    dist = jnp.abs(rel)
+    max_exact = nb // 2
+    large = max_exact + (
+        jnp.log(jnp.maximum(dist, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (nb - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, nb - 1)
+    buckets = buckets + jnp.where(dist < max_exact, dist, large)
+    return embed[buckets].transpose(2, 0, 1)  # (H, T, T)
+
+
 class _Attention(nn.Module):
     config: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        key_mask: jax.Array,
+        train: bool = False,
+        position_bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
         cfg = self.config
         h, heads = cfg.hidden_size, cfg.num_attention_heads
         dh = h // heads
@@ -322,7 +382,7 @@ class _Attention(nn.Module):
         # HF scales the query projection by dh**-0.5
         q = q * (dh**-0.5)
         split = lambda t: t.reshape(t.shape[0], t.shape[1], heads, dh)
-        if _use_flash_attention(self.dtype, train, x.shape[1]):
+        if position_bias is None and _use_flash_attention(self.dtype, train, x.shape[1]):
             out = _flash_mha(split(q), split(k), split(v), key_mask)
         else:
             # bf16 inference: store the materialized (B, H, T, T) scores in
@@ -332,6 +392,20 @@ class _Attention(nn.Module):
             # 8 exponent bits safe; training/f32 paths keep f32 scores.
             score_t = self.dtype if (self.dtype == jnp.bfloat16 and not train) else jnp.float32
             scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k), preferred_element_type=score_t)
+            if position_bias is not None:
+                # WavLM gated relative position bias: the shared (H, T, T)
+                # bucketed bias is scaled per (batch, head, query) by a gate
+                # computed from this layer's input hidden states
+                # (`modeling_wavlm.WavLMAttention.forward` steps 1-4)
+                g = x.reshape(x.shape[0], x.shape[1], heads, dh).transpose(0, 2, 1, 3)
+                proj = nn.Dense(8, dtype=jnp.float32, name="gru_rel_pos_linear")(
+                    g.astype(jnp.float32)
+                )
+                proj = proj.reshape(*proj.shape[:-1], 2, 4).sum(-1)  # (B, H, T, 2)
+                gates = jax.nn.sigmoid(proj)
+                const = self.param("gru_rel_pos_const", nn.initializers.ones, (1, heads, 1, 1))
+                gate_out = gates[..., 0] * (gates[..., 1] * const[:, :, :, 0] - 1.0) + 2.0
+                scores = scores + (gate_out[..., None] * position_bias[None]).astype(scores.dtype)
             neg = jnp.asarray(jnp.finfo(score_t).min, scores.dtype)
             scores = jnp.where(key_mask[:, None, None, :], scores, neg)
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
@@ -400,19 +474,25 @@ class _EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        key_mask: jax.Array,
+        train: bool = False,
+        position_bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
         attn = _Attention(cfg, dtype=self.dtype, name="attention")
         drop = lambda v: nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(v)
         if cfg.do_stable_layer_norm:
-            x = x + drop(attn(ln("layer_norm")(x), key_mask, train=train))
+            x = x + drop(attn(ln("layer_norm")(x), key_mask, train=train, position_bias=position_bias))
             y = ln("final_layer_norm")(x)
             y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(y)
             y = gelu(y, self.dtype)
             y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
             return x + y
-        x = ln("layer_norm")(x + drop(attn(x, key_mask, train=train)))
+        x = ln("layer_norm")(x + drop(attn(x, key_mask, train=train, position_bias=position_bias)))
         y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
         y = gelu(y, self.dtype)
         y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
@@ -450,8 +530,11 @@ class Wav2Vec2Encoder(nn.Module):
             lengths.astype(jnp.int32), cfg.conv_kernel, cfg.conv_stride
         )
 
-        # feature projection
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="fp_layer_norm")(feats)
+        # feature projection (HuBERT can omit the LayerNorm,
+        # HF ``feat_proj_layer_norm=False``)
+        h = feats
+        if cfg.feat_proj_layer_norm:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="fp_layer_norm")(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(h)
         h = nn.Dropout(rate=cfg.feat_proj_dropout, deterministic=not train)(h)
 
@@ -466,21 +549,44 @@ class Wav2Vec2Encoder(nn.Module):
         h = jnp.where(mask[:, :, None], h, 0.0)
         key_mask = mask
 
-        # convolutional positional embedding (weight-normed conv in HF; the
-        # importer folds g*v/||v|| into a plain kernel)
-        k = cfg.num_conv_pos_embeddings
-        pos = nn.Conv(
-            features=cfg.hidden_size,
-            kernel_size=(k,),
-            padding=[(k // 2, k // 2)],
-            feature_group_count=cfg.num_conv_pos_embedding_groups,
-            dtype=self.dtype,
-            name="pos_conv",
-        )(h)
-        if k % 2 == 0:  # HF SamePad removes the trailing frame for even kernels
-            pos = pos[:, : h.shape[1], :]
-        pos = gelu(pos, self.dtype)
-        h = h + pos
+        if cfg.pos_conv_stack:
+            # data2vec-audio: a stack of plain grouped convs, each followed
+            # by a parameter-free LayerNorm + GELU
+            # (`modeling_data2vec_audio.Data2VecAudioPositionalConvLayer`)
+            k = cfg.conv_pos_kernel_size
+            pos = h
+            for i in range(cfg.num_conv_pos_embeddings):
+                pos = nn.Conv(
+                    features=cfg.hidden_size,
+                    kernel_size=(k,),
+                    padding=[(k // 2, k // 2)],
+                    feature_group_count=cfg.num_conv_pos_embedding_groups,
+                    dtype=self.dtype,
+                    name=f"pos_conv{i}",
+                )(pos)
+                if k % 2 == 0:
+                    pos = pos[:, : h.shape[1], :]
+                pos = nn.LayerNorm(
+                    epsilon=1e-5, use_scale=False, use_bias=False, dtype=self.dtype
+                )(pos)
+                pos = gelu(pos, self.dtype)
+            h = h + pos
+        else:
+            # convolutional positional embedding (weight-normed conv in HF;
+            # the importer folds g*v/||v|| into a plain kernel)
+            k = cfg.num_conv_pos_embeddings
+            pos = nn.Conv(
+                features=cfg.hidden_size,
+                kernel_size=(k,),
+                padding=[(k // 2, k // 2)],
+                feature_group_count=cfg.num_conv_pos_embedding_groups,
+                dtype=self.dtype,
+                name="pos_conv",
+            )(h)
+            if k % 2 == 0:  # HF SamePad removes the trailing frame for even kernels
+                pos = pos[:, : h.shape[1], :]
+            pos = gelu(pos, self.dtype)
+            h = h + pos
 
         if not cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
@@ -495,13 +601,33 @@ class Wav2Vec2Encoder(nn.Module):
         # off after the layer stack.
         t_real = h.shape[1]
         pad_frames = 0
-        if _use_flash_attention(self.dtype, train, t_real) and t_real % 128:
+        if (
+            not cfg.rel_pos_buckets
+            and _use_flash_attention(self.dtype, train, t_real)
+            and t_real % 128
+        ):
             pad_frames = -(-t_real // 128) * 128 - t_real
             h = jnp.pad(h, ((0, 0), (0, pad_frames), (0, 0)))
             key_mask = jnp.pad(key_mask, ((0, 0), (0, pad_frames)))
+        position_bias = None
+        if cfg.rel_pos_buckets:
+            # WavLM: T5-style bucketed relative position bias, computed once
+            # from the layer-0 embedding table and shared by every layer
+            # (each layer applies its own gate inside _Attention)
+            embed = self.param(
+                "rel_attn_embed",
+                nn.initializers.normal(stddev=1.0),
+                (cfg.rel_pos_buckets, cfg.num_attention_heads),
+            )
+            position_bias = _wavlm_position_bias(
+                jnp.asarray(embed, jnp.float32),
+                h.shape[1],
+                cfg.rel_pos_buckets,
+                cfg.rel_pos_max_distance,
+            )
         layer_cls = nn.remat(_EncoderLayer, static_argnums=(3,)) if self.remat else _EncoderLayer
         for i in range(cfg.num_hidden_layers):
-            h = layer_cls(cfg, dtype=self.dtype, name=f"layer{i}")(h, key_mask, train)
+            h = layer_cls(cfg, dtype=self.dtype, name=f"layer{i}")(h, key_mask, train, position_bias)
         if pad_frames:
             h = h[:, :t_real]
         if cfg.do_stable_layer_norm:
