@@ -67,7 +67,14 @@ def _scan_one(logp, length, floor, *, blank: int, W: int, K: int, n_out: int):
     def frame(state, inp):
         pb, pnb, h1, h2, last = state
         step, t = inp
-        topv, topi = lax.top_k(step, K)
+        if K >= V:
+            # keep-all case: candidate ORDER is irrelevant (the merge and the
+            # final top-W don't need sorted inputs), so skip the per-frame
+            # sort entirely — a large win on small vocabularies where the
+            # VPU sort dominates the step
+            topv, topi = step, jnp.arange(V, dtype=jnp.int32)
+        else:
+            topv, topi = lax.top_k(step, K)
         tok_ok = topv >= floor
         p_blank = step[blank]
         total = jnp.logaddexp(pb, pnb)  # (W,)
@@ -143,8 +150,11 @@ def _scan_one(logp, length, floor, *, blank: int, W: int, K: int, n_out: int):
         jnp.where(arangeW == 0, _H_SEED, arangeW),
         jnp.full((W,), -1, jnp.int32),
     )
+    # unroll=8: measured on v5e at (B=64, T=751, V=29, W=16) — 173 -> 157 ms
+    # per batch; the scan is per-step-overhead-bound (B=8 costs 94 ms, so
+    # ~half the wall is a fixed ~110 us/step floor), unroll=16 regresses 3x
     (pb, pnb, _, _, _), (parents, exts) = lax.scan(
-        frame, init, (logp, jnp.arange(T, dtype=jnp.int32))
+        frame, init, (logp, jnp.arange(T, dtype=jnp.int32)), unroll=8
     )
     total = jnp.logaddexp(pb, pnb)
     slots0 = jnp.argsort(-total)[:n_out]
