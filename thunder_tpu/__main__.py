@@ -71,12 +71,25 @@ def cmd_transcribe(args):
         if not args.beam_width:
             args.beam_width = 16  # LM fusion requires the beam decode
         beam_kwargs = {"lm": lm, "lm_weight": args.lm_weight}
+    short_kwargs = dict(beam_kwargs)
+    if args.beam_width and getattr(args, "beam_backend", None):
+        short_kwargs["beam_backend"] = args.beam_backend
     for path in args.audio:
         audio, sr = load_audio(path)
         audio = audio.mean(axis=0) if audio.shape[0] > 1 else audio[0]
         if sr != args.sample_rate:
             audio = resample(audio, sr, args.sample_rate)
         if audio.shape[-1] > args.sample_rate * args.chunk_seconds:
+            if short_kwargs.get("beam_backend") == "device":
+                # the chunked beam is one continuous host-side search that
+                # carries state across windows; the device kernel has no
+                # cross-chunk state, so long clips stay on the host backend
+                import warnings
+
+                warnings.warn(
+                    f"--beam-backend device ignored for {path}: long audio "
+                    "decodes with the host cross-chunk beam"
+                )
             overlap = (
                 args.overlap_seconds
                 if args.overlap_seconds is not None
@@ -92,7 +105,7 @@ def cmd_transcribe(args):
             )
         else:
             text = predictor.predict(
-                np.asarray(audio, dtype=np.float32), beam_width=args.beam_width, **beam_kwargs
+                np.asarray(audio, dtype=np.float32), beam_width=args.beam_width, **short_kwargs
             )[0]
         record = {"audio": path, "text": text.strip()}
         if args.timestamps and text.strip():
@@ -139,6 +152,8 @@ def cmd_eval(args):
         if not args.beam_width:
             args.beam_width = 16
         beam_kwargs = {"lm": lm, "lm_weight": args.lm_weight}
+    if args.beam_width and getattr(args, "beam_backend", None):
+        beam_kwargs["beam_backend"] = args.beam_backend
     dm = ManifestDatamodule(
         args.manifest, args.manifest, args.manifest,
         batch_size=args.batch_size, num_workers=args.num_workers,
@@ -255,6 +270,8 @@ def main(argv=None):
                    help="also emit per-token time spans (forced alignment)")
     p.add_argument("--beam-width", type=int, default=None,
                    help="CTC prefix beam search width (default: greedy)")
+    p.add_argument("--beam-backend", choices=("host", "device"), default=None,
+                   help="where the beam search runs (device = on-accelerator, no LM)")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("eval", help="WER/CER of a checkpoint over a NeMo manifest")
@@ -265,6 +282,8 @@ def main(argv=None):
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--beam-width", type=int, default=None)
+    p.add_argument("--beam-backend", choices=("host", "device"), default=None,
+                   help="where the beam search runs (device = on-accelerator, no LM)")
     _add_lm_args(p)
     p.set_defaults(fn=cmd_eval)
 
