@@ -1,12 +1,16 @@
-"""On-chip A/B: device (jit/XLA) CTC prefix beam search vs the host C++ runtime.
+"""On-chip A/B: device CTC prefix beam search (Pallas kernel vs XLA scan)
+vs the host C++ runtime.
 
 Measures batch beam decode at serving shapes (QuartzNet-style: T frames of a
 15 s utterance at 10 ms hop / stride 2, V=29) with realistic peaked logits
 (~70% blank frames, matching docs/benchmarks.md's host-runtime setup).
 
-Relay discipline (see .claude/skills/verify/SKILL.md): the timed loop ends
-with a SMALL fetch (the (B, 1, T) token matrix at int32 — ~190 KB at B=64),
-and we report the two-chain slope so the fixed dispatch+fetch floor cancels.
+Relay discipline (see .claude/skills/verify/SKILL.md): the relay DEDUPES
+identical in-flight computations and `block_until_ready` does not sync, so
+each chained call multiplies its input by (1 + 1e-6·i) and the chain ends
+with ONE small fetch; per-call cost is the best-of-2 long-chain average.
+(An earlier version of this script fetched the token matrix inside the timed
+loop — that measures the relay's ~30 MB/s device->host link, not the search.)
 
 Run: python scripts/bench_beam_device.py
 """
@@ -28,46 +32,48 @@ def peaked_logits(rng, B, T, V, blank, blank_frac=0.7, peak=6.0):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from thunder_tpu.ops.ctc_beam import beam_search_decode
-    from thunder_tpu.ops.ctc_beam_device import beam_search_device
+    from thunder_tpu.ops.ctc_beam_device import _beam_batch, _beam_batch_pallas, beam_search_device
 
     B, T, V, W = 64, 751, 29, 16
     blank = V - 1
     rng = np.random.default_rng(0)
-    logits = peaked_logits(rng, B, T, V, blank)
+    np_logits = peaked_logits(rng, B, T, V, blank)
+    logits = jnp.asarray(np_logits)
+    lengths = jnp.full((B,), T, jnp.int32)
+    floor = jnp.float32(-12.0)
     print(f"backend={jax.default_backend()} B={B} T={T} V={V} beam={W}")
 
-    # --- device search: time N repeats, small fetch at the end ---
-    dlogits = jax.device_put(logits)
+    # --- correctness: both device paths vs the host search ---
+    host_t0 = time.perf_counter()
+    host = beam_search_decode(np_logits, blank=blank, beam_width=W, max_tokens_per_step=None)
+    t_host = time.perf_counter() - host_t0
+    pal = beam_search_device(logits, blank=blank, beam_width=W, max_tokens_per_step=None, use_pallas=True)
+    scan = beam_search_device(logits, blank=blank, beam_width=W, max_tokens_per_step=None, use_pallas=False)
+    print("agreement pallas/host:", sum(h.tolist() == p.tolist() for h, p in zip(host, pal)) / B)
+    print("agreement scan/host  :", sum(h.tolist() == s.tolist() for h, s in zip(host, scan)) / B)
 
-    def run_device(reps):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = beam_search_device(dlogits, blank=blank, beam_width=W)
-        # beam_search_device already fetches the small token matrix per call
-        assert out is not None
-        return time.perf_counter() - t0
+    def bench(fn, kw, tag, N=32):
+        out = fn(logits, lengths, floor, **kw)
+        np.asarray(out[1])
+        best = 1e9
+        for trial in range(2):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(N):
+                out = fn(logits * (1 + 1e-6 * (i + N * trial)), lengths, floor, **kw)
+            np.asarray(out[1])  # one small (B, n_out) fetch syncs the chain
+            best = min(best, (time.perf_counter() - t0) / N)
+        print(f"{tag:12s}: {best*1e3:7.2f} ms/batch = {best/B*1e3:.3f} ms/sample"
+              f" -> decode RTF {B*15/best:,.0f}x")
+        return best
 
-    run_device(1)  # compile
-    t2, t6 = run_device(2), run_device(6)
-    per_call = (t6 - t2) / 4.0
-    print(f"device beam: {per_call*1e3:.1f} ms/batch = {per_call/B*1e3:.2f} ms/sample "
-          f"(chain slope; 2-rep {t2*1e3:.0f} ms, 6-rep {t6*1e3:.0f} ms)")
-
-    # --- host C++ search on in-memory logits (no transfer counted) ---
-    t0 = time.perf_counter()
-    host = beam_search_decode(logits, blank=blank, beam_width=W)
-    t_host = time.perf_counter() - t0
-    print(f"host C++ beam: {t_host*1e3:.1f} ms/batch = {t_host/B*1e3:.2f} ms/sample")
-
-    dev = beam_search_device(logits, blank=blank, beam_width=W)
-    agree = sum(h.tolist() == d.tolist() for h, d in zip(host, dev)) / B
-    print(f"exact sequence agreement: {agree:.3f}")
-
-    # RTF: audio seconds decoded per wall second (15 s per sample)
-    print(f"device decode RTF {B*15.0/per_call:,.0f}x | host decode RTF {B*15.0/t_host:,.0f}x")
+    bench(_beam_batch_pallas, dict(blank=blank, beam_width=W, n_out=1, interpret=False), "device pallas")
+    bench(_beam_batch, dict(blank=blank, beam_width=W, k_tokens=V, n_out=1), "device scan")
+    print(f"host C++ 1core: {t_host*1e3:7.1f} ms/batch = {t_host/B*1e3:.2f} ms/sample"
+          f" -> decode RTF {B*15/t_host:,.0f}x")
 
 
 if __name__ == "__main__":

@@ -112,6 +112,41 @@ def test_device_wide_beam_full_vocab():
         assert h.tolist() == d.tolist()
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_kernel_matches_host(seed):
+    # the VMEM-resident Pallas kernel (interpreter off-TPU) must reproduce
+    # the host search exactly, like the XLA scan does
+    rng = np.random.default_rng(300 + seed)
+    B, T, V = 3, 29, 9
+    logits = _random_logits(rng, B, T, V)
+    lengths = np.array([29, 13, 1])
+    kw = dict(blank=V - 1, beam_width=8, prune_logp=-12.0, max_tokens_per_step=None)
+    host = beam_search_decode(logits, lengths=lengths, **kw)
+    pal = beam_search_device(logits, lengths=lengths, use_pallas=True, **kw)
+    for h, d in zip(host, pal):
+        assert h.tolist() == d.tolist()
+
+
+def test_pallas_kernel_nbest_and_blocking():
+    # T spanning multiple kernel blocks + nbest scores
+    rng = np.random.default_rng(42)
+    B, T, V = 2, 70, 7
+    logits = _random_logits(rng, B, T, V)
+    kw = dict(blank=0, beam_width=6, nbest=3, max_tokens_per_step=None)
+    host = beam_search_nbest(logits, **kw)
+    pal = beam_search_device(logits, use_pallas=True, **kw)
+    for hrow, drow in zip(host, pal):
+        for (hi, hs), (di, ds) in zip(hrow, drow):
+            assert hi.tolist() == di.tolist()
+            assert hs == pytest.approx(ds, abs=2e-3)
+
+
+def test_pallas_rejects_topk_pruned_case():
+    logits = np.zeros((1, 5, 30), np.float32)
+    with pytest.raises(ValueError, match="keep-all"):
+        beam_search_device(logits, beam_width=4, max_tokens_per_step=8, use_pallas=True)
+
+
 def test_module_predict_device_backend(tiny_module):
     audio = np.random.default_rng(0).normal(0, 0.1, (2, 4000)).astype(np.float32)
     host = tiny_module.predict(audio, beam_width=8)

@@ -1,0 +1,332 @@
+"""VMEM-resident Pallas kernel for batched CTC prefix beam search.
+
+Same algorithm and exact semantics as the XLA scan in
+:mod:`thunder_tpu.ops.ctc_beam_device` (itself pinned against the host
+C++/numpy search): rolling-hash beam identity, extend->stay merge by
+hash equality, frame no-op past each row's length or when every candidate
+prunes.  The XLA scan is per-step-overhead-bound on TPU (measured ~110 us of
+fixed cost per frame at B=64 — docs/benchmarks.md); this kernel keeps every
+piece of search state in VMEM across the whole utterance and lays the batch
+out along the 128-wide lane axis, so a frame is a handful of vector passes
+over ``(W·V, B)`` tiles instead of dozens of dispatched XLA ops.
+
+Layout contract:
+
+- inputs arrive time-major: ``logp (T, V, B)`` streamed from HBM in
+  ``TB``-frame blocks by the Pallas grid (double-buffered automatically);
+- state lives in scratch VMEM as ``(W, B)`` tiles (beams x lanes) and
+  persists across grid steps;
+- candidates are ``(W + W*V, B)`` — stay rows then extend rows in
+  ``parent*V + token`` order, matching the XLA scan's concatenation;
+- the kernel emits per-frame backtrace pointers ``(T, W, B)`` and the final
+  ``p_blank``/``p_nonblank``; prefix reconstruction (the associative-scan
+  pointer composition) and host decode reuse the ops-module code.
+
+Scope: the keep-all candidate case (``max_tokens_per_step >= V``) — the
+per-frame top-k prune of large vocabularies stays on the XLA scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["beam_scan_pallas", "beam_backtrace_pallas"]
+
+# multiplicative hash constants, bit-identical to ops/ctc_beam_device.py
+# (uint32 wraparound == int32 two's-complement wraparound)
+_M1 = np.int32(1000003)
+_M2 = np.int32(np.uint32(2654435761).astype(np.int32))
+_H_SEED = np.int32(1)
+_DEAD_H1 = np.int32(-1)  # 0xFFFFFFFF
+_NEG_INF = np.float32(-np.inf)
+_BIG_I32 = np.int32(2**30)
+
+
+def _kernel(len_ref, floor_ref, logp_ref, parents_ref, exts_ref, pb_out, pnb_out,
+            pb_s, pnb_s, h1_s, h2_s, last_s, *, blank: int, W: int, V: int,
+            TB: int, T: int):
+    B = len_ref.shape[-1]
+    blk = pl.program_id(0)
+    floor = floor_ref[0, 0]
+
+    iotaW_col = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)  # beam row ids
+    iotaC = jax.lax.broadcasted_iota(jnp.int32, (W + W * V, B), 0)
+    iotaV_mid = jax.lax.broadcasted_iota(jnp.int32, (W, V, B), 1)  # token ids
+    # candidate-row -> (parent, token) maps, built from iotas (no int div)
+    pext = jax.lax.broadcasted_iota(jnp.int32, (W, V, B), 0).reshape(W * V, B)
+    parentC = jnp.concatenate([iotaW_col, pext], axis=0)  # (W + W*V, B)
+    tokenC = jnp.concatenate(
+        [jnp.full((W, B), -1, jnp.int32), iotaV_mid.reshape(W * V, B)], axis=0
+    )
+
+    @pl.when(blk == 0)
+    def _init():
+        pb_s[:] = jnp.where(iotaW_col == 0, 0.0, _NEG_INF)
+        pnb_s[:] = jnp.full((W, B), _NEG_INF, jnp.float32)
+        h1_s[:] = jnp.where(iotaW_col == 0, _H_SEED, _DEAD_H1)
+        h2_s[:] = jnp.where(iotaW_col == 0, _H_SEED, iotaW_col)
+        last_s[:] = jnp.full((W, B), -1, jnp.int32)
+
+    lengths = len_ref[:]  # (1, B)
+
+    def frame(tt, _):
+        t = blk * TB + tt
+        step = logp_ref[pl.ds(tt, 1)].reshape(V, B)
+        pb, pnb = pb_s[:], pnb_s[:]
+        h1, h2, last = h1_s[:], h2_s[:], last_s[:]
+        total = jnp.logaddexp(pb, pnb)  # (W, B)
+
+        # ---- stay rows (same prefix): blank path + repeated-last path ----
+        p_blank = step[blank].reshape(1, B)
+        stay_pb = jnp.where(p_blank >= floor, total + p_blank, _NEG_INF)
+        # p_last[w, b] = step[last[w, b], b] via a static one-hot sweep
+        p_last = jnp.full((W, B), _NEG_INF, jnp.float32)
+        for v in range(V):
+            p_last = jnp.where(last == v, step[v].reshape(1, B), p_last)
+        last_in = (p_last >= floor) & (last >= 0)
+        stay_pnb = jnp.where(last_in, pnb + p_last, _NEG_INF)
+
+        # ---- extend rows (W, V, B): prefix + v ----
+        step3 = step.reshape(1, V, B)
+        ok = (step3 >= floor) & (iotaV_mid != blank)
+        same = iotaV_mid == last[:, None, :]
+        base = jnp.where(same, pb[:, None, :], total[:, None, :])
+        ext_pnb = jnp.where(ok, base + step3, _NEG_INF)
+        vv3 = iotaV_mid + 2
+        eh1 = h1[:, None, :] * _M1 + vv3
+        eh2 = h2[:, None, :] * _M2 + vv3
+
+        # ---- merge: absorb each matching extend row into its stay row ----
+        # (at most one partner each way — see ops/ctc_beam_device.py)
+        extra = jnp.full((W, B), _NEG_INF, jnp.float32)
+        absorbed = jnp.zeros((W, V, B), jnp.bool_)
+        for q in range(W):
+            m = (eh1 == h1[q].reshape(1, 1, B)) & (eh2 == h2[q].reshape(1, 1, B))
+            hit = jnp.max(jnp.max(jnp.where(m, ext_pnb, _NEG_INF), axis=0), axis=0)
+            extra = jnp.where(iotaW_col == q, hit.reshape(1, B), extra)
+            absorbed = absorbed | m
+        stay_pnb = jnp.logaddexp(stay_pnb, extra)
+        ext_pnb = jnp.where(absorbed, _NEG_INF, ext_pnb)
+
+        # ---- combined candidate totals, stay rows first ----
+        e_flat = ext_pnb.reshape(W * V, B)
+        stay_tot = jnp.logaddexp(stay_pb, stay_pnb)
+        cand = jnp.concatenate([stay_tot, e_flat], axis=0)  # (W + W*V, B)
+        m_pnb = jnp.concatenate([stay_pnb, e_flat], axis=0)
+
+        # ---- iterative top-W per column (lax.top_k tie order: lower idx) --
+        picks = []  # (idx, best, pnb, parent, tok) rows of (1, B)
+        killer = cand
+        for _ in range(W):
+            best = jnp.max(killer, axis=0, keepdims=True)
+            at = jnp.where(killer == best, iotaC, _BIG_I32)
+            idx = jnp.min(at, axis=0, keepdims=True)
+            sel = iotaC == idx
+            pnb_j = jnp.max(jnp.where(sel, m_pnb, _NEG_INF), axis=0, keepdims=True)
+            par_j = jnp.max(jnp.where(sel, parentC, 0), axis=0, keepdims=True)
+            tok_j = jnp.max(jnp.where(sel, tokenC, -1), axis=0, keepdims=True)
+            killer = jnp.where(sel, _NEG_INF, killer)
+            picks.append((idx, best, pnb_j, par_j, tok_j))
+
+        # stack the W picks into (W, B) matrices
+        IDX = jnp.zeros((W, B), jnp.int32)
+        BEST = jnp.full((W, B), _NEG_INF, jnp.float32)
+        PNB = jnp.full((W, B), _NEG_INF, jnp.float32)
+        PARENT = jnp.zeros((W, B), jnp.int32)
+        TOK = jnp.full((W, B), -1, jnp.int32)
+        for j, (idx, best, pnb_j, par_j, tok_j) in enumerate(picks):
+            row = iotaW_col == j
+            IDX = jnp.where(row, idx, IDX)
+            BEST = jnp.where(row, best, BEST)
+            PNB = jnp.where(row, pnb_j, PNB)
+            PARENT = jnp.where(row, par_j, PARENT)
+            TOK = jnp.where(row, tok_j, TOK)
+
+        # gather the parents' fields with one static sweep over old rows
+        g_h1 = jnp.zeros((W, B), jnp.int32)
+        g_h2 = jnp.zeros((W, B), jnp.int32)
+        g_last = jnp.zeros((W, B), jnp.int32)
+        g_spb = jnp.full((W, B), _NEG_INF, jnp.float32)
+        for w in range(W):
+            m = PARENT == w
+            g_h1 = jnp.where(m, h1[w].reshape(1, B), g_h1)
+            g_h2 = jnp.where(m, h2[w].reshape(1, B), g_h2)
+            g_last = jnp.where(m, last[w].reshape(1, B), g_last)
+            g_spb = jnp.where(m, stay_pb[w].reshape(1, B), g_spb)
+
+        DEAD = ~jnp.isfinite(BEST)
+        IS_STAY = IDX < W
+        vvj = TOK + 2
+        n_pb = jnp.where(DEAD | ~IS_STAY, _NEG_INF, g_spb)
+        n_pnb = jnp.where(DEAD, _NEG_INF, PNB)
+        n_h1 = jnp.where(DEAD, _DEAD_H1, jnp.where(IS_STAY, g_h1, g_h1 * _M1 + vvj))
+        n_h2 = jnp.where(DEAD, iotaW_col, jnp.where(IS_STAY, g_h2, g_h2 * _M2 + vvj))
+        n_last = jnp.where(DEAD, -1, jnp.where(IS_STAY, g_last, TOK))
+        n_ext = jnp.where(IS_STAY, -1, TOK)
+
+        # ---- commit (per-column no-op when past length / all pruned) ----
+        in_len = (t < lengths) & (t < T)  # (1, B)
+        valid = in_len & jnp.isfinite(BEST[0].reshape(1, B))
+        pb_s[:] = jnp.where(valid, n_pb, pb)
+        pnb_s[:] = jnp.where(valid, n_pnb, pnb)
+        h1_s[:] = jnp.where(valid, n_h1, h1)
+        h2_s[:] = jnp.where(valid, n_h2, h2)
+        last_s[:] = jnp.where(valid, n_last, last)
+        parents_ref[pl.ds(tt, 1)] = jnp.where(valid, PARENT, iotaW_col).reshape(1, W, B)
+        exts_ref[pl.ds(tt, 1)] = jnp.where(valid, n_ext, -1).reshape(1, W, B)
+        return 0
+
+    jax.lax.fori_loop(0, TB, frame, 0)
+
+    # constant-index output block: every grid step flushes, last write wins
+    pb_out[:] = pb_s[:]
+    pnb_out[:] = pnb_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blank", "beam_width", "interpret", "block_frames")
+)
+def beam_scan_pallas(
+    logp,
+    lengths,
+    floor,
+    *,
+    blank: int,
+    beam_width: int,
+    interpret: bool = False,
+    block_frames: int = 64,
+):
+    """Run the beam-search frame scan on ``(B, T, V)`` log-probs.
+
+    Returns ``(parents, exts, total)`` with ``parents``/``exts`` shaped
+    ``(B, T, W)`` (backtrace pointers, identical meaning to the XLA scan's)
+    and ``total (B, W)`` the final per-beam log probability.
+    """
+    B, T, V = logp.shape
+    W = beam_width
+    TB = min(block_frames, max(T, 1))
+    T_pad = -(-T // TB) * TB
+    x = jnp.transpose(logp.astype(jnp.float32), (1, 2, 0))  # (T, V, B)
+    if T_pad != T:
+        x = jnp.pad(x, ((0, T_pad - T), (0, 0), (0, 0)), constant_values=_NEG_INF)
+
+    grid = (T_pad // TB,)
+    kernel = functools.partial(_kernel, blank=blank, W=W, V=V, TB=TB, T=T)
+    parents, exts, pb, pnb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TB, V, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, W, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad, W, B), jnp.int32),
+            jax.ShapeDtypeStruct((W, B), jnp.float32),
+            jax.ShapeDtypeStruct((W, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B), jnp.float32),
+            pltpu.VMEM((W, B), jnp.float32),
+            pltpu.VMEM((W, B), jnp.int32),
+            pltpu.VMEM((W, B), jnp.int32),
+            pltpu.VMEM((W, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(lengths, jnp.int32).reshape(1, B),
+        jnp.asarray(floor, jnp.float32).reshape(1, 1),
+        x,
+    )
+    total = jnp.logaddexp(pb, pnb)  # (W, B)
+    return (
+        jnp.transpose(parents[:T], (2, 0, 1)),
+        jnp.transpose(exts[:T], (2, 0, 1)),
+        total.T,
+    )
+
+
+def _backtrace_kernel(slots_ref, parents_ref, exts_ref, toks_ref, slot_s, *,
+                      W: int, TB: int):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        slot_s[:] = slots_ref[:]
+
+    def frame(k, _):
+        tt = TB - 1 - k  # walk the block's frames back-to-front
+        p = parents_ref[pl.ds(tt, 1)].reshape(W, -1)  # (W, B)
+        e = exts_ref[pl.ds(tt, 1)].reshape(W, -1)
+        slot = slot_s[:]  # (n_out, B)
+        g_p = jnp.zeros_like(slot)
+        g_e = jnp.full_like(slot, -1)
+        for w in range(W):
+            m = slot == w
+            g_p = jnp.where(m, p[w].reshape(1, -1), g_p)
+            g_e = jnp.where(m, e[w].reshape(1, -1), g_e)
+        toks_ref[pl.ds(tt, 1)] = g_e.reshape(1, *g_e.shape)
+        slot_s[:] = g_p
+        return 0
+
+    jax.lax.fori_loop(0, TB, frame, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_frames",))
+def beam_backtrace_pallas(parents, exts, slots0, *, block_frames: int = 256):
+    """Sequential pointer walk on-device: ``parents``/``exts`` ``(B, T, W)``
+    pointer fields (the forward kernel's outputs) + start slots ``(B, n_out)``
+    -> token matrix ``(B, n_out, T)`` (-1 where the path emitted nothing).
+
+    Replaces the XLA associative-scan composition for the Pallas path: the
+    walk is one ``(n_out, B)`` gather sweep per frame with the slot state
+    VMEM-resident, streaming the pointer blocks newest-to-oldest (measured
+    ~13 ms -> ~2 ms at B=64, T=751, W=16 on v5e; same output bit-for-bit).
+    """
+    B, T, W = parents.shape
+    n_out = slots0.shape[1]
+    TB = min(block_frames, max(T, 1))
+    T_pad = -(-T // TB) * TB
+    p = jnp.transpose(parents, (1, 2, 0))  # (T, W, B)
+    e = jnp.transpose(exts, (1, 2, 0))
+    if T_pad != T:
+        # padded frames: identity pointers, no emission — the walk passes
+        # through them without moving
+        ident = jnp.broadcast_to(
+            jnp.arange(W, dtype=p.dtype)[None, :, None], (T_pad - T, W, B)
+        )
+        p = jnp.concatenate([p, ident], axis=0)
+        e = jnp.concatenate([e, jnp.full((T_pad - T, W, B), -1, e.dtype)], axis=0)
+
+    nb = T_pad // TB
+    kernel = functools.partial(_backtrace_kernel, W=W, TB=TB)
+    toks = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((n_out, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # stream pointer blocks newest-to-oldest
+            pl.BlockSpec((TB, W, B), lambda i, nb=nb: (nb - 1 - i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, W, B), lambda i, nb=nb: (nb - 1 - i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, n_out, B), lambda i, nb=nb: (nb - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T_pad, n_out, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_out, B), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.transpose(slots0, (1, 0)).astype(jnp.int32), p, e)
+    return jnp.transpose(toks[:T], (2, 1, 0))  # (B, n_out, T)

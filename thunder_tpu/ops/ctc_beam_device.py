@@ -157,17 +157,27 @@ def _scan_one(logp, length, floor, *, blank: int, W: int, K: int, n_out: int):
         frame, init, (logp, jnp.arange(T, dtype=jnp.int32)), unroll=8
     )
     total = jnp.logaddexp(pb, pnb)
-    slots0 = jnp.argsort(-total)[:n_out]
+    return _backtrace(parents, exts, total, n_out)
 
-    # backtrace by parallel pointer composition instead of a T-step scan:
-    # parents[t] maps (slot after frame t) -> (slot after frame t-1), so the
-    # path slot A[t] = parents[t+1] ∘ ... ∘ parents[T-1] applied to the final
-    # slot.  Suffix-compose the maps with an associative scan (O(log T)
-    # passes over (T, W) gathers — the sequential version was ~half the
-    # kernel's wall time).
-    # the reverse scan left-folds from the end — (((M[T-1] ⊕ M[T-2]) ⊕ ...),
-    # so ⊕ must compose its EARLIER-folded (later-in-time) operand innermost:
-    # (f ⊕ g)[x] = g[f[x]]
+
+def _backtrace(parents, exts, total, n_out: int):
+    """Reconstruct the top ``n_out`` label sequences from per-frame pointers.
+
+    ``parents``/``exts`` are ``(T, W)``, ``total`` is ``(W,)`` — the same
+    contract the XLA scan and the Pallas kernel both emit.
+
+    Backtrace by parallel pointer composition instead of a T-step scan:
+    parents[t] maps (slot after frame t) -> (slot after frame t-1), so the
+    path slot A[t] = parents[t+1] ∘ ... ∘ parents[T-1] applied to the final
+    slot.  Suffix-compose the maps with an associative scan (O(log T)
+    passes over (T, W) gathers — the sequential version was ~half the
+    kernel's wall time).
+    The reverse scan left-folds from the end — (((M[T-1] ⊕ M[T-2]) ⊕ ...),
+    so ⊕ must compose its EARLIER-folded (later-in-time) operand innermost:
+    (f ⊕ g)[x] = g[f[x]]
+    """
+    W = parents.shape[1]
+    slots0 = jnp.argsort(-total)[:n_out]
     suffix = lax.associative_scan(
         lambda f, g: jnp.take_along_axis(g, f, axis=-1), parents, reverse=True, axis=0
     )
@@ -185,6 +195,24 @@ def _beam_batch(logits, lengths, floor, *, blank: int, beam_width: int, k_tokens
     return jax.vmap(lambda lp, ln: run(lp, ln, floor))(logp, lengths)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("blank", "beam_width", "n_out", "interpret")
+)
+def _beam_batch_pallas(
+    logits, lengths, floor, *, blank: int, beam_width: int, n_out: int, interpret: bool
+):
+    from thunder_tpu.kernels.beam_pallas import beam_backtrace_pallas, beam_scan_pallas
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    parents, exts, total = beam_scan_pallas(
+        logp, lengths, floor, blank=blank, beam_width=beam_width, interpret=interpret
+    )
+    slots0 = jnp.argsort(-total, axis=1)[:, :n_out]  # stable: ties -> lower slot
+    toks = beam_backtrace_pallas(parents, exts, slots0)
+    scores = jnp.take_along_axis(total, slots0, axis=1)
+    return toks, scores
+
+
 def beam_search_device(
     logits,
     lengths: Optional[Sequence[int]] = None,
@@ -193,6 +221,7 @@ def beam_search_device(
     prune_logp: float = -12.0,
     max_tokens_per_step: int = 50,
     nbest: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Accelerator-side batched prefix beam search over ``(B, T, V)`` logits.
 
@@ -202,6 +231,13 @@ def beam_search_device(
     top-``nbest`` ``(ids, log_prob)`` pairs per sample, best first.
     ``logits`` may be a live device array (the fast path: module/engine pass
     their jit outputs straight in, no host transfer of the logits).
+
+    Two implementations share the exact same semantics: an XLA ``lax.scan``
+    and a VMEM-resident Pallas kernel (:mod:`thunder_tpu.kernels.beam_pallas`)
+    that dodges the scan's per-frame dispatch floor.  ``use_pallas=None``
+    auto-selects the kernel on TPU for the keep-all candidate case
+    (``max_tokens_per_step >= V``, moderate ``W*V``); True forces it
+    (interpreter off-TPU), False forces the scan.
     """
     logits = jnp.asarray(logits)
     B, T, V = logits.shape
@@ -214,15 +250,35 @@ def beam_search_device(
     k = V if max_tokens_per_step is None else min(int(max_tokens_per_step), V)
     n_out = 1 if nbest is None else min(int(nbest), beam_width)
     floor = jnp.float32(prune_logp)
-    toks, scores = _beam_batch(
-        logits,
-        lengths_arr,
-        floor,
-        blank=int(blank),
-        beam_width=int(beam_width),
-        k_tokens=k,
-        n_out=n_out,
-    )
+    eligible = k >= V and T > 0 and beam_width * V <= 8192
+    if use_pallas and not eligible:
+        raise ValueError(
+            "use_pallas=True requires the keep-all candidate case "
+            f"(max_tokens_per_step >= V), T > 0, and beam_width*V <= 8192 "
+            f"(got k={k}, V={V}, T={T}, W={beam_width})"
+        )
+    if use_pallas is None:
+        use_pallas = eligible and jax.default_backend() == "tpu"
+    if use_pallas:
+        toks, scores = _beam_batch_pallas(
+            logits,
+            lengths_arr,
+            floor,
+            blank=int(blank),
+            beam_width=int(beam_width),
+            n_out=n_out,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        toks, scores = _beam_batch(
+            logits,
+            lengths_arr,
+            floor,
+            blank=int(blank),
+            beam_width=int(beam_width),
+            k_tokens=k,
+            n_out=n_out,
+        )
     toks = np.asarray(toks)  # (B, n_out, T), -1 = no emission
     scores = np.asarray(scores)
     if nbest is None:
