@@ -141,10 +141,25 @@ def test_pallas_kernel_nbest_and_blocking():
             assert hs == pytest.approx(ds, abs=2e-3)
 
 
-def test_pallas_rejects_topk_pruned_case():
-    logits = np.zeros((1, 5, 30), np.float32)
-    with pytest.raises(ValueError, match="keep-all"):
-        beam_search_device(logits, beam_width=4, max_tokens_per_step=8, use_pallas=True)
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_kernel_topk_pruned_matches_host(seed):
+    # max_tokens_per_step < V: one XLA top_k pre-prunes the vocabulary and
+    # the kernel searches the reduced candidate stream (the BPE-vocab path)
+    rng = np.random.default_rng(500 + seed)
+    B, T, V = 3, 31, 40
+    logits = _random_logits(rng, B, T, V)
+    lengths = np.array([31, 20, 4])
+    kw = dict(blank=V - 1, beam_width=6, prune_logp=-10.0, max_tokens_per_step=7)
+    host = beam_search_decode(logits, lengths=lengths, **kw)
+    pal = beam_search_device(logits, lengths=lengths, use_pallas=True, **kw)
+    for h, d in zip(host, pal):
+        assert h.tolist() == d.tolist()
+
+
+def test_pallas_rejects_oversized_candidate_block():
+    logits = np.zeros((1, 5, 3000), np.float32)
+    with pytest.raises(ValueError, match="beam_width"):
+        beam_search_device(logits, beam_width=16, max_tokens_per_step=None, use_pallas=True)
 
 
 def test_module_predict_device_backend(tiny_module):

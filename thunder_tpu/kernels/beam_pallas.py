@@ -1,29 +1,33 @@
-"""VMEM-resident Pallas kernel for batched CTC prefix beam search.
+"""VMEM-resident Pallas kernels for batched CTC prefix beam search.
 
 Same algorithm and exact semantics as the XLA scan in
 :mod:`thunder_tpu.ops.ctc_beam_device` (itself pinned against the host
-C++/numpy search): rolling-hash beam identity, extend->stay merge by
-hash equality, frame no-op past each row's length or when every candidate
-prunes.  The XLA scan is per-step-overhead-bound on TPU (measured ~110 us of
-fixed cost per frame at B=64 — docs/benchmarks.md); this kernel keeps every
-piece of search state in VMEM across the whole utterance and lays the batch
-out along the 128-wide lane axis, so a frame is a handful of vector passes
-over ``(W·V, B)`` tiles instead of dozens of dispatched XLA ops.
+C++/numpy search): per frame the candidate set is the top
+``max_tokens_per_step`` tokens above the prune floor; each beam stays
+(blank/repeat) or extends by a kept token; extensions colliding with an
+existing prefix merge in the log-semiring (rolling-hash identity, one
+equality per stay row); frames past a row's length — or where every
+candidate prunes — are no-ops.
+
+Why a kernel: the XLA scan pays a fixed per-frame dispatch floor (measured
+~110 us/frame at B=64 — docs/benchmarks.md).  Here every piece of search
+state stays in VMEM across the whole utterance and the batch rides the
+128-wide lane axis, so a frame is a handful of vector passes over
+``(W·K, B)`` tiles.
 
 Layout contract:
 
-- inputs arrive time-major: ``logp (T, V, B)`` streamed from HBM in
-  ``TB``-frame blocks by the Pallas grid (double-buffered automatically);
-- state lives in scratch VMEM as ``(W, B)`` tiles (beams x lanes) and
-  persists across grid steps;
-- candidates are ``(W + W*V, B)`` — stay rows then extend rows in
-  ``parent*V + token`` order, matching the XLA scan's concatenation;
-- the kernel emits per-frame backtrace pointers ``(T, W, B)`` and the final
-  ``p_blank``/``p_nonblank``; prefix reconstruction (the associative-scan
-  pointer composition) and host decode reuse the ops-module code.
-
-Scope: the keep-all candidate case (``max_tokens_per_step >= V``) — the
-per-frame top-k prune of large vocabularies stays on the XLA scan path.
+- per-frame candidates arrive time-major as ``topv (T, K, B)`` log-probs,
+  ``topi (T, K, B)`` token ids, and ``pblank (T, 1, B)`` — the wrapper
+  computes them with one XLA ``top_k`` (or passes the full vocabulary with
+  iota ids when ``K >= V``), streamed in ``TB``-frame blocks by the grid;
+- state lives in scratch VMEM as ``(W, B)`` tiles and persists across grid
+  steps;
+- candidates are ``(W + W*K, B)`` — stay rows then extend rows in
+  ``parent*K + slot`` order, matching the XLA scan's concatenation;
+- the forward kernel emits per-frame backtrace pointers ``(T, W, B)`` and
+  the final ``p_blank``/``p_nonblank``; the reverse kernel walks the
+  pointers newest-to-oldest to materialize the token matrix.
 """
 
 from __future__ import annotations
@@ -48,22 +52,18 @@ _NEG_INF = np.float32(-np.inf)
 _BIG_I32 = np.int32(2**30)
 
 
-def _kernel(len_ref, floor_ref, logp_ref, parents_ref, exts_ref, pb_out, pnb_out,
-            pb_s, pnb_s, h1_s, h2_s, last_s, *, blank: int, W: int, V: int,
-            TB: int, T: int):
+def _kernel(len_ref, floor_ref, topv_ref, topi_ref, pblank_ref, parents_ref,
+            exts_ref, pb_out, pnb_out, pb_s, pnb_s, h1_s, h2_s, last_s, *,
+            blank: int, W: int, K: int, TB: int, T: int):
     B = len_ref.shape[-1]
     blk = pl.program_id(0)
     floor = floor_ref[0, 0]
 
     iotaW_col = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)  # beam row ids
-    iotaC = jax.lax.broadcasted_iota(jnp.int32, (W + W * V, B), 0)
-    iotaV_mid = jax.lax.broadcasted_iota(jnp.int32, (W, V, B), 1)  # token ids
-    # candidate-row -> (parent, token) maps, built from iotas (no int div)
-    pext = jax.lax.broadcasted_iota(jnp.int32, (W, V, B), 0).reshape(W * V, B)
-    parentC = jnp.concatenate([iotaW_col, pext], axis=0)  # (W + W*V, B)
-    tokenC = jnp.concatenate(
-        [jnp.full((W, B), -1, jnp.int32), iotaV_mid.reshape(W * V, B)], axis=0
-    )
+    iotaC = jax.lax.broadcasted_iota(jnp.int32, (W + W * K, B), 0)
+    # candidate-row -> parent map, built from iotas (no int div)
+    pext = jax.lax.broadcasted_iota(jnp.int32, (W, K, B), 0).reshape(W * K, B)
+    parentC = jnp.concatenate([iotaW_col, pext], axis=0)  # (W + W*K, B)
 
     @pl.when(blk == 0)
     def _init():
@@ -77,35 +77,41 @@ def _kernel(len_ref, floor_ref, logp_ref, parents_ref, exts_ref, pb_out, pnb_out
 
     def frame(tt, _):
         t = blk * TB + tt
-        step = logp_ref[pl.ds(tt, 1)].reshape(V, B)
+        tv = topv_ref[pl.ds(tt, 1)].reshape(K, B)
+        ti = topi_ref[pl.ds(tt, 1)].reshape(K, B)
+        p_blank = pblank_ref[pl.ds(tt, 1)].reshape(1, B)
         pb, pnb = pb_s[:], pnb_s[:]
         h1, h2, last = h1_s[:], h2_s[:], last_s[:]
         total = jnp.logaddexp(pb, pnb)  # (W, B)
 
         # ---- stay rows (same prefix): blank path + repeated-last path ----
-        p_blank = step[blank].reshape(1, B)
         stay_pb = jnp.where(p_blank >= floor, total + p_blank, _NEG_INF)
-        # p_last[w, b] = step[last[w, b], b] via a static one-hot sweep
+        # repeat path contributes when `last` is among this frame's kept
+        # tokens: sweep the K candidate slots (ids are unique per frame)
         p_last = jnp.full((W, B), _NEG_INF, jnp.float32)
-        for v in range(V):
-            p_last = jnp.where(last == v, step[v].reshape(1, B), p_last)
-        last_in = (p_last >= floor) & (last >= 0)
+        lin = jnp.zeros((W, B), jnp.bool_)
+        for k in range(K):
+            m = last == ti[k].reshape(1, B)
+            p_last = jnp.where(m, tv[k].reshape(1, B), p_last)
+            lin = lin | (m & (tv[k].reshape(1, B) >= floor))
+        last_in = lin & (last >= 0)
         stay_pnb = jnp.where(last_in, pnb + p_last, _NEG_INF)
 
-        # ---- extend rows (W, V, B): prefix + v ----
-        step3 = step.reshape(1, V, B)
-        ok = (step3 >= floor) & (iotaV_mid != blank)
-        same = iotaV_mid == last[:, None, :]
+        # ---- extend rows (W, K, B): prefix + kept token ----
+        tv3 = tv.reshape(1, K, B)
+        tok3 = ti.reshape(1, K, B)
+        ok = (tv3 >= floor) & (tok3 != blank)
+        same = tok3 == last[:, None, :]
         base = jnp.where(same, pb[:, None, :], total[:, None, :])
-        ext_pnb = jnp.where(ok, base + step3, _NEG_INF)
-        vv3 = iotaV_mid + 2
+        ext_pnb = jnp.where(ok, base + tv3, _NEG_INF)
+        vv3 = tok3 + 2
         eh1 = h1[:, None, :] * _M1 + vv3
         eh2 = h2[:, None, :] * _M2 + vv3
 
         # ---- merge: absorb each matching extend row into its stay row ----
         # (at most one partner each way — see ops/ctc_beam_device.py)
         extra = jnp.full((W, B), _NEG_INF, jnp.float32)
-        absorbed = jnp.zeros((W, V, B), jnp.bool_)
+        absorbed = jnp.zeros((W, K, B), jnp.bool_)
         for q in range(W):
             m = (eh1 == h1[q].reshape(1, 1, B)) & (eh2 == h2[q].reshape(1, 1, B))
             hit = jnp.max(jnp.max(jnp.where(m, ext_pnb, _NEG_INF), axis=0), axis=0)
@@ -115,10 +121,15 @@ def _kernel(len_ref, floor_ref, logp_ref, parents_ref, exts_ref, pb_out, pnb_out
         ext_pnb = jnp.where(absorbed, _NEG_INF, ext_pnb)
 
         # ---- combined candidate totals, stay rows first ----
-        e_flat = ext_pnb.reshape(W * V, B)
+        e_flat = ext_pnb.reshape(W * K, B)
         stay_tot = jnp.logaddexp(stay_pb, stay_pnb)
-        cand = jnp.concatenate([stay_tot, e_flat], axis=0)  # (W + W*V, B)
+        cand = jnp.concatenate([stay_tot, e_flat], axis=0)  # (W + W*K, B)
         m_pnb = jnp.concatenate([stay_pnb, e_flat], axis=0)
+        tokenC = jnp.concatenate(
+            [jnp.full((W, B), -1, jnp.int32),
+             jnp.broadcast_to(tok3, (W, K, B)).reshape(W * K, B)],
+            axis=0,
+        )
 
         # ---- iterative top-W per column (lax.top_k tie order: lower idx) --
         picks = []  # (idx, best, pnb, parent, tok) rows of (1, B)
@@ -190,7 +201,8 @@ def _kernel(len_ref, floor_ref, logp_ref, parents_ref, exts_ref, pb_out, pnb_out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blank", "beam_width", "interpret", "block_frames")
+    jax.jit,
+    static_argnames=("blank", "beam_width", "k_tokens", "interpret", "block_frames"),
 )
 def beam_scan_pallas(
     logp,
@@ -199,32 +211,56 @@ def beam_scan_pallas(
     *,
     blank: int,
     beam_width: int,
+    k_tokens: int,
     interpret: bool = False,
     block_frames: int = 64,
 ):
     """Run the beam-search frame scan on ``(B, T, V)`` log-probs.
 
+    ``k_tokens`` is the per-frame candidate cap (``max_tokens_per_step``);
+    when it is below ``V`` one XLA ``top_k`` pre-prunes the vocabulary and
+    the kernel searches the reduced ``(T, K)`` candidate stream — this is
+    what makes BPE-sized vocabularies (Citrinet's 1025) kernel-eligible.
+
     Returns ``(parents, exts, total)`` with ``parents``/``exts`` shaped
-    ``(B, T, W)`` (backtrace pointers, identical meaning to the XLA scan's)
-    and ``total (B, W)`` the final per-beam log probability.
+    ``(B, T, W)`` (backtrace pointers; ``exts`` holds real token ids) and
+    ``total (B, W)`` the final per-beam log probability.
     """
     B, T, V = logp.shape
     W = beam_width
+    K = min(k_tokens, V)
+    logp = logp.astype(jnp.float32)
+    pblank = logp[..., blank]  # (B, T)
+    if K < V:
+        topv, topi = jax.lax.top_k(logp, K)  # (B, T, K), ids sorted by prob
+    else:
+        topv = logp
+        topi = jnp.broadcast_to(
+            jnp.arange(V, dtype=jnp.int32)[None, None, :], (B, T, V)
+        )
+
     TB = min(block_frames, max(T, 1))
     T_pad = -(-T // TB) * TB
-    x = jnp.transpose(logp.astype(jnp.float32), (1, 2, 0))  # (T, V, B)
+    tv = jnp.transpose(topv, (1, 2, 0))  # (T, K, B)
+    ti = jnp.transpose(topi, (1, 2, 0)).astype(jnp.int32)
+    pbk = jnp.transpose(pblank, (1, 0)).reshape(T, 1, B)
     if T_pad != T:
-        x = jnp.pad(x, ((0, T_pad - T), (0, 0), (0, 0)), constant_values=_NEG_INF)
+        pad = T_pad - T
+        tv = jnp.pad(tv, ((0, pad), (0, 0), (0, 0)), constant_values=_NEG_INF)
+        ti = jnp.pad(ti, ((0, pad), (0, 0), (0, 0)))
+        pbk = jnp.pad(pbk, ((0, pad), (0, 0), (0, 0)), constant_values=_NEG_INF)
 
     grid = (T_pad // TB,)
-    kernel = functools.partial(_kernel, blank=blank, W=W, V=V, TB=TB, T=T)
+    kernel = functools.partial(_kernel, blank=blank, W=W, K=K, TB=TB, T=T)
     parents, exts, pb, pnb = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TB, V, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, K, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, K, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -249,7 +285,9 @@ def beam_scan_pallas(
     )(
         jnp.asarray(lengths, jnp.int32).reshape(1, B),
         jnp.asarray(floor, jnp.float32).reshape(1, 1),
-        x,
+        tv,
+        ti,
+        pbk,
     )
     total = jnp.logaddexp(pb, pnb)  # (W, B)
     return (
@@ -294,7 +332,7 @@ def beam_backtrace_pallas(parents, exts, slots0, *, block_frames: int = 256):
     Replaces the XLA associative-scan composition for the Pallas path: the
     walk is one ``(n_out, B)`` gather sweep per frame with the slot state
     VMEM-resident, streaming the pointer blocks newest-to-oldest (measured
-    ~13 ms -> ~2 ms at B=64, T=751, W=16 on v5e; same output bit-for-bit).
+    ~13 ms -> ~1 ms at B=64, T=751, W=16 on v5e; same output bit-for-bit).
     """
     B, T, W = parents.shape
     n_out = slots0.shape[1]

@@ -196,16 +196,22 @@ def _beam_batch(logits, lengths, floor, *, blank: int, beam_width: int, k_tokens
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blank", "beam_width", "n_out", "interpret")
+    jax.jit, static_argnames=("blank", "beam_width", "k_tokens", "n_out", "interpret")
 )
 def _beam_batch_pallas(
-    logits, lengths, floor, *, blank: int, beam_width: int, n_out: int, interpret: bool
+    logits, lengths, floor, *, blank: int, beam_width: int, k_tokens: int, n_out: int, interpret: bool
 ):
     from thunder_tpu.kernels.beam_pallas import beam_backtrace_pallas, beam_scan_pallas
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     parents, exts, total = beam_scan_pallas(
-        logp, lengths, floor, blank=blank, beam_width=beam_width, interpret=interpret
+        logp,
+        lengths,
+        floor,
+        blank=blank,
+        beam_width=beam_width,
+        k_tokens=k_tokens,
+        interpret=interpret,
     )
     slots0 = jnp.argsort(-total, axis=1)[:, :n_out]  # stable: ties -> lower slot
     toks = beam_backtrace_pallas(parents, exts, slots0)
@@ -234,10 +240,11 @@ def beam_search_device(
 
     Two implementations share the exact same semantics: an XLA ``lax.scan``
     and a VMEM-resident Pallas kernel (:mod:`thunder_tpu.kernels.beam_pallas`)
-    that dodges the scan's per-frame dispatch floor.  ``use_pallas=None``
-    auto-selects the kernel on TPU for the keep-all candidate case
-    (``max_tokens_per_step >= V``, moderate ``W*V``); True forces it
-    (interpreter off-TPU), False forces the scan.
+    that dodges the scan's per-frame dispatch floor (large vocabularies are
+    pre-pruned to the ``max_tokens_per_step`` candidates with one XLA
+    ``top_k`` before the kernel).  ``use_pallas=None`` auto-selects the
+    kernel on TPU when the per-frame candidate block ``W*K`` is moderate;
+    True forces it (interpreter off-TPU), False forces the scan.
     """
     logits = jnp.asarray(logits)
     B, T, V = logits.shape
@@ -250,12 +257,11 @@ def beam_search_device(
     k = V if max_tokens_per_step is None else min(int(max_tokens_per_step), V)
     n_out = 1 if nbest is None else min(int(nbest), beam_width)
     floor = jnp.float32(prune_logp)
-    eligible = k >= V and T > 0 and beam_width * V <= 8192
+    eligible = T > 0 and beam_width * k <= 8192
     if use_pallas and not eligible:
         raise ValueError(
-            "use_pallas=True requires the keep-all candidate case "
-            f"(max_tokens_per_step >= V), T > 0, and beam_width*V <= 8192 "
-            f"(got k={k}, V={V}, T={T}, W={beam_width})"
+            "use_pallas=True requires T > 0 and beam_width*K <= 8192 "
+            f"(got K={k}, T={T}, W={beam_width})"
         )
     if use_pallas is None:
         use_pallas = eligible and jax.default_backend() == "tpu"
@@ -266,6 +272,7 @@ def beam_search_device(
             floor,
             blank=int(blank),
             beam_width=int(beam_width),
+            k_tokens=k,
             n_out=n_out,
             interpret=jax.default_backend() != "tpu",
         )
