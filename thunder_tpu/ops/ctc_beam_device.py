@@ -287,9 +287,11 @@ def beam_search_device(
             n_out=n_out,
         )
     toks = np.asarray(toks)  # (B, n_out, T), -1 = no emission
-    scores = np.asarray(scores)
     if nbest is None:
+        # scores unused on the best-path return — skip the second
+        # device->host fetch (one round trip per call in serving)
         return [row[0][row[0] >= 0].astype(np.int32) for row in toks]
+    scores = np.asarray(scores)
     return [
         [
             (row[n][row[n] >= 0].astype(np.int32), float(scores[b, n]))
