@@ -68,3 +68,26 @@ def test_wav2vec2_golden_transcription(sample_wav):
     module = _network(lambda: load_pretrained("facebook/wav2vec2-base-960h"))
     audio, sr = load_audio(sample_wav)
     assert module.predict(audio)[0].strip() == EXPECTED.upper()
+
+
+@mark_slow
+def test_hubert_golden_transcription(sample_wav):
+    # HuBERT rides the same AutoModelForCTC path as the reference
+    # (`/root/reference/src/thunder/huggingface/compatibility.py:65-112`);
+    # offline proxy: tests/wav2vec2/test_hf_families.py
+    from thunder_tpu.data import load_audio
+    from thunder_tpu.registry import load_pretrained
+
+    module = _network(lambda: load_pretrained("facebook/hubert-large-ls960-ft"))
+    audio, sr = load_audio(sample_wav)
+    assert module.predict(audio)[0].strip() == EXPECTED.upper()
+
+
+@mark_slow
+def test_data2vec_audio_golden_transcription(sample_wav):
+    from thunder_tpu.data import load_audio
+    from thunder_tpu.registry import load_pretrained
+
+    module = _network(lambda: load_pretrained("facebook/data2vec-audio-base-960h"))
+    audio, sr = load_audio(sample_wav)
+    assert module.predict(audio)[0].strip() == EXPECTED.upper()
