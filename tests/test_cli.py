@@ -45,14 +45,16 @@ def test_cli_transcribe_device_beam_backend(wav_path, capsys):
     assert dev["text"] == host["text"]
 
 
-def test_cli_long_audio_falls_back_to_host_beam(wav_path, capsys):
-    # device backend has no cross-chunk state: long clips warn and decode
-    # with the host cross-chunk beam instead
-    with pytest.warns(UserWarning, match="host cross-chunk beam"):
-        main(["transcribe", "--checkpoint", FIXTURE, "--chunk-seconds", "0.3",
-              "--beam-width", "4", "--beam-backend", "device", wav_path])
-    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert isinstance(rec["text"], str)
+def test_cli_long_audio_device_beam_matches_host(wav_path, capsys):
+    # the device cross-chunk stream carries beam state across windows just
+    # like the host search — same transcript either way
+    main(["transcribe", "--checkpoint", FIXTURE, "--chunk-seconds", "0.3",
+          "--beam-width", "4", wav_path])
+    host = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["transcribe", "--checkpoint", FIXTURE, "--chunk-seconds", "0.3",
+          "--beam-width", "4", "--beam-backend", "device", wav_path])
+    dev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dev["text"] == host["text"]
 
 
 def test_cli_transcribe_long_beam(wav_path, capsys):

@@ -183,3 +183,58 @@ def test_module_device_backend_rejects_lm_and_stray_args(tiny_module):
         tiny_module.predict(audio, beam_backend="device")
     with pytest.raises(ValueError, match="unknown beam_backend"):
         tiny_module.predict(audio, beam_width=4, beam_backend="gpu")
+
+
+def test_device_stream_matches_full_and_host():
+    # windows tiling the utterance == one full-utterance search (device),
+    # and == the host cross-chunk stream (BeamState) — same guarantee the
+    # host beam_search_stream pins in tests/test_ctc_beam.py
+    from thunder_tpu.ops.ctc_beam import BeamState, beam_search_stream, log_softmax
+    from thunder_tpu.ops.ctc_beam_device import beam_search_device_stream
+
+    rng = np.random.default_rng(77)
+    B, T, V, W = 2, 45, 9, 8
+    logits = rng.normal(0, 2.0, (B, T, V)).astype(np.float32)
+    blank = V - 1
+    kw = dict(blank=blank, beam_width=W, prune_logp=-12.0, max_tokens_per_step=None)
+
+    full = beam_search_device(logits, use_pallas=True, **kw)
+
+    state = None
+    for lo, hi in [(0, 17), (17, 30), (30, 45)]:
+        state = beam_search_device_stream(logits[:, lo:hi], state=state, **kw)
+    chunked = state.best()
+    for f, c in zip(full, chunked):
+        assert f.tolist() == c.tolist()
+
+    # host stream (per sample) must agree too
+    for b in range(B):
+        hs = None
+        for lo, hi in [(0, 17), (17, 30), (30, 45)]:
+            hs = beam_search_stream(
+                log_softmax(logits[b, lo:hi]), blank, beam_width=W,
+                prune_logp=-12.0, max_tokens_per_step=V, state=hs,
+            )
+        assert hs.best.tolist() == chunked[b].tolist()
+
+
+def test_device_stream_ragged_windows_and_lengths():
+    from thunder_tpu.ops.ctc_beam_device import beam_search_device_stream
+
+    rng = np.random.default_rng(99)
+    B, T, V, W = 3, 40, 7, 6
+    logits = rng.normal(0, 2.0, (B, T, V)).astype(np.float32)
+    lengths = np.array([40, 26, 9])
+    kw = dict(blank=V - 1, beam_width=W, max_tokens_per_step=None)
+
+    full = beam_search_device(logits, lengths=lengths, use_pallas=True, **kw)
+
+    # stream in ragged windows; per-window lengths clip at each row's total
+    state = None
+    for lo, hi in [(0, 7), (7, 8), (8, 31), (31, 40)]:
+        win_len = np.clip(lengths - lo, 0, hi - lo)
+        state = beam_search_device_stream(
+            logits[:, lo:hi], lengths=win_len, state=state, **kw
+        )
+    for f, c in zip(full, state.best()):
+        assert f.tolist() == c.tolist()

@@ -74,6 +74,49 @@ def test_predict_long_beam(module):
     assert module.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5) == greedy
 
 
+def test_predict_long_device_beam_matches_host(module):
+    """The device cross-chunk stream (beam_backend='device') equals the host
+    cross-chunk beam — both are one continuous search over the stitched
+    frame timeline.
+
+    Uses the .nemo fixture model (decisive logits) on a tone: a fresh
+    random-weight module emits near-uniform logits on which the two backends
+    can flip float32 near-ties (different log-semiring accumulation order —
+    host numpy dict vs device vectorized), which is measurement noise, not a
+    stitch difference; exact window-level equality of the device stream vs
+    the device full search is pinned bit-for-bit in
+    tests/test_ctc_beam_device.py."""
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+    from thunder_tpu.registry import load_pretrained
+
+    fixture = load_pretrained(
+        str(Path(__file__).parent / "fixtures" / "tiny_quartznet.nemo")
+    )
+    t = np.arange(4 * 16000) / 16000.0
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    host = fixture.predict_long(audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8)
+    dev = fixture.predict_long(
+        audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8, beam_backend="device"
+    )
+    assert dev == host
+    engine = InferenceEngine(fixture, compute_dtype=jnp.float32)
+    assert (
+        engine.predict_long(
+            audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8, beam_backend="device"
+        )
+        == host
+    )
+    with pytest.raises(ValueError, match="LM fusion"):
+        fixture.predict_long(
+            audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8,
+            beam_backend="device", lm=lambda ids: 0.0,
+        )
+
+
 def test_beam_kwargs_without_beam_width_raise(module):
     """Beam-only args must raise consistently for short and long audio
     (advisor finding: behavior used to depend on audio length)."""

@@ -141,6 +141,63 @@ def test_streaming_beam_kwargs_without_width_raise(module):
         StreamingTranscriber(module, prune_logp=-5.0)
     with pytest.raises(TypeError):
         StreamingTranscriber(module, lm_weight=0.3)
+    with pytest.raises(TypeError):
+        StreamingTranscriber(module, beam_backend="device")
+
+
+def test_streaming_device_beam_flush_matches_predict_long(module):
+    """Device-backend streaming: flush() == predict_long(beam_backend=
+    'device') — the carried device state is the same continuous search, and
+    the chunk logits never cross to the host."""
+    from thunder_tpu.streaming import StreamingTranscriber
+
+    rng = np.random.default_rng(33)
+    audio = (rng.standard_normal(4 * 16000) * 0.2).astype(np.float32)
+    want = module.predict_long(
+        audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8, beam_backend="device"
+    )
+
+    st = StreamingTranscriber(
+        module, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8, beam_backend="device"
+    )
+    i = 0
+    for size in (7000, 16000, 1000, 25000, 9000, 100000):
+        st.push(audio[i : i + size])
+        i += size
+        if i >= audio.shape[0]:
+            break
+    assert isinstance(st.partial_text, str)
+    assert st.flush() == want
+
+    with pytest.raises(ValueError, match="LM fusion"):
+        StreamingTranscriber(module, beam_width=4, beam_backend="device", lm=lambda ids: 0.0)
+
+
+def test_pool_device_beam_matches_individual(module):
+    from thunder_tpu.streaming import StreamingPool, StreamingTranscriber
+
+    rng = np.random.default_rng(11)
+    feeds = [
+        (rng.standard_normal(int(s * 16000)) * 0.2).astype(np.float32)
+        for s in (3.0, 4.5)
+    ]
+    want = []
+    for f in feeds:
+        st = StreamingTranscriber(
+            module, chunk_seconds=2.0, overlap_seconds=0.5, beam_width=4, beam_backend="device"
+        )
+        st.push(f)
+        want.append(st.flush())
+
+    pool = StreamingPool(
+        module, batch_size=2, chunk_seconds=2.0, overlap_seconds=0.5,
+        beam_width=4, beam_backend="device",
+    )
+    ids = [pool.open() for _ in feeds]
+    for sid, f in zip(ids, feeds):
+        pool.push(sid, f)
+    got = [pool.flush(sid) for sid in ids]
+    assert got == want
 
 
 # ---------------------------------------------------------------------------

@@ -80,16 +80,6 @@ def cmd_transcribe(args):
         if sr != args.sample_rate:
             audio = resample(audio, sr, args.sample_rate)
         if audio.shape[-1] > args.sample_rate * args.chunk_seconds:
-            if short_kwargs.get("beam_backend") == "device":
-                # the chunked beam is one continuous host-side search that
-                # carries state across windows; the device kernel has no
-                # cross-chunk state, so long clips stay on the host backend
-                import warnings
-
-                warnings.warn(
-                    f"--beam-backend device ignored for {path}: long audio "
-                    "decodes with the host cross-chunk beam"
-                )
             overlap = (
                 args.overlap_seconds
                 if args.overlap_seconds is not None
@@ -101,7 +91,7 @@ def cmd_transcribe(args):
                 overlap_seconds=overlap,
                 sample_rate=args.sample_rate,
                 beam_width=args.beam_width,
-                **beam_kwargs,
+                **short_kwargs,
             )
         else:
             text = predictor.predict(

@@ -52,9 +52,10 @@ _NEG_INF = np.float32(-np.inf)
 _BIG_I32 = np.int32(2**30)
 
 
-def _kernel(len_ref, floor_ref, topv_ref, topi_ref, pblank_ref, parents_ref,
-            exts_ref, pb_out, pnb_out, pb_s, pnb_s, h1_s, h2_s, last_s, *,
-            blank: int, W: int, K: int, TB: int, T: int):
+def _kernel(len_ref, floor_ref, pb0_ref, pnb0_ref, h10_ref, h20_ref, last0_ref,
+            topv_ref, topi_ref, pblank_ref, parents_ref, exts_ref, pb_out,
+            pnb_out, h1_out, h2_out, last_out, pb_s, pnb_s, h1_s, h2_s,
+            last_s, *, blank: int, W: int, K: int, TB: int, T: int):
     B = len_ref.shape[-1]
     blk = pl.program_id(0)
     floor = floor_ref[0, 0]
@@ -67,11 +68,14 @@ def _kernel(len_ref, floor_ref, topv_ref, topi_ref, pblank_ref, parents_ref,
 
     @pl.when(blk == 0)
     def _init():
-        pb_s[:] = jnp.where(iotaW_col == 0, 0.0, _NEG_INF)
-        pnb_s[:] = jnp.full((W, B), _NEG_INF, jnp.float32)
-        h1_s[:] = jnp.where(iotaW_col == 0, _H_SEED, _DEAD_H1)
-        h2_s[:] = jnp.where(iotaW_col == 0, _H_SEED, iotaW_col)
-        last_s[:] = jnp.full((W, B), -1, jnp.int32)
+        # the init arrays are either the canonical fresh-search state (slot 0
+        # = the empty prefix, the rest dead) or carried state from a previous
+        # window of the same stream (beam_scan_pallas init_state=)
+        pb_s[:] = pb0_ref[:]
+        pnb_s[:] = pnb0_ref[:]
+        h1_s[:] = h10_ref[:]
+        h2_s[:] = h20_ref[:]
+        last_s[:] = last0_ref[:]
 
     lengths = len_ref[:]  # (1, B)
 
@@ -195,9 +199,12 @@ def _kernel(len_ref, floor_ref, topv_ref, topi_ref, pblank_ref, parents_ref,
 
     jax.lax.fori_loop(0, TB, frame, 0)
 
-    # constant-index output block: every grid step flushes, last write wins
+    # constant-index output blocks: every grid step flushes, last write wins
     pb_out[:] = pb_s[:]
     pnb_out[:] = pnb_s[:]
+    h1_out[:] = h1_s[:]
+    h2_out[:] = h2_s[:]
+    last_out[:] = last_s[:]
 
 
 @functools.partial(
@@ -214,6 +221,7 @@ def beam_scan_pallas(
     k_tokens: int,
     interpret: bool = False,
     block_frames: int = 64,
+    init_state=None,
 ):
     """Run the beam-search frame scan on ``(B, T, V)`` log-probs.
 
@@ -222,9 +230,15 @@ def beam_scan_pallas(
     the kernel searches the reduced ``(T, K)`` candidate stream — this is
     what makes BPE-sized vocabularies (Citrinet's 1025) kernel-eligible.
 
-    Returns ``(parents, exts, total)`` with ``parents``/``exts`` shaped
-    ``(B, T, W)`` (backtrace pointers; ``exts`` holds real token ids) and
-    ``total (B, W)`` the final per-beam log probability.
+    ``init_state`` is an optional ``(pb, pnb, h1, h2, last)`` tuple of
+    ``(B, W)`` arrays — the previous window's final state — making chunked
+    decoding ONE continuous search (identical to searching the stitched
+    frames at once; the frame recursion depends only on carried state).
+
+    Returns ``(parents, exts, total, state)`` with ``parents``/``exts``
+    shaped ``(B, T, W)`` (backtrace pointers; ``exts`` holds real token
+    ids), ``total (B, W)`` the final per-beam log probability, and ``state``
+    the final ``(pb, pnb, h1, h2, last)`` tuple for stream continuation.
     """
     B, T, V = logp.shape
     W = beam_width
@@ -250,14 +264,36 @@ def beam_scan_pallas(
         ti = jnp.pad(ti, ((0, pad), (0, 0), (0, 0)))
         pbk = jnp.pad(pbk, ((0, pad), (0, 0), (0, 0)), constant_values=_NEG_INF)
 
+    if init_state is None:
+        # fresh search: slot 0 = the empty prefix, the rest dead sentinels
+        iw = jnp.arange(W, dtype=jnp.int32)[:, None]
+        pb0 = jnp.broadcast_to(jnp.where(iw == 0, 0.0, _NEG_INF), (W, B)).astype(jnp.float32)
+        pnb0 = jnp.full((W, B), _NEG_INF, jnp.float32)
+        h10 = jnp.broadcast_to(jnp.where(iw == 0, _H_SEED, _DEAD_H1), (W, B))
+        h20 = jnp.broadcast_to(jnp.where(iw == 0, jnp.full_like(iw, _H_SEED), iw), (W, B))
+        last0 = jnp.full((W, B), -1, jnp.int32)
+    else:
+        pb0, pnb0, h10, h20, last0 = (jnp.transpose(a, (1, 0)) for a in init_state)
+        pb0 = pb0.astype(jnp.float32)
+        pnb0 = pnb0.astype(jnp.float32)
+        h10 = h10.astype(jnp.int32)
+        h20 = h20.astype(jnp.int32)
+        last0 = last0.astype(jnp.int32)
+
+    state_in_spec = pl.BlockSpec((W, B), lambda i: (0, 0), memory_space=pltpu.VMEM)
     grid = (T_pad // TB,)
     kernel = functools.partial(_kernel, blank=blank, W=W, K=K, TB=TB, T=T)
-    parents, exts, pb, pnb = pl.pallas_call(
+    parents, exts, pb, pnb, h1, h2, last = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            state_in_spec,
+            state_in_spec,
+            state_in_spec,
+            state_in_spec,
+            state_in_spec,
             pl.BlockSpec((TB, K, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, K, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -265,14 +301,15 @@ def beam_scan_pallas(
         out_specs=[
             pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec((W, B), lambda i: (0, 0), memory_space=pltpu.VMEM)] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((T_pad, W, B), jnp.int32),
             jax.ShapeDtypeStruct((T_pad, W, B), jnp.int32),
             jax.ShapeDtypeStruct((W, B), jnp.float32),
             jax.ShapeDtypeStruct((W, B), jnp.float32),
+            jax.ShapeDtypeStruct((W, B), jnp.int32),
+            jax.ShapeDtypeStruct((W, B), jnp.int32),
+            jax.ShapeDtypeStruct((W, B), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, B), jnp.float32),
@@ -285,20 +322,27 @@ def beam_scan_pallas(
     )(
         jnp.asarray(lengths, jnp.int32).reshape(1, B),
         jnp.asarray(floor, jnp.float32).reshape(1, 1),
+        pb0,
+        pnb0,
+        h10,
+        h20,
+        last0,
         tv,
         ti,
         pbk,
     )
     total = jnp.logaddexp(pb, pnb)  # (W, B)
+    state = tuple(jnp.transpose(a, (1, 0)) for a in (pb, pnb, h1, h2, last))
     return (
         jnp.transpose(parents[:T], (2, 0, 1)),
         jnp.transpose(exts[:T], (2, 0, 1)),
         total.T,
+        state,
     )
 
 
-def _backtrace_kernel(slots_ref, parents_ref, exts_ref, toks_ref, slot_s, *,
-                      W: int, TB: int):
+def _backtrace_kernel(slots_ref, parents_ref, exts_ref, toks_ref, origin_ref,
+                      slot_s, *, W: int, TB: int):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -321,13 +365,18 @@ def _backtrace_kernel(slots_ref, parents_ref, exts_ref, toks_ref, slot_s, *,
         return 0
 
     jax.lax.fori_loop(0, TB, frame, 0)
+    # after the oldest frame, slot_s is each path's slot in the INITIAL
+    # state — the stitch key for cross-window prefix continuation
+    origin_ref[:] = slot_s[:]
 
 
 @functools.partial(jax.jit, static_argnames=("block_frames",))
 def beam_backtrace_pallas(parents, exts, slots0, *, block_frames: int = 256):
     """Sequential pointer walk on-device: ``parents``/``exts`` ``(B, T, W)``
     pointer fields (the forward kernel's outputs) + start slots ``(B, n_out)``
-    -> token matrix ``(B, n_out, T)`` (-1 where the path emitted nothing).
+    -> ``(toks, origin)``: the token matrix ``(B, n_out, T)`` (-1 where the
+    path emitted nothing) and each path's slot in the window's INITIAL state
+    ``(B, n_out)`` — the stitch key for cross-window streaming.
 
     Replaces the XLA associative-scan composition for the Pallas path: the
     walk is one ``(n_out, B)`` gather sweep per frame with the slot state
@@ -351,7 +400,7 @@ def beam_backtrace_pallas(parents, exts, slots0, *, block_frames: int = 256):
 
     nb = T_pad // TB
     kernel = functools.partial(_backtrace_kernel, W=W, TB=TB)
-    toks = pl.pallas_call(
+    toks, origin = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
@@ -360,11 +409,17 @@ def beam_backtrace_pallas(parents, exts, slots0, *, block_frames: int = 256):
             pl.BlockSpec((TB, W, B), lambda i, nb=nb: (nb - 1 - i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, W, B), lambda i, nb=nb: (nb - 1 - i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (TB, n_out, B), lambda i, nb=nb: (nb - 1 - i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((T_pad, n_out, B), jnp.int32),
+        out_specs=[
+            pl.BlockSpec(
+                (TB, n_out, B), lambda i, nb=nb: (nb - 1 - i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((n_out, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, n_out, B), jnp.int32),
+            jax.ShapeDtypeStruct((n_out, B), jnp.int32),
+        ],
         scratch_shapes=[pltpu.VMEM((n_out, B), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(jnp.transpose(slots0, (1, 0)).astype(jnp.int32), p, e)
-    return jnp.transpose(toks[:T], (2, 1, 0))  # (B, n_out, T)
+    return jnp.transpose(toks[:T], (2, 1, 0)), jnp.transpose(origin, (1, 0))

@@ -184,7 +184,10 @@ def chunked_transcribe(
     straddling a chunk boundary merges exactly as in a full-utterance search
     — the beam analogue of the greedy id-stitch, with the same guarantee
     (equal to the unchunked decode whenever the windows' log-probs tile the
-    full utterance's).
+    full utterance's).  ``beam_kwargs["beam_backend"]="device"`` runs the
+    same continuous search on the accelerator
+    (:func:`thunder_tpu.ops.ctc_beam_device.beam_search_device_stream`;
+    no-LM mode — the carried state stays on the device between windows).
     """
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
     chunk = int(chunk_seconds * sample_rate)
@@ -201,6 +204,19 @@ def chunked_transcribe(
     use_beam = bool(beam_width)
     if use_beam and (logits_fn is None or blank_idx is None):
         raise ValueError("beam_width requires logits_fn and blank_idx")
+    kw = dict(beam_kwargs or {})
+    backend = kw.pop("beam_backend", None)
+    if backend == "device":
+        if kw.get("lm") is not None:
+            raise ValueError(
+                "beam_backend='device' does not support LM fusion (the "
+                "scorers are host-only); drop lm= or use the host backend"
+            )
+        stray = sorted(set(kw) - {"prune_logp", "max_tokens_per_step"})
+        if stray:
+            raise ValueError(f"beam_backend='device' does not support: {stray}")
+    elif backend not in (None, "host"):
+        raise ValueError(f"unknown beam_backend: {backend!r} (use 'host' or 'device')")
     pieces = []
     beam_state = None
     for idx, start in enumerate(starts):
@@ -209,7 +225,18 @@ def chunked_transcribe(
         padded = np.zeros((1, chunk), dtype=np.float32)
         padded[0, :seg_len] = seg
         first, last = idx == 0, idx == len(starts) - 1
-        if use_beam:
+        if use_beam and backend == "device":
+            logits, out_lengths = logits_fn(padded, np.asarray([seg_len], dtype=np.int32))
+            # slice/trim on device — the logits never cross to the host
+            win = logits[0, : int(np.asarray(out_lengths)[0])]
+            win = trim_chunk_ids(win, seg_len, overlap, is_first=first, is_last=last)
+            from thunder_tpu.ops.ctc_beam_device import beam_search_device_stream
+
+            beam_state = beam_search_device_stream(
+                win[None], blank=blank_idx, beam_width=beam_width,
+                state=beam_state, **kw,
+            )
+        elif use_beam:
             logits, out_lengths = logits_fn(padded, np.asarray([seg_len], dtype=np.int32))
             win = np.asarray(logits, np.float32)[0, : int(np.asarray(out_lengths)[0])]
             win = trim_chunk_ids(win, seg_len, overlap, is_first=first, is_last=last)
@@ -217,17 +244,19 @@ def chunked_transcribe(
 
             beam_state = beam_search_stream(
                 log_softmax(win), blank_idx, beam_width=beam_width,
-                state=beam_state, **(beam_kwargs or {}),
+                state=beam_state, **kw,
             )
         else:
             preds, out_lengths = infer_fn(padded, np.asarray([seg_len], dtype=np.int32))
             ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
             pieces.append(trim_chunk_ids(ids, seg_len, overlap, is_first=first, is_last=last))
+    if use_beam and backend == "device":
+        best = beam_state.best()[0]
+        return text_transform.decode_prediction(best[None].astype(np.int64), remove_repeated=False)[0]
     if use_beam:
         # the carried search's best prefix is already a collapsed label
         # sequence; end of utterance = the finalization point (word fusion's
         # pending-partial bonus joins the ranking here, same as flush())
-        kw = beam_kwargs or {}
         # 0.5 mirrors beam_search_stream's lm_weight default (the weight the
         # windows were searched with)
         best = beam_state.best_final(kw.get("lm"), kw.get("lm_weight", 0.5))

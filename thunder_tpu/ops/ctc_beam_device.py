@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["beam_search_device"]
+__all__ = ["beam_search_device", "beam_search_device_stream", "DeviceBeamState"]
 
 _M1 = np.uint32(1000003)
 _M2 = np.uint32(2654435761)
@@ -204,7 +204,7 @@ def _beam_batch_pallas(
     from thunder_tpu.kernels.beam_pallas import beam_backtrace_pallas, beam_scan_pallas
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    parents, exts, total = beam_scan_pallas(
+    parents, exts, total, _state = beam_scan_pallas(
         logp,
         lengths,
         floor,
@@ -214,7 +214,7 @@ def _beam_batch_pallas(
         interpret=interpret,
     )
     slots0 = jnp.argsort(-total, axis=1)[:, :n_out]  # stable: ties -> lower slot
-    toks = beam_backtrace_pallas(parents, exts, slots0)
+    toks, _origin = beam_backtrace_pallas(parents, exts, slots0)
     scores = jnp.take_along_axis(total, slots0, axis=1)
     return toks, scores
 
@@ -300,3 +300,143 @@ def beam_search_device(
         ]
         for b, row in enumerate(toks)
     ]
+
+
+class DeviceBeamState:
+    """Carried state for cross-window streaming decode on the accelerator.
+
+    The device analogue of :class:`thunder_tpu.ops.ctc_beam.BeamState`: the
+    scalar search state (``p_blank``/``p_nonblank``/hashes/last token per
+    beam slot) stays on the device between windows, and the host carries
+    only each slot's collapsed prefix so far plus its total score.  Seeding
+    window k+1 with window k's state makes chunked decoding ONE continuous
+    prefix beam search — identical to searching the stitched frames at once
+    (the frame recursion depends only on carried state).
+    """
+
+    __slots__ = ("arrays", "prefixes", "total")
+
+    def __init__(self, arrays=None, prefixes=None, total=None):
+        #: 5-tuple of (B, W) device arrays (pb, pnb, h1, h2, last), or None
+        self.arrays = arrays
+        #: per sample: list of W collapsed-prefix id arrays (None = dead slot)
+        self.prefixes = prefixes
+        #: (B, W) float array of per-slot total log probabilities
+        self.total = total
+
+    def best(self) -> List[np.ndarray]:
+        """Best prefix per sample so far (collapsed label ids, int32)."""
+        if self.total is None:
+            return []
+        out = []
+        for b in range(self.total.shape[0]):
+            w = int(np.argmax(self.total[b]))
+            pref = self.prefixes[b][w]
+            out.append(
+                pref if (pref is not None and np.isfinite(self.total[b, w]))
+                else np.zeros((0,), np.int32)
+            )
+        return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blank", "beam_width", "k_tokens", "interpret", "fresh")
+)
+def _beam_stream_step(
+    logits, lengths, floor, state_arrays, *, blank, beam_width, k_tokens, interpret, fresh
+):
+    from thunder_tpu.kernels.beam_pallas import beam_backtrace_pallas, beam_scan_pallas
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    parents, exts, total, new_state = beam_scan_pallas(
+        logp,
+        lengths,
+        floor,
+        blank=blank,
+        beam_width=beam_width,
+        k_tokens=k_tokens,
+        interpret=interpret,
+        init_state=None if fresh else state_arrays,
+    )
+    B = logits.shape[0]
+    # backtrace EVERY slot: the window's emissions per beam + the slot each
+    # beam descends from in the carried-in state (the stitch key)
+    slots_all = jnp.broadcast_to(jnp.arange(beam_width, dtype=jnp.int32)[None, :], (B, beam_width))
+    toks, origin = beam_backtrace_pallas(parents, exts, slots_all)
+    return toks, origin, total, new_state
+
+
+def beam_search_device_stream(
+    logits,
+    lengths: Optional[Sequence[int]] = None,
+    blank: Optional[int] = None,
+    beam_width: int = 16,
+    prune_logp: float = -12.0,
+    max_tokens_per_step: int = 50,
+    state: Optional[DeviceBeamState] = None,
+) -> DeviceBeamState:
+    """Advance carried device beam state over one ``(B, T, V)`` logits window.
+
+    Device analogue of :func:`thunder_tpu.ops.ctc_beam.beam_search_stream`
+    (no-LM mode): when the windows' logits tile a full utterance, the result
+    is identical to :func:`beam_search_device` over the whole utterance at
+    once — and, transitively, to the host stream (pinned by
+    tests/test_ctc_beam_device.py).  ``logits`` may be a live device array;
+    per window only the ``(B, W, T)`` emission matrix and two ``(B, W)``
+    vectors cross the device->host link.
+    """
+    logits = jnp.asarray(logits)
+    B, T, V = logits.shape
+    if blank is None:
+        blank = V - 1
+    if lengths is None:
+        lengths_arr = jnp.full((B,), T, jnp.int32)
+    else:
+        lengths_arr = jnp.asarray(lengths, jnp.int32)
+    k = V if max_tokens_per_step is None else min(int(max_tokens_per_step), V)
+    W = int(beam_width)
+    if state is None:
+        state = DeviceBeamState()
+    fresh = state.arrays is None
+    if fresh:
+        # dummy arrays keep the jitted signature stable; ignored when fresh
+        zf = jnp.zeros((B, W), jnp.float32)
+        zi = jnp.zeros((B, W), jnp.int32)
+        state_arrays = (zf, zf, zi, zi, zi)
+    else:
+        state_arrays = state.arrays
+    toks, origin, total, new_arrays = _beam_stream_step(
+        logits,
+        lengths_arr,
+        jnp.float32(prune_logp),
+        state_arrays,
+        blank=int(blank),
+        beam_width=W,
+        k_tokens=k,
+        interpret=jax.default_backend() != "tpu",
+        fresh=fresh,
+    )
+    toks = np.asarray(toks)  # (B, W, T)
+    origin = np.asarray(origin)  # (B, W)
+    total_np = np.asarray(total)  # (B, W)
+    if fresh:
+        old_prefixes = [[np.zeros((0,), np.int32)] + [None] * (W - 1) for _ in range(B)]
+    else:
+        old_prefixes = state.prefixes
+    prefixes = []
+    for b in range(B):
+        row = []
+        for w in range(W):
+            if not np.isfinite(total_np[b, w]):
+                row.append(None)
+                continue
+            parent = old_prefixes[b][origin[b, w]]
+            emitted = toks[b, w][toks[b, w] >= 0]
+            if parent is None:
+                # a live slot can only descend from a live ancestor; a dead
+                # parent means the whole column never advanced (all pruned)
+                row.append(emitted.astype(np.int32))
+            else:
+                row.append(np.concatenate([parent, emitted]).astype(np.int32))
+        prefixes.append(row)
+    return DeviceBeamState(arrays=new_arrays, prefixes=prefixes, total=total_np)

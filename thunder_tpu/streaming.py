@@ -70,6 +70,11 @@ class StreamingTranscriber:
         beam_width: decode with carried-state prefix beam search instead of
             the greedy id-stitch; ``prune_logp``/``lm``/``lm_weight`` and
             further beam kwargs match ``predict``'s beam arguments.
+        beam_backend: ``"host"`` (default; required for LM fusion) or
+            ``"device"`` — the carried beam state stays on the accelerator
+            between chunks (:func:`thunder_tpu.ops.ctc_beam_device.
+            beam_search_device_stream`) and the logits never cross the
+            device->host link.
     """
 
     def __init__(
@@ -82,9 +87,24 @@ class StreamingTranscriber:
         prune_logp: float = _BEAM_UNSET,
         lm=None,
         lm_weight: float = _BEAM_UNSET,
+        beam_backend: Optional[str] = None,
         **beam_kwargs,
     ):
+        if beam_backend is not None and not beam_width:
+            raise TypeError("beam-search arguments without beam_width: ['beam_backend']")
         check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
+        if beam_backend == "device":
+            if lm is not None:
+                raise ValueError(
+                    "beam_backend='device' does not support LM fusion (the "
+                    "scorers are host-only); drop lm= or use the host backend"
+                )
+            stray = sorted(set(beam_kwargs) - {"max_tokens_per_step"})
+            if stray:
+                raise ValueError(f"beam_backend='device' does not support: {stray}")
+        elif beam_backend not in (None, "host"):
+            raise ValueError(f"unknown beam_backend: {beam_backend!r} (use 'host' or 'device')")
+        self.beam_backend = beam_backend
         self._module, self._infer = _make_infer(predictor)
         if self._module.text_transform is None:
             raise ValueError("streaming requires a text_transform")
@@ -97,8 +117,9 @@ class StreamingTranscriber:
         if beam_width:
             self._beam_kwargs = dict(beam_kwargs)
             self._beam_kwargs["prune_logp"] = -12.0 if prune_logp is _BEAM_UNSET else prune_logp
-            self._beam_kwargs["lm"] = lm
-            self._beam_kwargs["lm_weight"] = 0.5 if lm_weight is _BEAM_UNSET else lm_weight
+            if beam_backend != "device":
+                self._beam_kwargs["lm"] = lm
+                self._beam_kwargs["lm_weight"] = 0.5 if lm_weight is _BEAM_UNSET else lm_weight
         self._beam_state = None
         self._buffer = np.zeros((0,), np.float32)
         self._buffer_start = 0  # absolute sample index of _buffer[0]
@@ -116,8 +137,12 @@ class StreamingTranscriber:
         logits, preds, out_lengths = self._infer(padded, np.asarray([seg_len], np.int32))
         n = int(np.asarray(out_lengths)[0])
         # greedy only reads preds — don't pay the (frames, vocab) logits
-        # device->host transfer unless the beam needs them
-        logits_row = np.asarray(logits)[0] if self.beam_width else None
+        # device->host transfer unless the HOST beam needs them (the device
+        # beam consumes the live device row)
+        if self.beam_width:
+            logits_row = logits[0] if self.beam_backend == "device" else np.asarray(logits)[0]
+        else:
+            logits_row = None
         self._apply_chunk(start, seg_len, last, logits_row, np.asarray(preds)[0], n)
 
     def _apply_chunk(
@@ -129,7 +154,19 @@ class StreamingTranscriber:
         streams into one device call and feed each stream its row."""
         from thunder_tpu.module import trim_chunk_ids
 
-        if self.beam_width:
+        if self.beam_width and self.beam_backend == "device":
+            from thunder_tpu.ops.ctc_beam_device import beam_search_device_stream
+
+            win = logits_row[:n]  # device array (or np from a pool drain)
+            win = trim_chunk_ids(win, seg_len, self.overlap, is_first=start == 0, is_last=last)
+            self._beam_state = beam_search_device_stream(
+                win[None],
+                blank=self._module.blank_idx,
+                beam_width=self.beam_width,
+                state=self._beam_state,
+                **self._beam_kwargs,
+            )
+        elif self.beam_width:
             from thunder_tpu.ops.ctc_beam import beam_search_stream, log_softmax
 
             win = np.asarray(logits_row, np.float32)[:n]
@@ -245,6 +282,10 @@ class StreamingTranscriber:
         if self.beam_width:
             if self._beam_state is None:
                 return np.zeros((0,), np.int32)
+            if self.beam_backend == "device":
+                # no LM on the device backend: best() is both the live and
+                # the finalized ranking (no pending-word fusion bonus)
+                return self._beam_state.best()[0]
             if self._closed:
                 # flush = the finalization point: word fusion's pending-
                 # partial-word bonus joins the ranking (== predict_long)
@@ -357,8 +398,12 @@ class StreamingPool:
                 lengths[row] = seg.shape[0]
             logits, preds, out_lengths = self._infer(padded, lengths)
             # greedy pools never read logits — skip the (B, frames, vocab)
-            # device->host transfer on the serving hot path
-            logits = np.asarray(logits) if self._beam_width else None
+            # device->host transfer on the serving hot path; the device beam
+            # backend keeps them as live device rows
+            if not self._beam_width:
+                logits = None
+            elif self._stream_kwargs.get("beam_backend") != "device":
+                logits = np.asarray(logits)
             preds = np.asarray(preds)
             out_lengths = np.asarray(out_lengths)
             for row, (st, start, seg, last) in enumerate(group):
