@@ -173,3 +173,8 @@ def test_cli_transcribe_timestamps(wav_path, capsys):
         assert all(0.0 <= tk["start"] <= tk["end"] for tk in rec["tokens"])
         # spans cover the (unstripped) decoded transcript token-for-token
         assert "".join(tk["token"] for tk in rec["tokens"]).strip() == rec["text"]
+
+
+def test_cli_beam_backend_requires_beam_width(wav_path):
+    with pytest.raises(SystemExit, match="beam-width"):
+        main(["transcribe", "--checkpoint", FIXTURE, "--beam-backend", "device", wav_path])

@@ -238,3 +238,33 @@ def test_device_stream_ragged_windows_and_lengths():
         )
     for f, c in zip(full, state.best()):
         assert f.tolist() == c.tolist()
+
+
+def test_device_stream_zero_frame_window_is_noop():
+    # host stream treats an empty window as a no-op; the device stream must
+    # too (review finding: it used to crash compiling a grid-0 kernel)
+    from thunder_tpu.ops.ctc_beam_device import beam_search_device_stream
+
+    rng = np.random.default_rng(13)
+    B, T, V, W = 2, 20, 7, 6
+    logits = rng.normal(0, 2.0, (B, T, V)).astype(np.float32)
+    kw = dict(blank=V - 1, beam_width=W, max_tokens_per_step=None)
+
+    # fresh state + empty window: one live empty prefix
+    st0 = beam_search_device_stream(logits[:, 0:0], **kw)
+    assert [p.tolist() for p in st0.best()] == [[], []]
+
+    full = beam_search_device(logits, use_pallas=True, **kw)
+    st = None
+    for lo, hi in [(0, 8), (8, 8), (8, 20), (20, 20)]:
+        st = beam_search_device_stream(logits[:, lo:hi], state=st, **kw)
+    for f, c in zip(full, st.best()):
+        assert f.tolist() == c.tolist()
+
+
+def test_device_stream_rejects_oversized_candidate_block():
+    from thunder_tpu.ops.ctc_beam_device import beam_search_device_stream
+
+    logits = np.zeros((1, 5, 3000), np.float32)
+    with pytest.raises(ValueError, match="beam_width"):
+        beam_search_device_stream(logits, beam_width=16, max_tokens_per_step=None)

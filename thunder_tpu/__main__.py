@@ -72,7 +72,9 @@ def cmd_transcribe(args):
             args.beam_width = 16  # LM fusion requires the beam decode
         beam_kwargs = {"lm": lm, "lm_weight": args.lm_weight}
     short_kwargs = dict(beam_kwargs)
-    if args.beam_width and getattr(args, "beam_backend", None):
+    if getattr(args, "beam_backend", None):
+        if not args.beam_width:
+            raise SystemExit("--beam-backend requires --beam-width")
         short_kwargs["beam_backend"] = args.beam_backend
     for path in args.audio:
         audio, sr = load_audio(path)
@@ -142,7 +144,9 @@ def cmd_eval(args):
         if not args.beam_width:
             args.beam_width = 16
         beam_kwargs = {"lm": lm, "lm_weight": args.lm_weight}
-    if args.beam_width and getattr(args, "beam_backend", None):
+    if getattr(args, "beam_backend", None):
+        if not args.beam_width:
+            raise SystemExit("--beam-backend requires --beam-width")
         beam_kwargs["beam_backend"] = args.beam_backend
     dm = ManifestDatamodule(
         args.manifest, args.manifest, args.manifest,

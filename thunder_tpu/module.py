@@ -52,6 +52,27 @@ def check_beam_args(beam_width, beam_kwargs, prune_logp=_BEAM_UNSET, lm=None, lm
         raise TypeError(f"beam-search arguments without beam_width: {sorted(stray)}")
 
 
+def check_device_beam_kwargs(backend, lm, beam_kwargs, allowed=("max_tokens_per_step",)):
+    """Validate a device-backend beam configuration.
+
+    Single source of truth for the three checks (LM rejection, stray-kwarg
+    whitelist, unknown-backend) shared by ``predict``/``run_beam_decode``,
+    ``chunked_transcribe``/``predict_long``, and the streaming transcriber —
+    so the contract cannot drift between the entry points.
+    """
+    if backend == "device":
+        if lm is not None:
+            raise ValueError(
+                "beam_backend='device' does not support LM fusion (the "
+                "scorers are host-only); drop lm= or use the host backend"
+            )
+        stray = sorted(set(beam_kwargs or ()) - set(allowed))
+        if stray:
+            raise ValueError(f"beam_backend='device' does not support: {stray}")
+    elif backend not in (None, "host"):
+        raise ValueError(f"unknown beam_backend: {backend!r} (use 'host' or 'device')")
+
+
 def run_beam_decode(
     logits,
     out_lengths,
@@ -80,15 +101,8 @@ def run_beam_decode(
       scales with the chip instead of host cores.
     """
     kw = dict(beam_kwargs or {})
+    check_device_beam_kwargs(backend, lm, kw)
     if backend == "device":
-        if lm is not None:
-            raise ValueError(
-                "beam_backend='device' does not support LM fusion (the "
-                "scorers are host-only); drop lm= or use the host backend"
-            )
-        stray = sorted(set(kw) - {"max_tokens_per_step"})
-        if stray:
-            raise ValueError(f"beam_backend='device' does not support: {stray}")
         from thunder_tpu.ops.ctc_beam_device import beam_search_device
 
         hyps = beam_search_device(
@@ -100,8 +114,6 @@ def run_beam_decode(
             nbest=nbest,
             **kw,
         )
-    elif backend not in (None, "host"):
-        raise ValueError(f"unknown beam_backend: {backend!r} (use 'host' or 'device')")
     elif nbest is not None:
         from thunder_tpu.ops.ctc_beam import beam_search_nbest
 
@@ -206,17 +218,9 @@ def chunked_transcribe(
         raise ValueError("beam_width requires logits_fn and blank_idx")
     kw = dict(beam_kwargs or {})
     backend = kw.pop("beam_backend", None)
-    if backend == "device":
-        if kw.get("lm") is not None:
-            raise ValueError(
-                "beam_backend='device' does not support LM fusion (the "
-                "scorers are host-only); drop lm= or use the host backend"
-            )
-        stray = sorted(set(kw) - {"prune_logp", "max_tokens_per_step"})
-        if stray:
-            raise ValueError(f"beam_backend='device' does not support: {stray}")
-    elif backend not in (None, "host"):
-        raise ValueError(f"unknown beam_backend: {backend!r} (use 'host' or 'device')")
+    check_device_beam_kwargs(
+        backend, kw.get("lm"), kw, allowed=("prune_logp", "max_tokens_per_step")
+    )
     pieces = []
     beam_state = None
     for idx, start in enumerate(starts):
@@ -232,9 +236,15 @@ def chunked_transcribe(
             win = trim_chunk_ids(win, seg_len, overlap, is_first=first, is_last=last)
             from thunder_tpu.ops.ctc_beam_device import beam_search_device_stream
 
+            # pad frames to a bucket and pass the true length so the kernel
+            # compiles once per bucket, not once per distinct tail length
+            n_win = win.shape[0]
+            bucket = max(64, -(-n_win // 64) * 64)
+            if bucket != n_win:
+                win = jnp.pad(win, ((0, bucket - n_win), (0, 0)))
             beam_state = beam_search_device_stream(
-                win[None], blank=blank_idx, beam_width=beam_width,
-                state=beam_state, **kw,
+                win[None], lengths=[n_win], blank=blank_idx,
+                beam_width=beam_width, state=beam_state, **kw,
             )
         elif use_beam:
             logits, out_lengths = logits_fn(padded, np.asarray([seg_len], dtype=np.int32))
@@ -251,7 +261,8 @@ def chunked_transcribe(
             ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
             pieces.append(trim_chunk_ids(ids, seg_len, overlap, is_first=first, is_last=last))
     if use_beam and backend == "device":
-        best = beam_state.best()[0]
+        bests = beam_state.best() if beam_state is not None else []
+        best = bests[0] if bests else np.zeros((0,), np.int32)
         return text_transform.decode_prediction(best[None].astype(np.int64), remove_repeated=False)[0]
     if use_beam:
         # the carried search's best prefix is already a collapsed label

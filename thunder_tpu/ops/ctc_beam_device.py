@@ -395,8 +395,24 @@ def beam_search_device_stream(
         lengths_arr = jnp.asarray(lengths, jnp.int32)
     k = V if max_tokens_per_step is None else min(int(max_tokens_per_step), V)
     W = int(beam_width)
+    if beam_width * k > 8192:
+        raise ValueError(
+            "device streaming beam requires beam_width*K <= 8192 "
+            f"(got K={k}, W={beam_width}); lower max_tokens_per_step or use "
+            "the host backend"
+        )
     if state is None:
         state = DeviceBeamState()
+    if T == 0:
+        # no frames: a no-op, like the host stream on an empty window.  A
+        # still-fresh state gains the canonical host view (one live empty
+        # prefix) so best() works before any frames arrive.
+        if state.arrays is None and state.total is None:
+            total = np.full((B, W), -np.inf, np.float32)
+            total[:, 0] = 0.0
+            prefixes = [[np.zeros((0,), np.int32)] + [None] * (W - 1) for _ in range(B)]
+            return DeviceBeamState(arrays=None, prefixes=prefixes, total=total)
+        return state
     fresh = state.arrays is None
     if fresh:
         # dummy arrays keep the jitted signature stable; ignored when fresh

@@ -93,17 +93,9 @@ class StreamingTranscriber:
         if beam_backend is not None and not beam_width:
             raise TypeError("beam-search arguments without beam_width: ['beam_backend']")
         check_beam_args(beam_width, beam_kwargs, prune_logp=prune_logp, lm=lm, lm_weight=lm_weight)
-        if beam_backend == "device":
-            if lm is not None:
-                raise ValueError(
-                    "beam_backend='device' does not support LM fusion (the "
-                    "scorers are host-only); drop lm= or use the host backend"
-                )
-            stray = sorted(set(beam_kwargs) - {"max_tokens_per_step"})
-            if stray:
-                raise ValueError(f"beam_backend='device' does not support: {stray}")
-        elif beam_backend not in (None, "host"):
-            raise ValueError(f"unknown beam_backend: {beam_backend!r} (use 'host' or 'device')")
+        from thunder_tpu.module import check_device_beam_kwargs
+
+        check_device_beam_kwargs(beam_backend, lm, beam_kwargs)
         self.beam_backend = beam_backend
         self._module, self._infer = _make_infer(predictor)
         if self._module.text_transform is None:
@@ -285,7 +277,8 @@ class StreamingTranscriber:
             if self.beam_backend == "device":
                 # no LM on the device backend: best() is both the live and
                 # the finalized ranking (no pending-word fusion bonus)
-                return self._beam_state.best()[0]
+                bests = self._beam_state.best()
+                return bests[0] if bests else np.zeros((0,), np.int32)
             if self._closed:
                 # flush = the finalization point: word fusion's pending-
                 # partial-word bonus joins the ranking (== predict_long)
