@@ -183,3 +183,48 @@ def test_family_predict_roundtrip(tmp_path):
     greedy = module.predict(audio)
     beam = module.predict(audio, beam_width=4, beam_backend="device")
     assert isinstance(greedy[0], str) and isinstance(beam[0], str)
+
+
+@pytest.mark.parametrize("cls_name", ["UniSpeechForCTC", "UniSpeechSatForCTC"])
+def test_unispeech_logit_parity(tmp_path, cls_name):
+    # UniSpeech / UniSpeechSat share wav2vec2's base-model layout exactly —
+    # the importer handles them with no special casing (AutoModelForCTC
+    # family breadth, reference huggingface/compatibility.py:65-112)
+    import transformers as tr
+
+    cls = getattr(tr, cls_name)
+    cfg_cls = getattr(tr, cls_name.replace("ForCTC", "Config"))
+    cfg = cfg_cls(
+        **_COMMON,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        conv_bias=False,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    torch.manual_seed(6)
+    ref = cls(cfg).eval()
+    d = _save_dir(tmp_path, ref, cls_name)
+    _assert_logit_parity(d, ref)
+
+
+@pytest.mark.parametrize("conv_last,squeeze", [(16, 2), (32, 4)])
+def test_sew_logit_parity(tmp_path, conv_last, squeeze):
+    # SEW: avg-pool squeeze + strided positional conv + linear upsample;
+    # the projection Linear exists only when conv_dim[-1] != hidden_size
+    from transformers import SEWConfig, SEWForCTC
+
+    common = dict(_COMMON)
+    common["conv_dim"] = (16, 16, conv_last)
+    cfg = SEWConfig(
+        **common,
+        feat_extract_norm="group",
+        conv_bias=False,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        squeeze_factor=squeeze,
+    )
+    torch.manual_seed(7)
+    ref = SEWForCTC(cfg).eval()
+    d = _save_dir(tmp_path, ref, f"sew_{conv_last}_{squeeze}")
+    _assert_logit_parity(d, ref)

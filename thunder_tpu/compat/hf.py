@@ -96,9 +96,18 @@ def hf_state_to_variables(state: Dict[str, np.ndarray], config: Wav2Vec2Config) 
         elif config.feat_extract_norm == "layer":
             norm(f"{base}.layer_norm", ("feature_extractor", f"ln{i}"))
 
-    if config.feat_proj_layer_norm:
-        norm("feature_projection.layer_norm", ("fp_layer_norm",))
-    dense("feature_projection.projection", ("fp_projection",))
+    if config.sew_style:
+        # SEW: LayerNorm on the extractor output + a bare projection Linear
+        # (only when conv_dim[-1] != hidden), plus the post-transformer
+        # upsample projection
+        norm("layer_norm", ("sew_extract_ln",))
+        if "feature_projection.weight" in state:
+            dense("feature_projection", ("fp_projection",))
+        dense("encoder.upsample.projection", ("upsample_projection",))
+    else:
+        if config.feat_proj_layer_norm:
+            norm("feature_projection.layer_norm", ("fp_layer_norm",))
+        dense("feature_projection.projection", ("fp_projection",))
 
     if config.pos_conv_stack:
         # data2vec-audio: a stack of plain (un-normed) grouped convs

@@ -94,6 +94,8 @@ class Wav2Vec2Config:
         conv_pos_kernel_size: Optional[int] = None,
         rel_pos_buckets: int = 0,
         rel_pos_max_distance: int = 0,
+        sew_style: bool = False,
+        squeeze_factor: int = 1,
     ):
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -124,6 +126,12 @@ class Wav2Vec2Config:
         #: (``rel_pos_buckets`` > 0 switches it on)
         self.rel_pos_buckets = rel_pos_buckets
         self.rel_pos_max_distance = rel_pos_max_distance
+        #: SEW: LayerNorm straight after the extractor, the transformer runs
+        #: on an avg-pooled (``squeeze_factor``-strided) sequence with a
+        #: strided positional conv, and a linear upsample restores the frame
+        #: rate afterwards
+        self.sew_style = sew_style
+        self.squeeze_factor = squeeze_factor
 
     @classmethod
     def from_hf(cls, hf_config) -> "Wav2Vec2Config":
@@ -157,6 +165,8 @@ class Wav2Vec2Config:
             conv_pos_kernel_size=getattr(hf_config, "conv_pos_kernel_size", None),
             rel_pos_buckets=getattr(hf_config, "num_buckets", 0) if model_type == "wavlm" else 0,
             rel_pos_max_distance=getattr(hf_config, "max_bucket_distance", 0) if model_type == "wavlm" else 0,
+            sew_style=model_type == "sew",
+            squeeze_factor=getattr(hf_config, "squeeze_factor", 1) if model_type == "sew" else 1,
         )
 
 
@@ -530,6 +540,9 @@ class Wav2Vec2Encoder(nn.Module):
             lengths.astype(jnp.int32), cfg.conv_kernel, cfg.conv_stride
         )
 
+        if cfg.sew_style:
+            return self._sew_encode(feats, out_lengths, train)
+
         # feature projection (HuBERT can omit the LayerNorm,
         # HF ``feat_proj_layer_norm=False``)
         h = feats
@@ -633,3 +646,53 @@ class Wav2Vec2Encoder(nn.Module):
         if cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
         return h, out_lengths
+
+    def _sew_encode(self, feats: jax.Array, out_lengths: jax.Array, train: bool):
+        # plain helper invoked from the compact __call__ (flax allows only
+        # one @nn.compact method; submodules defined here still register)
+        """SEW head (`modeling_sew.SEWModel/SEWEncoder`): LayerNorm on the
+        extractor output (+ projection when dims differ), avg-pool squeeze by
+        ``squeeze_factor`` added to a stride-``squeeze_factor`` positional
+        conv, a standard post-norm transformer on the short sequence, then a
+        linear upsample back to the extractor frame rate (zero-padded tail).
+        CTC frame count (``out_lengths``) stays the extractor's."""
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="sew_extract_ln")(feats)
+        if cfg.conv_dim[-1] != cfg.hidden_size:
+            h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(h)
+        h = nn.Dropout(rate=cfg.feat_proj_dropout, deterministic=not train)(h)
+        mask = lengths_to_mask(out_lengths, h.shape[1])
+        h = jnp.where(mask[:, :, None], h, 0.0)
+
+        s, k = cfg.squeeze_factor, cfg.num_conv_pos_embeddings
+        t_in = h.shape[1]
+        pos = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(k,),
+            strides=(s,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            name="pos_conv",
+        )(h)
+        if k % 2 == 0:  # HF SamePad removes the trailing frame for even kernels
+            pos = pos[:, :-1]
+        pos = gelu(pos, self.dtype)
+        pooled = nn.avg_pool(h, window_shape=(s,), strides=(s,))
+        m = min(pos.shape[1], pooled.shape[1])
+        hq = pooled[:, :m] + pos[:, :m]
+
+        sq_lengths = out_lengths // s
+        key_mask = lengths_to_mask(sq_lengths, hq.shape[1])
+        hq = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(hq)
+        hq = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(hq)
+        layer_cls = nn.remat(_EncoderLayer, static_argnums=(3,)) if self.remat else _EncoderLayer
+        for i in range(cfg.num_hidden_layers):
+            hq = layer_cls(cfg, dtype=self.dtype, name=f"layer{i}")(hq, key_mask, train, None)
+
+        up = nn.Dense(cfg.hidden_size * s, dtype=self.dtype, name="upsample_projection")(hq)
+        up = gelu(up, self.dtype)
+        up = up.reshape(up.shape[0], up.shape[1] * s, cfg.hidden_size)
+        if up.shape[1] < t_in:
+            up = jnp.pad(up, ((0, 0), (0, t_in - up.shape[1]), (0, 0)))
+        return up[:, :t_in], out_lengths
