@@ -118,6 +118,27 @@ def test_engine_data_parallel_inference(module):
     assert sharded.predict(audio[:3], lengths[:3]) == single.predict(audio[:3], lengths[:3])
 
 
+def test_engine_data_parallel_device_beam(module):
+    """Device beam under the mesh: shard_map decodes each device's rows —
+    same transcripts as the single-device device-beam path (including the
+    mesh-padding rows being dropped)."""
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+
+    single = InferenceEngine(module, compute_dtype=jnp.float32)
+    mesh = make_mesh(model_parallel=1)
+    sharded = InferenceEngine(module, compute_dtype=jnp.float32, mesh=mesh)
+    audio, lengths, _, _ = _batch(module, batch=8)
+    want = single.predict(audio, lengths, beam_width=6, beam_backend="device")
+    assert sharded.predict(audio, lengths, beam_width=6, beam_backend="device") == want
+    # padded (non-divisible) batch
+    assert (
+        sharded.predict(audio[:3], lengths[:3], beam_width=6, beam_backend="device")
+        == want[:3]
+    )
+
+
 def test_two_process_distributed_train_step(tmp_path):
     """SURVEY §5.8: a real ``jax.distributed`` run — two OS processes, 2 CPU
     devices each, one 4-device DP mesh — must produce the same loss and

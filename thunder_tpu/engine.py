@@ -555,6 +555,27 @@ class InferenceEngine:
         if beam_width:
             from thunder_tpu.module import run_beam_decode
 
+            if beam_backend == "device" and self.mesh is not None:
+                # decode the FULL mesh-padded batch under shard_map (each
+                # device searches its own rows; padding rows are length-1
+                # throwaways) and drop the padding from the result
+                from thunder_tpu.parallel.mesh import DATA_AXIS
+
+                return run_beam_decode(
+                    logits,
+                    out_lengths,
+                    blank=self.module.blank_idx,
+                    text_transform=tt,
+                    beam_width=beam_width,
+                    nbest=nbest,
+                    prune_logp=prune_logp,
+                    lm=lm,
+                    lm_weight=lm_weight,
+                    backend=beam_backend,
+                    beam_kwargs=beam_kwargs,
+                    mesh=self.mesh,
+                    data_axis=DATA_AXIS,
+                )[:n]
             return run_beam_decode(
                 logits[:n],
                 out_lengths[:n],

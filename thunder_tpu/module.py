@@ -86,6 +86,8 @@ def run_beam_decode(
     lm_weight: float,
     backend: Optional[str] = None,
     beam_kwargs: Optional[dict] = None,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Shared beam-decode tail for :meth:`CTCModule.predict` and the serving
     engine's ``predict``: logits -> transcriptions (or, with ``nbest``,
@@ -112,6 +114,8 @@ def run_beam_decode(
             beam_width=beam_width,
             prune_logp=prune_logp,
             nbest=nbest,
+            mesh=mesh,
+            data_axis=data_axis,
             **kw,
         )
     elif nbest is not None:

@@ -219,6 +219,39 @@ def _beam_batch_pallas(
     return toks, scores
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_beam_fn(mesh, axis, use_pallas, blank, beam_width, k, n_out, interpret):
+    """jit(shard_map(beam batch)) cached per (mesh, params) so repeated
+    serving calls reuse the compiled executable."""
+    from jax.sharding import PartitionSpec as P
+
+    if use_pallas:
+        run = functools.partial(
+            _beam_batch_pallas,
+            blank=blank,
+            beam_width=beam_width,
+            k_tokens=k,
+            n_out=n_out,
+            interpret=interpret,
+        )
+    else:
+        run = functools.partial(
+            _beam_batch, blank=blank, beam_width=beam_width, k_tokens=k, n_out=n_out
+        )
+    inner = lambda lg, ln, fl: run(lg, ln, fl)
+    # per-shard state carries make the scan/kernel non-replicated; vma
+    # checking is disabled (each shard decodes its own batch rows only)
+    return jax.jit(
+        jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+
+
 def beam_search_device(
     logits,
     lengths: Optional[Sequence[int]] = None,
@@ -228,6 +261,8 @@ def beam_search_device(
     max_tokens_per_step: int = 50,
     nbest: Optional[int] = None,
     use_pallas: Optional[bool] = None,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Accelerator-side batched prefix beam search over ``(B, T, V)`` logits.
 
@@ -245,6 +280,12 @@ def beam_search_device(
     ``top_k`` before the kernel).  ``use_pallas=None`` auto-selects the
     kernel on TPU when the per-frame candidate block ``W*K`` is moderate;
     True forces it (interpreter off-TPU), False forces the scan.
+
+    With ``mesh`` (a :class:`jax.sharding.Mesh`), the search runs under
+    ``shard_map`` over ``data_axis`` — each device decodes its own batch
+    rows, so beam serving scales with the data-parallel mesh exactly like
+    the forward pass (the serving engine passes its mesh through).
+    ``B`` must divide the axis size.
     """
     logits = jnp.asarray(logits)
     B, T, V = logits.shape
@@ -265,7 +306,25 @@ def beam_search_device(
         )
     if use_pallas is None:
         use_pallas = eligible and jax.default_backend() == "tpu"
-    if use_pallas:
+    if mesh is not None:
+        d = mesh.shape[data_axis]
+        if B % d:
+            raise ValueError(
+                f"batch {B} must divide the mesh's {data_axis!r} axis ({d}) "
+                "for sharded beam decoding (pad the batch like the engine does)"
+            )
+        fn = _sharded_beam_fn(
+            mesh,
+            data_axis,
+            bool(use_pallas),
+            int(blank),
+            int(beam_width),
+            k,
+            n_out,
+            jax.default_backend() != "tpu",
+        )
+        toks, scores = fn(logits, lengths_arr, floor)
+    elif use_pallas:
         toks, scores = _beam_batch_pallas(
             logits,
             lengths_arr,
