@@ -208,6 +208,50 @@ def test_unispeech_logit_parity(tmp_path, cls_name):
     _assert_logit_parity(d, ref)
 
 
+@pytest.mark.parametrize("output_hidden_size", [32, 24])
+def test_wav2vec2_conv_adapter_logit_parity(tmp_path, output_hidden_size):
+    # add_adapter=True (SpeechEncoderDecoder/MMS shape): strided GLU convs
+    # after the transformer; the CTC head runs at the adapter frame rate and
+    # at output_hidden_size (projection present only when dims differ)
+    from transformers import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    cfg = Wav2Vec2Config(
+        **_COMMON,
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+        conv_bias=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        add_adapter=True,
+        output_hidden_size=output_hidden_size,
+        num_adapter_layers=2,
+    )
+    torch.manual_seed(8)
+    ref = Wav2Vec2ForCTC(cfg).eval()
+    d = _save_dir(tmp_path, ref, f"w2v2_adapter_{output_hidden_size}", return_attention_mask=True)
+    _assert_logit_parity(d, ref)
+
+
+def test_wav2vec2_mms_attn_adapter_logit_parity(tmp_path):
+    # MMS-style per-language attention adapters: LayerNorm'd bottleneck
+    # (hidden -> adapter_attn_dim -> hidden) residual at every layer tail
+    from transformers import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    cfg = Wav2Vec2Config(
+        **_COMMON,
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+        conv_bias=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        adapter_attn_dim=8,
+    )
+    torch.manual_seed(9)
+    ref = Wav2Vec2ForCTC(cfg).eval()
+    d = _save_dir(tmp_path, ref, "w2v2_mms", return_attention_mask=True)
+    _assert_logit_parity(d, ref)
+
+
 @pytest.mark.parametrize("conv_last,squeeze", [(16, 2), (32, 4)])
 def test_sew_logit_parity(tmp_path, conv_last, squeeze):
     # SEW: avg-pool squeeze + strided positional conv + linear upsample;

@@ -153,6 +153,21 @@ def hf_state_to_variables(state: Dict[str, np.ndarray], config: Wav2Vec2Config) 
         dense(f"{base}.feed_forward.intermediate_dense", dst + ("intermediate_dense",))
         dense(f"{base}.feed_forward.output_dense", dst + ("output_dense",))
         norm(f"{base}.final_layer_norm", dst + ("final_layer_norm",))
+        if config.adapter_attn_dim and f"{base}.adapter_layer.norm.weight" in state:
+            # MMS per-language attention adapter (Wav2Vec2AttnAdapterLayer)
+            norm(f"{base}.adapter_layer.norm", dst + ("adapter_norm",))
+            dense(f"{base}.adapter_layer.linear_1", dst + ("adapter_dense1",))
+            dense(f"{base}.adapter_layer.linear_2", dst + ("adapter_dense2",))
+
+    if config.add_adapter:
+        # post-transformer conv adapter (Wav2Vec2Adapter): optional
+        # down-projection + num_adapter_layers strided GLU convs
+        if "adapter.proj.weight" in state:
+            dense("adapter.proj", ("adapter_proj",))
+            norm("adapter.proj_layer_norm", ("adapter_proj_ln",))
+        for i in range(config.num_adapter_layers):
+            p[(f"adapter_conv{i}", "kernel")] = _conv_t(state[f"adapter.layers.{i}.conv.weight"])
+            p[(f"adapter_conv{i}", "bias")] = state[f"adapter.layers.{i}.conv.bias"]
 
     return flax.traverse_util.unflatten_dict(p)
 
@@ -191,7 +206,7 @@ def load_huggingface_checkpoint(model_name: str, **model_kwargs) -> CTCModule:
         encoder=encoder,
         decoder=decoder,
         text_transform=text_transform,
-        encoder_final_dimension=config.hidden_size,
+        encoder_final_dimension=encoder.final_dimension,
         sample_len=4000,
     )
 

@@ -96,6 +96,12 @@ class Wav2Vec2Config:
         rel_pos_max_distance: int = 0,
         sew_style: bool = False,
         squeeze_factor: int = 1,
+        add_adapter: bool = False,
+        output_hidden_size: Optional[int] = None,
+        num_adapter_layers: int = 3,
+        adapter_kernel_size: int = 3,
+        adapter_stride: int = 2,
+        adapter_attn_dim: Optional[int] = None,
     ):
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -132,6 +138,21 @@ class Wav2Vec2Config:
         #: rate afterwards
         self.sew_style = sew_style
         self.squeeze_factor = squeeze_factor
+        #: MMS/SpeechEncoderDecoder conv adapter appended after the
+        #: transformer (HF ``Wav2Vec2Adapter``): optional down-projection to
+        #: ``output_hidden_size`` then ``num_adapter_layers`` GLU convs of
+        #: stride ``adapter_stride`` — the CTC head then runs at the
+        #: adapter's (further downsampled) frame rate
+        self.add_adapter = add_adapter
+        self.output_hidden_size = output_hidden_size or hidden_size
+        self.num_adapter_layers = num_adapter_layers
+        self.adapter_kernel_size = adapter_kernel_size
+        self.adapter_stride = adapter_stride
+        #: MMS-1B-all per-language attention adapters: a LayerNorm'd
+        #: bottleneck (hidden -> adapter_attn_dim -> hidden) added residually
+        #: at the end of every (stable-LN) encoder layer
+        #: (HF ``Wav2Vec2AttnAdapterLayer``)
+        self.adapter_attn_dim = adapter_attn_dim
 
     @classmethod
     def from_hf(cls, hf_config) -> "Wav2Vec2Config":
@@ -167,6 +188,12 @@ class Wav2Vec2Config:
             rel_pos_max_distance=getattr(hf_config, "max_bucket_distance", 0) if model_type == "wavlm" else 0,
             sew_style=model_type == "sew",
             squeeze_factor=getattr(hf_config, "squeeze_factor", 1) if model_type == "sew" else 1,
+            add_adapter=bool(getattr(hf_config, "add_adapter", False)),
+            output_hidden_size=getattr(hf_config, "output_hidden_size", None),
+            num_adapter_layers=getattr(hf_config, "num_adapter_layers", 3),
+            adapter_kernel_size=getattr(hf_config, "adapter_kernel_size", 3),
+            adapter_stride=getattr(hf_config, "adapter_stride", 2),
+            adapter_attn_dim=getattr(hf_config, "adapter_attn_dim", None),
         )
 
 
@@ -501,7 +528,17 @@ class _EncoderLayer(nn.Module):
             y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(y)
             y = gelu(y, self.dtype)
             y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
-            return x + y
+            x = x + y
+            if cfg.adapter_attn_dim:
+                # MMS per-language attention adapter: residual LayerNorm'd
+                # bottleneck at the layer tail (HF attaches it only to the
+                # stable-LN encoder layer, `Wav2Vec2AttnAdapterLayer`)
+                a = ln("adapter_norm")(x)
+                a = nn.Dense(cfg.adapter_attn_dim, dtype=self.dtype, name="adapter_dense1")(a)
+                a = nn.relu(a)
+                a = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="adapter_dense2")(a)
+                x = x + a
+            return x
         x = ln("layer_norm")(x + drop(attn(x, key_mask, train=train, position_bias=position_bias)))
         y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
         y = gelu(y, self.dtype)
@@ -528,6 +565,8 @@ class Wav2Vec2Encoder(nn.Module):
 
     @property
     def final_dimension(self) -> int:
+        if self.config.add_adapter:
+            return self.config.output_hidden_size
         return self.config.hidden_size
 
     @nn.compact
@@ -645,6 +684,33 @@ class Wav2Vec2Encoder(nn.Module):
             h = h[:, :t_real]
         if cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
+        if cfg.add_adapter:
+            h, out_lengths = self._adapter(h, out_lengths)
+        return h, out_lengths
+
+    def _adapter(self, h: jax.Array, out_lengths: jax.Array):
+        """HF ``Wav2Vec2Adapter``: optional down-projection + LayerNorm, then
+        ``num_adapter_layers`` strided GLU convs.  The returned lengths use
+        HF's ``_get_feat_extract_output_lengths(add_adapter=True)`` formula
+        (kernel treated as 1 — exact for the default k=3/pad=1)."""
+        cfg = self.config
+        if cfg.output_hidden_size != cfg.hidden_size:
+            h = nn.Dense(cfg.output_hidden_size, dtype=self.dtype, name="adapter_proj")(h)
+            # HF constructs this LayerNorm with the torch default eps (1e-5),
+            # not config.layer_norm_eps
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="adapter_proj_ln")(h)
+        for i in range(cfg.num_adapter_layers):
+            y = nn.Conv(
+                features=2 * cfg.output_hidden_size,
+                kernel_size=(cfg.adapter_kernel_size,),
+                strides=(cfg.adapter_stride,),
+                padding=[(1, 1)],
+                dtype=self.dtype,
+                name=f"adapter_conv{i}",
+            )(h)
+            a, b = jnp.split(y, 2, axis=-1)
+            h = a * jax.nn.sigmoid(b)  # torch glu(dim=channels)
+            out_lengths = (out_lengths - 1) // cfg.adapter_stride + 1
         return h, out_lengths
 
     def _sew_encode(self, feats: jax.Array, out_lengths: jax.Array, train: bool):
