@@ -173,7 +173,15 @@ def test_two_process_distributed_train_step(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     worker = Path(__file__).parent / "distributed_worker.py"
-    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    repo_root = str(Path(__file__).parent.parent)
+    pythonpath = os.pathsep.join(filter(None, [repo_root, os.environ.get("PYTHONPATH")]))
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        # the worker runs with tests/ as its script dir; the package is not
+        # pip-installed, so the repo root must be on the import path
+        PYTHONPATH=pythonpath,
+    )
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
     procs = [
         subprocess.Popen(

@@ -156,6 +156,35 @@ def test_plateau_transform_scales_updates():
     np.testing.assert_allclose(np.asarray(u["w"]), -0.5)
 
 
+def test_plateau_state_accessors():
+    """VERDICT item: named getter/setter instead of ad-hoc opt_state surgery;
+    they validate the wrapper shape and fail loudly on anything else."""
+    import jax.numpy as jnp
+    import optax
+
+    from thunder_tpu.training.optim import (
+        get_plateau_state,
+        plateau_schedule_transform,
+        plateau_update,
+        replace_plateau_state,
+    )
+
+    kw = {"factor": 0.5, "patience": 0}
+    tx = plateau_schedule_transform(optax.sgd(1.0), **kw)
+    params = {"w": jnp.ones(2)}
+    st = tx.init(params)
+    plateau = get_plateau_state(st)
+    assert float(plateau.scale) == 1.0
+    new_plateau = plateau_update(plateau, 1.0, **kw)
+    new_plateau = plateau_update(new_plateau, 1.0, **kw)  # bad epoch -> halve
+    st2 = replace_plateau_state(st, new_plateau)
+    assert float(get_plateau_state(st2).scale) == 0.5
+    assert st2["inner"] is st["inner"]  # inner optimizer state untouched
+    # a bare (unwrapped) optimizer state is rejected with a clear error
+    with pytest.raises(KeyError, match="plateau"):
+        get_plateau_state(optax.sgd(1.0).init(params))
+
+
 def test_reduce_on_plateau_halves_lr_in_trainer(tiny_module, manifest):
     """VERDICT item: LR scale halves after a plateaued epoch, driven by the
     validation loss from Trainer.validate (torch ReduceLROnPlateau cadence)."""
@@ -293,18 +322,19 @@ def test_trainer_fit_with_accumulation(tiny_module, manifest):
 def test_early_stopping_callback_logic():
     from thunder_tpu.training import EarlyStopping
 
+    # Lightning semantics: stop once wait_count >= patience (patience=1 stops
+    # on the FIRST non-improving epoch, matching pl.callbacks.EarlyStopping)
     es = EarlyStopping(patience=1, min_delta=0.1)
     assert not es.should_stop({"loss/val_loss": 5.0})  # first sets best
     assert not es.should_stop({"loss/val_loss": 4.0})  # improved
-    assert not es.should_stop({"loss/val_loss": 3.95})  # < min_delta: bad #1
-    assert es.should_stop({"loss/val_loss": 3.96})      # bad #2 > patience
+    assert es.should_stop({"loss/val_loss": 3.95})     # < min_delta: bad #1 >= patience
     # improvement resets the counter
-    es = EarlyStopping(patience=1, min_delta=0.0)
+    es = EarlyStopping(patience=2, min_delta=0.0)
     assert not es.should_stop({"loss/val_loss": 5.0})
     assert not es.should_stop({"loss/val_loss": 5.0})   # bad #1
     assert not es.should_stop({"loss/val_loss": 4.0})   # reset
     assert not es.should_stop({"loss/val_loss": 4.0})   # bad #1 again
-    assert es.should_stop({"loss/val_loss": 4.0})
+    assert es.should_stop({"loss/val_loss": 4.0})       # bad #2 >= patience
     # max mode + missing metric is a no-op
     es = EarlyStopping(monitor="metrics/acc", patience=0, mode="max")
     assert not es.should_stop({"loss/val_loss": 1.0})

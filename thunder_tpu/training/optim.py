@@ -110,6 +110,30 @@ def plateau_schedule_transform(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def get_plateau_state(opt_state):
+    """Fetch the ReduceLROnPlateau leaf from a wrapped optimizer state.
+
+    :func:`plateau_schedule_transform` is applied outermost by the Trainer, so
+    its ``{"inner": ..., "plateau": ...}`` dict is the top of ``opt_state``;
+    this named accessor (rather than ad-hoc ``opt_state["plateau"]`` surgery)
+    fails with a clear message if the state shape ever changes.
+    """
+    if isinstance(opt_state, dict) and "plateau" in opt_state:
+        return opt_state["plateau"]
+    raise KeyError(
+        "opt_state does not carry a ReduceLROnPlateau leaf; expected the "
+        "plateau_schedule_transform wrapper outermost (got "
+        f"{type(opt_state).__name__})"
+    )
+
+
+def replace_plateau_state(opt_state, new_plateau_state):
+    """Return ``opt_state`` with its plateau leaf swapped (see
+    :func:`get_plateau_state`); the inner optimizer state is untouched."""
+    get_plateau_state(opt_state)  # validate shape
+    return {**opt_state, "plateau": new_plateau_state}
+
+
 def plateau_update(plateau_state, value, **plateau_kwargs):
     """Advance ReduceLROnPlateau bookkeeping with one validation-loss value.
 

@@ -70,8 +70,9 @@ class EarlyStopping:
 
     Checked once per epoch after validation; an epoch "improves" when the
     monitored value beats the best seen by more than ``min_delta`` in the
-    given ``mode``; after ``patience`` consecutive non-improving epochs the
-    fit loop ends (the returned module holds the last epoch's weights).
+    given ``mode``; once ``patience`` consecutive non-improving epochs have
+    accumulated (Lightning's ``wait_count >= patience``) the fit loop ends
+    (the returned module holds the last epoch's weights).
     """
 
     monitor: str = "loss/val_loss"
@@ -99,7 +100,7 @@ class EarlyStopping:
             self._bad_epochs = 0
             return False
         self._bad_epochs += 1
-        return self._bad_epochs > self.patience
+        return self._bad_epochs >= self.patience
 
 
 def make_train_step(model, blank_idx: int) -> Callable:
@@ -345,12 +346,20 @@ class Trainer:
             if val_loader is not None:
                 metrics = self.validate(module, val_loader, epoch=epoch)
                 if plateau_kwargs is not None:
-                    from thunder_tpu.training.optim import plateau_update
+                    from thunder_tpu.training.optim import (
+                        get_plateau_state,
+                        plateau_update,
+                        replace_plateau_state,
+                    )
 
                     new_plateau = plateau_update(
-                        state.opt_state["plateau"], metrics["loss/val_loss"], **plateau_kwargs
+                        get_plateau_state(state.opt_state),
+                        metrics["loss/val_loss"],
+                        **plateau_kwargs,
                     )
-                    state = state.replace(opt_state={**state.opt_state, "plateau": new_plateau})
+                    state = state.replace(
+                        opt_state=replace_plateau_state(state.opt_state, new_plateau)
+                    )
                     metrics["lr_scale/plateau"] = float(new_plateau.scale)
                 self._log(metrics)
                 if any(
