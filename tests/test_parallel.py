@@ -103,6 +103,56 @@ def test_sharded_train_step_matches_single_device(module, model_parallel):
         np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_padded_batch_loss_matches_unpadded(module):
+    """VERDICT item: SPMD batch padding is loss-exact — a partial batch
+    (n % data-axis != 0) padded with zero-weight repeated rows produces the
+    SAME loss and gradients as the unpadded batch on one device."""
+    from thunder_tpu.training.trainer import _pad_batch_for_mesh
+
+    n = 5  # 5 % 8 devices != 0 -> pads to 8 with 3 zero-weight rows
+    batch = tuple(np.asarray(b)[:n] for b in _batch(module))
+    import optax
+
+    tx = optax.sgd(learning_rate=1e-3)
+    step_fn = make_train_step(module.model, module.blank_idx)
+    rng = jax.random.PRNGKey(7)
+
+    def fresh_state(variables):
+        return TrainState.create(
+            apply_fn=module.model.apply,
+            params=variables["params"],
+            tx=tx,
+            batch_stats=variables.get("batch_stats"),
+        )
+
+    # unsharded, unpadded ground truth
+    state = fresh_state(jax.tree_util.tree_map(jnp.array, module.variables))
+    state, loss_ref = step_fn(state, *batch, rng)
+    params_ref = jax.tree_util.tree_map(np.asarray, state.params)
+
+    mesh = make_mesh(model_parallel=1)
+    padded, weights = _pad_batch_for_mesh(batch, mesh)
+    assert padded[0].shape[0] == 8 and weights.sum() == n
+    shard = batch_sharding(mesh)
+    padded = tuple(jax.device_put(np.asarray(b), shard) for b in padded)
+    weights = jax.device_put(weights, shard)
+    variables = shard_variables(jax.tree_util.tree_map(jnp.array, module.variables), mesh)
+    state = fresh_state(variables)
+    state, loss_pad = step_fn(state, *padded, rng, sample_weights=weights)
+    params_pad = jax.tree_util.tree_map(np.asarray, state.params)
+
+    assert float(loss_pad) == pytest.approx(float(loss_ref), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_ref), jax.tree_util.tree_leaves(params_pad)
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # already-divisible batches keep all-ones weights (no behavior change)
+    full = _batch(module)
+    same, w = _pad_batch_for_mesh(full, mesh)
+    assert same[0].shape[0] == 8 and w.sum() == 8
+
+
 def test_engine_data_parallel_inference(module):
     """InferenceEngine over a mesh: DP-sharded predict == single-device."""
     import jax.numpy as jnp

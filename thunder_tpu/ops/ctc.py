@@ -123,20 +123,31 @@ def ctc_loss(
     blank: int = 0,
     reduction: str = "mean",
     zero_infinity: bool = True,
+    sample_weights: jax.Array | None = None,
 ) -> jax.Array:
     """CTC loss with torch-compatible reductions.
 
     ``log_probs`` must already be log-softmaxed, shape ``(batch, time, vocab)``.
+
+    ``sample_weights`` (``(batch,)``, optional) weights each sample's
+    contribution to the ``mean``/``sum`` reductions — zero-weight rows are
+    excluded exactly, which makes SPMD batch padding loss-transparent: a
+    batch padded with repeated zero-weight rows yields the same loss (and
+    gradients) as the unpadded batch.
     """
     losses = ctc_forward_scores(log_probs, logit_lengths, targets, target_lengths, blank)
     if zero_infinity:
         losses = jnp.where(jnp.isinf(losses), 0.0, losses)
     if reduction == "none":
         return losses
+    if sample_weights is not None:
+        w = sample_weights.astype(losses.dtype)
     if reduction == "sum":
-        return jnp.sum(losses)
+        return jnp.sum(losses * w) if sample_weights is not None else jnp.sum(losses)
     if reduction == "mean":
         denom = jnp.maximum(target_lengths, 1).astype(losses.dtype)
+        if sample_weights is not None:
+            return jnp.sum(w * losses / denom) / jnp.maximum(jnp.sum(w), 1.0)
         return jnp.mean(losses / denom)
     raise ValueError(f"unknown reduction: {reduction}")
 
@@ -148,12 +159,16 @@ def calculate_ctc(
     logit_lengths: jax.Array,
     target_lengths: jax.Array,
     blank: int,
+    sample_weights: jax.Array | None = None,
 ) -> jax.Array:
     """API-parity wrapper of the reference ``calculate_ctc`` (`ctc_loss.py:15-47`).
 
     Args:
         logits: raw model outputs ``(batch, time, vocab)`` (pre-softmax).
             NOTE: channels-last, unlike the reference's (batch, vocab, time).
+        sample_weights: optional ``(batch,)`` per-sample weights (see
+            :func:`ctc_loss`); used by the Trainer to zero out SPMD padding
+            rows so partial batches keep torch-exact mean semantics.
     """
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return ctc_loss(
@@ -164,6 +179,7 @@ def calculate_ctc(
         blank=blank,
         reduction="mean",
         zero_infinity=True,
+        sample_weights=sample_weights,
     )
 
 

@@ -203,8 +203,14 @@ def convolution_stft(x: jax.Array, n_fft: int, hop_length: int, win_length: int,
 
 
 def power_spectrum_lengths(lengths: jax.Array, hop_length: int) -> jax.Array:
-    """Frame count for valid samples: floor(len / hop) + 1 (`transform.py:182-184`)."""
-    return (lengths.astype(jnp.int32) // hop_length) + 1
+    """Frame count for valid samples: floor(len / hop) + 1 (`transform.py:182-184`).
+
+    Zero-length inputs map to zero frames (the reference never sees length 0;
+    here the SPMD batch padder marks padding rows with length 0 so every
+    masked statistic downstream excludes them exactly).
+    """
+    lengths = lengths.astype(jnp.int32)
+    return jnp.where(lengths > 0, lengths // hop_length + 1, 0)
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "method"))

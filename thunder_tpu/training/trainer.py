@@ -107,7 +107,10 @@ def make_train_step(model, blank_idx: int) -> Callable:
     """Build the jitted SPMD train step for a CTCModel."""
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, audio, audio_lengths, targets, target_lengths, rng):
+    def train_step(
+        state: TrainState, audio, audio_lengths, targets, target_lengths, rng,
+        sample_weights=None,
+    ):
         rng_drop, rng_aug = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -122,7 +125,10 @@ def make_train_step(model, blank_idx: int) -> Callable:
                 rngs={"dropout": rng_drop, "augment": rng_aug},
                 mutable=["batch_stats"],
             )
-            loss = calculate_ctc(logits, targets, out_lengths, target_lengths, blank_idx)
+            loss = calculate_ctc(
+                logits, targets, out_lengths, target_lengths, blank_idx,
+                sample_weights=sample_weights,
+            )
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -160,17 +166,27 @@ def _encode_targets(text_transform, texts, multiple: int = 32):
 
 def _pad_batch_for_mesh(batch, mesh):
     """Repeat trailing rows so the batch divides the data axis (SPMD needs
-    equal per-device shards; repeated rows slightly overweight their loss in
-    the final partial batch)."""
+    equal per-device shards).  Returns ``(padded_batch, sample_weights)`` —
+    padding rows get weight 0 so the CTC mean stays torch-exact for partial
+    batches (the weights feed ``calculate_ctc``'s ``sample_weights``)."""
     from thunder_tpu.parallel.mesh import DATA_AXIS
 
     n = batch[0].shape[0]
     d = mesh.shape[DATA_AXIS]
     if n % d == 0:
-        return batch
+        return batch, np.ones(n, np.float32)
     target = -(-n // d) * d
     idx = np.concatenate([np.arange(n), np.arange(target - n) % n])
-    return tuple(np.asarray(b)[idx] for b in batch)
+    weights = np.concatenate([np.ones(n, np.float32), np.zeros(target - n, np.float32)])
+    padded = [np.asarray(b)[idx] for b in batch]
+    # zero out the padding rows' audio/target lengths: every masked statistic
+    # (BatchNorm, SqueezeExcite pooling, frontend normalize) then excludes
+    # them, so the padded step reproduces the unpadded one bit-for-bit
+    padded[1] = padded[1].copy()
+    padded[1][n:] = 0
+    padded[3] = padded[3].copy()
+    padded[3][n:] = 0
+    return tuple(padded), weights
 
 
 @dataclass
@@ -323,10 +339,12 @@ class Trainer:
             for audio, audio_lengths, texts in train_loader:
                 targets, target_lengths = _encode_targets(module.text_transform, texts)
                 batch = (audio, audio_lengths, targets, target_lengths)
+                sample_weights = None
                 if data_shard is not None:
-                    batch = _pad_batch_for_mesh(batch, mesh)
+                    batch, sample_weights = _pad_batch_for_mesh(batch, mesh)
                     batch = tuple(jax.device_put(np.asarray(b), data_shard) for b in batch)
-                state, loss = train_step(state, *batch, rng)
+                    sample_weights = jax.device_put(sample_weights, data_shard)
+                state, loss = train_step(state, *batch, rng, sample_weights=sample_weights)
                 step += 1
                 if step % self.log_every == 0 or self.fast_dev_run:
                     self._log(
