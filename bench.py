@@ -132,17 +132,28 @@ def main():
     assert all(isinstance(t, str) and set(t) <= vocab_chars for t in texts), texts
 
     if "--grid" in sys.argv[1:]:
+        from thunder_tpu.flops import filterbank_flops, mfu, peak_flops, quartznet_forward_flops
+
+        peak = peak_flops()
         grid = []
         for b in (16, 64):
             for s in (5.0, 15.0, 30.0):
                 a, l = make_batch(b if on_tpu else 2, s, rng)
-                grid.append(
-                    {
-                        "batch": int(a.shape[0]),  # actual batch (2 off-TPU)
-                        "seconds": s,
-                        "rtf": round(time_rtf(engine, a, l, s, iters=4 if on_tpu else 1, loops=1), 1),
-                    }
-                )
+                point_rtf = time_rtf(engine, a, l, s, iters=4 if on_tpu else 1, loops=1)
+                samples = int(s * 16000)
+                flops_per_audio_sec = (
+                    quartznet_forward_flops(samples // 160 + 1, repeat_blocks=3)
+                    + filterbank_flops(samples)
+                ) / s
+                entry = {
+                    "batch": int(a.shape[0]),  # actual batch (2 off-TPU)
+                    "seconds": s,
+                    "rtf": round(point_rtf, 1),
+                }
+                utilization = mfu(flops_per_audio_sec * point_rtf, 1.0, peak)
+                if utilization is not None:
+                    entry["mfu"] = round(utilization, 4)
+                grid.append(entry)
                 print(json.dumps(grid[-1]), file=sys.stderr, flush=True)
 
     print(

@@ -75,17 +75,24 @@ def main():
     elapsed = time.perf_counter() - start
 
     steps_per_sec = iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_throughput_quartznet15x5",
-                "value": round(steps_per_sec * batch * seconds, 2),
-                "unit": "audio-sec/sec/chip",
-                "steps_per_sec": round(steps_per_sec, 3),
-                "loss": round(final, 3),
-            }
-        )
-    )
+
+    from thunder_tpu.flops import mfu, peak_flops, quartznet_train_flops
+
+    step_flops = quartznet_train_flops(samples, batch=batch, repeat_blocks=3)
+    tflops_per_sec = step_flops * steps_per_sec / 1e12
+    out = {
+        "metric": "train_step_throughput_quartznet15x5",
+        "value": round(steps_per_sec * batch * seconds, 2),
+        "unit": "audio-sec/sec/chip",
+        "steps_per_sec": round(steps_per_sec, 3),
+        "loss": round(final, 3),
+        "model_tflops_per_step": round(step_flops / 1e12, 3),
+        "model_tflops_per_sec": round(tflops_per_sec, 2),
+    }
+    utilization = mfu(step_flops * iters, elapsed, peak_flops())
+    if utilization is not None:
+        out["mfu"] = round(utilization, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
