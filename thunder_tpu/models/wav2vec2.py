@@ -357,6 +357,14 @@ class _FeatureExtractor(nn.Module):
         return x
 
 
+def _flash_min_seq() -> int:
+    """Sequence-length threshold for the flash path (default 1024; override
+    with THUNDER_FLASH_MIN_SEQ for A/B measurement — scripts/bench_w2v2.py)."""
+    import os
+
+    return int(os.environ.get("THUNDER_FLASH_MIN_SEQ", "1024"))
+
+
 def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
     """Fused flash attention on the TPU bf16 inference path for long inputs.
 
@@ -370,7 +378,7 @@ def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
     return (
         dtype == jnp.bfloat16
         and not train
-        and seq_len >= 1024
+        and seq_len >= _flash_min_seq()
         and jax.default_backend() == "tpu"
     )
 
