@@ -131,6 +131,17 @@ def main():
     vocab_chars = set("abcdefghijklmnopqrstuvwxyz '")
     assert all(isinstance(t, str) and set(t) <= vocab_chars for t in texts), texts
 
+    # kernel-numerics gate (on TPU): every Pallas kernel compiled on THIS
+    # chip must match its XLA reference before the RTF is reported
+    if on_tpu:
+        from thunder_tpu.kernels.selftest import run_selftests
+
+        results = run_selftests()
+        for r in results:
+            print(json.dumps({"kernel_check": r}), file=sys.stderr, flush=True)
+        bad = [r for r in results if not r["ok"]]
+        assert not bad, f"kernel selftests failed on chip: {bad}"
+
     if "--grid" in sys.argv[1:]:
         from thunder_tpu.flops import filterbank_flops, mfu, peak_flops, quartznet_forward_flops
 
