@@ -138,7 +138,6 @@ class InferenceEngine:
                 config=encoder.config,
                 mask_input=encoder.mask_input,
                 dtype=self.dtype,
-                fused_stride2=encoder.fused_stride2,
             )
             dec_params = module.variables["params"].get("decoder")
             if dec_params is not None:

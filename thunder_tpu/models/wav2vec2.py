@@ -236,103 +236,22 @@ class _MaskedInstanceNorm(nn.Module):
         return (xf * a + b).astype(self.dtype)
 
 
-class _FusedStride2Conv(nn.Module):
-    """Same param tree as ``nn.Conv(name=...)`` (kernel/bias, identical
-    shapes and default inits), computed by the fused Pallas stride-2
-    conv+gelu kernel (:mod:`thunder_tpu.kernels.stride2_conv`)."""
-
-    features: int
-    k: int
-    use_bias: bool
-    dtype: jnp.dtype = jnp.float32
-    interpret: bool = False
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        from thunder_tpu.kernels.stride2_conv import stride2_conv_gelu
-
-        cin = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), (self.k, cin, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        return stride2_conv_gelu(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            None if bias is None else bias.astype(jnp.float32),
-            interpret=self.interpret,
-        )
-
-
 class _FeatureExtractor(nn.Module):
+    # NOTE: a fused Pallas stride-2 conv+gelu extractor was built and
+    # measured in round 2 — it LOST end-to-end on chip (encoder forward
+    # −19.8% at 15 s, −28.3% at 30 s vs XLA's strided-conv emitter with
+    # fused epilogues; docs/benchmarks.md "closed design space") and was
+    # removed; XLA's native path is the fast one.
     config: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
-    #: None/False = standard XLA conv path (current default); True opts into
-    #: the fused Pallas stride-2 conv+gelu kernel (interpreter off-TPU)
-    fused_stride2: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         specs = list(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride))
-        use_fused = self.fused_stride2
-        if use_fused is None:
-            # default off: the on-chip A/B (scripts/ab_stride2.py, v5e)
-            # measured the fused kernel 20-28% SLOWER end-to-end than XLA's
-            # strided-conv emitter (docs/benchmarks.md); numerics stay
-            # pinned by tests/test_stride2_kernel.py
-            use_fused = False
-        # the fused path covers the standard extractor tail: group-norm
-        # config (no per-layer LN between conv and gelu) and every layer
-        # after the first being (k in {2,3}, stride 2)
-        use_fused = (
-            use_fused
-            and not train
-            and cfg.feat_extract_norm == "group"
-            and len(specs) > 1
-            and all(k in (2, 3) and s == 2 for _, k, s in specs[1:])
-        )
-        interpret = jax.default_backend() != "tpu"
-
         x = x[:, :, None]  # (B, T, 1)
         cur = lengths.astype(jnp.int32)
-        valid = None
-        if use_fused:
-            # pad the raw audio ONCE so layer 0 emits a 512-multiple frame
-            # count: each stride-2 halving then divides the Pallas tile grid
-            # exactly and the layers chain with zero inter-layer pads/slices
-            # (kernels/stride2_conv.py padding contract); one final slice
-            # restores the exact unfused output length
-            k0, s0 = cfg.conv_kernel[0], cfg.conv_stride[0]
-            t0_valid = (x.shape[1] - k0) // s0 + 1
-            t0_target = -(-t0_valid // 512) * 512
-            # static feasibility: every fused layer's pair count must stay
-            # sublane-divisible (kernel tile contract); 6 halvings of a
-            # 512-multiple always pass, deeper chains may not
-            t_chk, ok = t0_target, True
-            for _ in specs[1:]:
-                if (t_chk // 2) % 8:
-                    ok = False
-                    break
-                t_chk //= 2
-            if ok:
-                need = (t0_target - 1) * s0 + k0
-                if need > x.shape[1]:
-                    x = jnp.pad(x, ((0, 0), (0, need - x.shape[1]), (0, 0)))
-                valid = t0_valid
-            else:
-                use_fused = False
         for i, (dim, k, s) in enumerate(specs):
-            if use_fused and i > 0:
-                x = _FusedStride2Conv(
-                    features=dim,
-                    k=k,
-                    use_bias=cfg.conv_bias,
-                    dtype=self.dtype,
-                    interpret=interpret,
-                    name=f"conv{i}",
-                )(x)
-                cur = (cur - k) // s + 1
-                valid = (valid - k) // s + 1
-                continue
             x = nn.Conv(
                 features=dim,
                 kernel_size=(k,),
@@ -352,29 +271,30 @@ class _FeatureExtractor(nn.Module):
             elif cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=f"ln{i}")(x)
             x = gelu(x, self.dtype)
-        if use_fused:
-            x = x[:, :valid]
         return x
 
 
 def _flash_min_seq() -> int:
-    """Sequence-length threshold for the flash path (default 1024; override
+    """Sequence-length threshold for the flash path (default 640; override
     with THUNDER_FLASH_MIN_SEQ for A/B measurement — scripts/bench_w2v2.py)."""
     import os
 
-    return int(os.environ.get("THUNDER_FLASH_MIN_SEQ", "1024"))
+    return int(os.environ.get("THUNDER_FLASH_MIN_SEQ", "640"))
 
 
 def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
     """Fused flash attention on the TPU bf16 inference path for long inputs.
 
-    Measured on v5e at B=16, T=768, dh=64: the Pallas flash kernel with tuned
-    block sizes (1.21 ms) only *ties* the unfused XLA attention core
-    (~1.2-1.4 ms) — the head dim of 64 wastes half the MXU lanes — so short
-    sequences keep the simpler unfused path.  Past ~1k frames the unfused
-    (B, H, T, T) f32 score tensor becomes the bottleneck (3 GB at T=2000)
-    and flash's linear memory wins.  Training always uses the unfused path
-    (attention-prob dropout needs materialized probabilities)."""
+    A/B on v5e (scripts/bench_w2v2.py, wav2vec2-base end-to-end, B=16): with
+    tuned block sizes (bq=512, full-length k panel) flash WINS at T=768
+    (43.2 -> 39.9 ms/batch, +8%) but loses at T<=512 (5 s: 12.8 -> 14.1 ms;
+    10 s/T=512: 24.4 -> 25.1 ms) — at short k panels the running-max/
+    renormalize pass isn't amortized and dh=64 wastes half the MXU lanes, so
+    the unfused bf16-score path stays faster.  Crossover sits between 512
+    and 768 frames -> threshold 640.  Past ~1k frames flash's linear memory
+    is also what keeps the (B, H, T, T) score tensor from dominating.
+    Training always uses the unfused path (attention-prob dropout needs
+    materialized probabilities)."""
     return (
         dtype == jnp.bfloat16
         and not train
@@ -564,9 +484,6 @@ class Wav2Vec2Encoder(nn.Module):
     config: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
     mask_input: bool = True
     dtype: jnp.dtype = jnp.float32
-    #: forwarded to :class:`_FeatureExtractor` (True opts into the fused
-    #: Pallas stride-2 conv+gelu extractor kernel; None/False = XLA path)
-    fused_stride2: Optional[bool] = None
     #: rematerialize each transformer layer in the backward pass
     #: (jax.checkpoint per layer — the standard TPU HBM/FLOPs trade)
     remat: bool = False
@@ -580,9 +497,9 @@ class Wav2Vec2Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
-        feats = _FeatureExtractor(
-            cfg, dtype=self.dtype, fused_stride2=self.fused_stride2, name="feature_extractor"
-        )(x, lengths, train=train)
+        feats = _FeatureExtractor(cfg, dtype=self.dtype, name="feature_extractor")(
+            x, lengths, train=train
+        )
         out_lengths = feat_extract_output_lengths(
             lengths.astype(jnp.int32), cfg.conv_kernel, cfg.conv_stride
         )
