@@ -6,44 +6,98 @@ the code from examples. On one TPU v5e chip: val WER 0.95 -> ~0.05 within
 training, eval-mode inference and WER end to end on hardware.
 
     python examples/synthetic_learning_demo.py
+
+``bench_wer.py`` (repo root) wraps :func:`run` to record an executed-WER
+artifact alongside the RTF benchmarks each round.
 """
 
-import json, wave, tempfile
-import numpy as np
-import jax
-from thunder_tpu.audio import FilterbankFeatures
-from thunder_tpu.data import ManifestDatamodule
-from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
-from thunder_tpu.module import CTCModule
-from thunder_tpu.text import BatchTextTransformer
-from thunder_tpu.training import Trainer
-from thunder_tpu.training.metrics import wer
+import json
+import tempfile
+import time
+import wave
 
-print("backend:", jax.default_backend(), flush=True)
-CHARS = "abcdefgh"; FREQS = {c: 300+150*i for i,c in enumerate(CHARS)}; SR=16000
-rng = np.random.default_rng(0)
-def synth(text):
-    seg = int(0.12*SR)
-    sig = np.concatenate([0.4*np.sin(2*np.pi*FREQS[c]*np.arange(seg)/SR)*np.hanning(seg) for c in text])
-    return np.clip(sig + 0.02*rng.standard_normal(sig.shape), -1, 1).astype(np.float32)
-d = tempfile.mkdtemp(); items=[]
-for i in range(2048):
-    text = "".join(rng.choice(list(CHARS)) for _ in range(rng.integers(3,9)))
-    wav = synth(text); p=f"{d}/{i}.wav"
-    with wave.open(p,"wb") as w:
-        w.setnchannels(1); w.setsampwidth(2); w.setframerate(SR)
-        w.writeframes((wav*32767).astype(np.int16).tobytes())
-    items.append({"audio_filepath": p, "text": text, "duration": len(wav)/SR})
-mt=f"{d}/t.json"; open(mt,"w").write("\n".join(json.dumps(x) for x in items[:1984]))
-mv=f"{d}/v.json"; open(mv,"w").write("\n".join(json.dumps(x) for x in items[1984:]))
-tt = BatchTextTransformer(tokens=list(CHARS))
-module = CTCModule.create(jax.random.PRNGKey(0), audio_transform=FilterbankFeatures(),
-    encoder=QuartznetEncoder(repeat=2, filters=(128,), kernel_sizes=(33,)),
-    decoder=Conv1dDecoder(num_classes=tt.num_tokens), text_transform=tt, sample_len=16000)
-dm = ManifestDatamodule(mt, mv, mv, batch_size=32, num_workers=8)
-import time; t0=time.time()
-trainer = Trainer(max_epochs=6, optimizer_kwargs={"learning_rate": 1e-3}, gradient_clip_norm=1.0, log_every=100)
-module = trainer.fit(module, datamodule=dm)
-vals = [(l["epoch"], round(l["metrics/wer"],3), round(l["metrics/cer"],3)) for l in trainer.logs if "metrics/wer" in l]
-print("val (epoch, WER, CER):", vals, flush=True)
-print(f"wall {time.time()-t0:.0f}s", flush=True)
+import numpy as np
+
+CHARS = "abcdefgh"
+FREQS = {c: 300 + 150 * i for i, c in enumerate(CHARS)}
+SR = 16000
+
+
+def _synth(text, rng):
+    seg = int(0.12 * SR)
+    sig = np.concatenate(
+        [0.4 * np.sin(2 * np.pi * FREQS[c] * np.arange(seg) / SR) * np.hanning(seg) for c in text]
+    )
+    return np.clip(sig + 0.02 * rng.standard_normal(sig.shape), -1, 1).astype(np.float32)
+
+
+def run(max_epochs: int = 6, n_items: int = 2048, batch_size: int = 32):
+    """Train the tone-code system and return the final validation metrics."""
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.data import ManifestDatamodule
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+    from thunder_tpu.training import Trainer
+
+    rng = np.random.default_rng(0)
+    d = tempfile.mkdtemp()
+    items = []
+    for i in range(n_items):
+        text = "".join(rng.choice(list(CHARS)) for _ in range(rng.integers(3, 9)))
+        wav = _synth(text, rng)
+        p = f"{d}/{i}.wav"
+        with wave.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(SR)
+            w.writeframes((wav * 32767).astype(np.int16).tobytes())
+        items.append({"audio_filepath": p, "text": text, "duration": len(wav) / SR})
+    split = n_items - max(n_items // 32, 8)
+    mt = f"{d}/t.json"
+    open(mt, "w").write("\n".join(json.dumps(x) for x in items[:split]))
+    mv = f"{d}/v.json"
+    open(mv, "w").write("\n".join(json.dumps(x) for x in items[split:]))
+
+    tt = BatchTextTransformer(tokens=list(CHARS))
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(),
+        encoder=QuartznetEncoder(repeat=2, filters=(128,), kernel_sizes=(33,)),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=16000,
+    )
+    dm = ManifestDatamodule(mt, mv, mv, batch_size=batch_size, num_workers=8)
+    t0 = time.time()
+    trainer = Trainer(
+        max_epochs=max_epochs,
+        optimizer_kwargs={"learning_rate": 1e-3},
+        gradient_clip_norm=1.0,
+        log_every=100,
+    )
+    module = trainer.fit(module, datamodule=dm)
+    vals = [
+        (l["epoch"], round(l["metrics/wer"], 3), round(l["metrics/cer"], 3))
+        for l in trainer.logs
+        if "metrics/wer" in l
+    ]
+    return {
+        "val_curve": vals,
+        "final_wer": vals[-1][1] if vals else float("nan"),
+        "final_cer": vals[-1][2] if vals else float("nan"),
+        "first_wer": vals[0][1] if vals else float("nan"),
+        "wall_seconds": round(time.time() - t0, 1),
+        "module": module,
+    }
+
+
+if __name__ == "__main__":
+    import jax
+
+    print("backend:", jax.default_backend(), flush=True)
+    result = run()
+    print("val (epoch, WER, CER):", result["val_curve"], flush=True)
+    print(f"wall {result['wall_seconds']:.0f}s", flush=True)
