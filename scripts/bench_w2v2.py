@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--layers-sweep", action="store_true")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int8-compute", action="store_true")
+    ap.add_argument("--agreement", action="store_true", help="argmax agreement vs the default engine")
     args = ap.parse_args()
 
     import jax
@@ -88,7 +90,14 @@ def main():
     results = {}
     for n in depths:
         module = build_module(num_layers=n)
-        engine = InferenceEngine(module, int8_weights=args.int8)
+        if args.agreement:
+            base = InferenceEngine(module)
+            _, p0, _ = base._infer(audio, lengths)
+        engine = InferenceEngine(module, int8_weights=args.int8, int8_compute=args.int8_compute)
+        if args.agreement:
+            _, p1, _ = engine._infer(audio, lengths)
+            agree = float((np.asarray(p0) == np.asarray(p1)).mean())
+            print(json.dumps({"layers": n, "argmax_agreement": round(agree, 4)}), flush=True)
         rtf, ms = time_engine(engine, audio, lengths, args.seconds, args.iters)
         results[n] = ms
         print(

@@ -109,6 +109,56 @@ def test_engine_int8_wav2vec2_parity_and_footprint():
     assert q8.weight_bytes() < f32.weight_bytes() * 0.6
 
 
+def test_dynamic_int8_matmul_close_to_float():
+    import jax.numpy as jnp
+
+    from thunder_tpu.quantization import dynamic_int8_matmul, quantize_array
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((5, 7, 64)).astype(np.float32)
+    w = (rng.standard_normal((64, 48)) * 0.1).astype(np.float32)
+    q, scale = quantize_array(w)
+    got = np.asarray(dynamic_int8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(scale.reshape(-1))))
+    want = x.reshape(-1, 64) @ w
+    rel = np.abs(got.reshape(-1, 48) - want).max() / np.abs(want).max()
+    # W8A8: weight rounding (<=0.4%) + per-row activation rounding (<=0.4%)
+    assert rel < 0.03, rel
+
+
+def test_engine_int8_compute_wav2vec2_parity():
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+
+    module = _tiny_w2v2_module()
+    audio = np.random.default_rng(5).standard_normal((2, 8000)).astype(np.float32) * 0.3
+    lengths = np.array([8000, 6000], np.int32)
+
+    f32 = InferenceEngine(module, compute_dtype=jnp.float32)
+    w8a8 = InferenceEngine(module, compute_dtype=jnp.float32, int8_compute=True)
+    lo, pa, _ = f32._infer(*f32._place(audio, lengths))
+    lq, pb, _ = w8a8._infer(*w8a8._place(audio, lengths))
+    assert np.abs(np.asarray(lo) - np.asarray(lq)).max() < 0.2
+    assert (np.asarray(pa) == np.asarray(pb)).mean() > 0.95
+
+    # composes with int8_weights (remaining kernels storage-quantized)
+    both = InferenceEngine(module, compute_dtype=jnp.float32, int8_weights=True, int8_compute=True)
+    lb, pc, _ = both._infer(*both._place(audio, lengths))
+    assert np.abs(np.asarray(lo) - np.asarray(lb)).max() < 0.3
+    assert (np.asarray(pa) == np.asarray(pc)).mean() > 0.9
+    assert both.weight_bytes() < f32.weight_bytes() * 0.6
+
+
+def test_int8_compute_rejects_conv_models():
+    import jax.numpy as jnp
+    import pytest
+
+    from thunder_tpu.engine import InferenceEngine
+
+    with pytest.raises(ValueError, match="wav2vec2"):
+        InferenceEngine(_tiny_quartznet_module(), compute_dtype=jnp.float32, int8_compute=True)
+
+
 def test_engine_int8_conv_model_parity_and_footprint():
     import jax.numpy as jnp
 

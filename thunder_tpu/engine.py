@@ -105,6 +105,7 @@ class InferenceEngine:
         pad_multiple: int = 16000,
         mesh=None,
         int8_weights: bool = False,
+        int8_compute: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — batches shard over its
         ``data`` axis for multi-chip serving (SPMD; batch must divide the
@@ -114,11 +115,21 @@ class InferenceEngine:
         torch dynamic quantization, `huggingface/compatibility.py:128-132`).
         Dense / pointwise-conv kernels stay int8 + per-channel scale in
         device HBM (4x less weight memory than f32, 2x less than bf16);
-        the dequant fuses into each matmul's operand load inside the jit."""
+        the dequant fuses into each matmul's operand load inside the jit.
+
+        ``int8_compute``: wav2vec2 only — run the transformer's four big
+        GEMMs (qkv/out projections, FFN up/down) as int8 x int8 -> int32 MXU
+        matmuls with dynamic per-row activation quantization (W8A8; measured
+        330 vs 233 TFLOPS bf16 at the FFN-up shape on v5e —
+        scripts/bench_int8_matmul.py).  Composes with ``int8_weights``
+        (which then covers the remaining matmul weights storage-only)."""
         from thunder_tpu.models.wav2vec2 import Wav2Vec2Encoder
 
         self.mesh = mesh
         self.int8_weights = bool(int8_weights)
+        self.int8_compute = bool(int8_compute)
+        if self.int8_compute and not isinstance(module.model.encoder, Wav2Vec2Encoder):
+            raise ValueError("int8_compute is a wav2vec2 serving mode")
 
         encoder = module.model.encoder
         on_tpu = jax.default_backend() == "tpu"
@@ -147,10 +158,20 @@ class InferenceEngine:
                 }
             enc_params = module.variables["params"]["encoder"]
             int8 = self.int8_weights
+            if self.int8_compute:
+                # W8A8 GEMMs: the _Dense layers see kernel_q8/kernel_scale
+                # leaves and switch to the dynamic int8 MXU path; applying
+                # quantize_tree afterwards (int8_weights) covers the
+                # remaining matmul kernels storage-only.
+                from thunder_tpu.quantization import quantize_tree_compute
+
+                enc_params = quantize_tree_compute(enc_params)
             if int8:
                 from thunder_tpu.quantization import quantize_tree
 
-                enc_params = jax.tree_util.tree_map(jnp.asarray, quantize_tree(enc_params))
+                enc_params = quantize_tree(enc_params)
+            if self.int8_compute or int8:
+                enc_params = jax.tree_util.tree_map(jnp.asarray, enc_params)
                 if dec_params is not None:
                     # pop BEFORE the dict display: {**dec_params, ...} would
                     # otherwise unpack the still-present f32 kernel first and

@@ -325,6 +325,43 @@ def _wavlm_position_bias(embed: jax.Array, T: int, num_buckets: int, max_distanc
     return embed[buckets].transpose(2, 0, 1)  # (H, T, T)
 
 
+class _Dense(nn.Module):
+    """``nn.Dense`` with an opt-in int8-compute serving path.
+
+    Float mode (init / training / default serving): identical parameters
+    (``{kernel, bias}``) and math to ``nn.Dense(features, dtype=dtype)`` —
+    checkpoints and the HF importer (compat/hf.py) see no difference.  When
+    the supplied variables instead carry ``kernel_q8``/``kernel_scale``
+    leaves (engine ``int8_compute`` mode, built by
+    ``quantization.quantize_tree_compute``), the matmul runs
+    int8 x int8 -> int32 on the MXU (measured 330 vs 233 TFLOPS bf16 on
+    v5e, scripts/bench_int8_matmul.py) with dynamic per-row activation
+    quantization — the TPU-native W8A8 analogue of the
+    reference's torch dynamic quantization
+    (`/root/reference/src/thunder/huggingface/compatibility.py:128-132`).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.has_variable("params", "kernel_q8"):
+            from thunder_tpu.quantization import dynamic_int8_matmul
+
+            kq = self.get_variable("params", "kernel_q8")
+            scale = self.get_variable("params", "kernel_scale")
+            bias = self.get_variable("params", "bias")
+            y = dynamic_int8_matmul(x, kq, scale) + bias.astype(jnp.float32)
+            return y.astype(self.dtype)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return x @ kernel + bias
+
+
 class _Attention(nn.Module):
     config: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
@@ -342,7 +379,7 @@ class _Attention(nn.Module):
         dh = h // heads
         # fused QKV: one (h, 3h) matmul reads x once and fills the MXU's N
         # dimension; the HF importer concatenates q/k/v kernels (compat/hf.py)
-        qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv_proj")(x)
+        qkv = _Dense(3 * h, dtype=self.dtype, name="qkv_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # HF scales the query projection by dh**-0.5
         q = q * (dh**-0.5)
@@ -377,7 +414,7 @@ class _Attention(nn.Module):
             probs = nn.Dropout(rate=cfg.attention_dropout, deterministic=not train)(probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v))
         out = out.reshape(x.shape[0], x.shape[1], h)
-        return nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
+        return _Dense(h, dtype=self.dtype, name="out_proj")(out)
 
 
 def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array) -> jax.Array:
@@ -403,24 +440,40 @@ def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array) ->
         return a.transpose(0, 2, 1, 3)
 
     seg = jnp.pad(~key_mask, ((0, 0), (0, pad)), constant_values=True).astype(jnp.int32)
-    # measured on v5e (B=8, T=1499/pad 1536, dh=64, full bq x bk grid):
-    # default 128-blocks run at 8 TFLOPS; bq=512 with a full-length k panel
-    # is the optimum at 60 TFLOPS (0.91 ms/layer) — large k panels amortize
-    # the running-max/renormalize pass, and bq beyond 512 ties.  Padding to
-    # 2048 instead of the next 128-multiple is strictly worse (wasted rows).
-    # blocks must divide the (128-padded) sequence length, so take the
-    # largest 128-multiple divisors under the cap.
-    def _block(cap):
-        best = 128
-        for d in range(128, cap + 1, 128):
-            if t_pad % d == 0:
-                best = d
-        return best
+    # Block sizes from the v5e sweep (scripts/bench_flash_blocks.py, dh=64):
+    # a full-length k panel always wins (amortizes the running-max pass),
+    # and block_b > 1 is the big lever — batching batch entries per grid
+    # step fills the MXU past the dh=64 half-lane ceiling:
+    #   T=768,  B=16: (bq=256, bb=8) 0.199 ms/layer (146 TFLOPS)
+    #                  vs (384, bb=1) 0.574 — 2.9x
+    #   T=1536, B=8:  (bq=768, bb=2) 0.695 ms/layer (83 TFLOPS)
+    #                  vs (512, bb=1) 0.91
+    # VMEM bounds the product: combos with bq*bk*bb beyond ~2.4M elements
+    # fail Mosaic compilation (e.g. 768x1536x4), hence the budget check.
+    # The surface is jagged (bq=384 at bb=8 is 1.6x slower than bq=256), so
+    # this is a measured preference list, not a formula.
+    def _fits(bq_c, bb_c):
+        return (
+            t_pad % bq_c == 0
+            and b % bb_c == 0
+            and bq_c * t_pad * bb_c <= 2_400_000
+        )
 
-    bq = _block(min(512, t_pad))
-    bk = _block(min(4096, t_pad))
+    for bq, bb in ((256, 8), (768, 2), (256, 4), (384, 2), (512, 2), (256, 2)):
+        if _fits(bq, bb):
+            break
+    else:
+        bb = 1
+        bq = 128
+        for d in range(128, min(512, t_pad) + 1, 128):
+            if t_pad % d == 0:
+                bq = d
+    bk = 128
+    for d in range(128, min(4096, t_pad) + 1, 128):
+        if t_pad % d == 0:
+            bk = d
     blocks = BlockSizes(
-        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
         block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
@@ -453,9 +506,9 @@ class _EncoderLayer(nn.Module):
         if cfg.do_stable_layer_norm:
             x = x + drop(attn(ln("layer_norm")(x), key_mask, train=train, position_bias=position_bias))
             y = ln("final_layer_norm")(x)
-            y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(y)
+            y = _Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(y)
             y = gelu(y, self.dtype)
-            y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
+            y = drop(_Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
             x = x + y
             if cfg.adapter_attn_dim:
                 # MMS per-language attention adapter: residual LayerNorm'd
@@ -468,9 +521,9 @@ class _EncoderLayer(nn.Module):
                 x = x + a
             return x
         x = ln("layer_norm")(x + drop(attn(x, key_mask, train=train, position_bias=position_bias)))
-        y = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        y = _Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
         y = gelu(y, self.dtype)
-        y = drop(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
+        y = drop(_Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
         return ln("final_layer_norm")(x + y)
 
 

@@ -24,7 +24,9 @@ __all__ = [
     "quantize_variables",
     "dequantize_variables",
     "quantize_tree",
+    "quantize_tree_compute",
     "dequantize_tree_jax",
+    "dynamic_int8_matmul",
     "quantization_summary",
 ]
 
@@ -99,6 +101,71 @@ def dequantize_tree_jax(params: Dict[str, Any], dtype) -> Dict[str, Any]:
         else:
             out[path] = x
     return flax.traverse_util.unflatten_dict(out)
+
+
+#: Dense submodule names whose GEMMs run in int8 under ``int8_compute``
+#: serving (the transformer's four big matmuls; everything else — convs,
+#: LayerNorms, the small fp_projection and the decoder head — stays in the
+#: engine's compute dtype).
+INT8_COMPUTE_DENSE_NAMES = ("qkv_proj", "out_proj", "intermediate_dense", "output_dense")
+
+
+def quantize_tree_compute(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Param subtree -> int8-COMPUTE serving tree.
+
+    For each Dense in :data:`INT8_COMPUTE_DENSE_NAMES`, replaces
+    ``{kernel: W}`` with ``{kernel_q8: int8 (K, N), kernel_scale: f32 (N,)}``
+    (per-output-channel symmetric, same recipe as :func:`quantize_array`).
+    The model's ``_Dense`` layers detect these leaves and run the matmul as
+    int8 x int8 -> int32 on the MXU (measured 330 vs 233 TFLOPS bf16 on
+    v5e incl. the dynamic-quantize pass, scripts/bench_int8_matmul.py)
+    with dynamic per-row activation quantization — W8A8, vs the weight-only
+    ``quantize_tree`` where the dequantized matmul runs at the bf16 rate.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, x in flat.items():
+        names = tuple(str(p) for p in path)
+        if (
+            names[-1] == "kernel"
+            and len(names) >= 2
+            and names[-2] in INT8_COMPUTE_DENSE_NAMES
+            and np.ndim(x) == 2
+        ):
+            q, scale = quantize_array(np.asarray(x))
+            out[path[:-1] + ("kernel_q8",)] = q
+            out[path[:-1] + ("kernel_scale",)] = scale.reshape(-1)
+        else:
+            out[path] = np.asarray(x)
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def dynamic_int8_matmul(x, kernel_q8, kernel_scale):
+    """``x @ dequant(kernel)`` computed as an int8 MXU matmul -> f32.
+
+    ``x``: float ``(..., K)``; ``kernel_q8``: int8 ``(K, N)``;
+    ``kernel_scale``: f32 ``(N,)`` per-output-channel.  Activations are
+    quantized per row (symmetric absmax/127 — torch dynamic-quant's scheme,
+    `/root/reference/src/thunder/huggingface/compatibility.py:128-132`), so
+    ``|x/s| <= 127`` by construction and no clip is needed.  The quantize
+    chain fuses into one pass over ``x``; the dot runs int8 x int8 -> int32.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    xq = jnp.round(xf / s).astype(jnp.int8)
+    acc = lax.dot_general(
+        xq,
+        kernel_q8,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * s * kernel_scale
 
 
 def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
