@@ -346,20 +346,27 @@ class _Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # GEMMs run over a flattened (B*T, K) view: measured on v5e at the
+        # serving shape (16, 768, 768) the batched 3-D dot runs at 186
+        # TFLOPS vs 306 for the identical 2-D matmul (scripts/bench_ffn.py
+        # full_3d vs full_2d) — XLA tiles the batch dim separately instead
+        # of fusing it into M.  The reshapes are free (contiguous layout).
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1]) if x.ndim > 2 else x
         if self.has_variable("params", "kernel_q8"):
             from thunder_tpu.quantization import dynamic_int8_matmul
 
             kq = self.get_variable("params", "kernel_q8")
             scale = self.get_variable("params", "kernel_scale")
             bias = self.get_variable("params", "bias")
-            y = dynamic_int8_matmul(x, kq, scale) + bias.astype(jnp.float32)
-            return y.astype(self.dtype)
+            y = dynamic_int8_matmul(x2, kq, scale) + bias.astype(jnp.float32)
+            return y.astype(self.dtype).reshape(*lead, self.features)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        return x @ kernel + bias
+        x2, kernel, bias = nn.dtypes.promote_dtype(x2, kernel, bias, dtype=self.dtype)
+        return (x2 @ kernel + bias).reshape(*lead, self.features)
 
 
 class _Attention(nn.Module):
