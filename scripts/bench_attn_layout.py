@@ -117,7 +117,33 @@ def main():
         o = flash_bhtd(q, qkv[1], qkv[2])
         return jnp.einsum("bhtd,hdk->btk", o, wo4)
 
-    for name, fn in (("current", current), ("headmajor", headmajor), ("hybrid", hybrid)):
+    # hybrid2: like hybrid, but the out side transposes back to (B,T,H) and
+    # uses the plain 2D GEMM — what a checkpoint-compatible _Dense keeps
+    def hybrid2(y):
+        qkv = (y.reshape(-1, H) @ wqkv).reshape(B, T, 3, heads, dh)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        q = qkv[0] * (dh**-0.5)
+        o = flash_bhtd(q, qkv[1], qkv[2])
+        o = o.transpose(0, 2, 1, 3).reshape(-1, H)
+        return (o @ wout).reshape(B, T, H)
+
+    # one-panel Pallas kernel: q/k/v sliced straight out of the (B,T,3H)
+    # GEMM output (zero splits/transposes), exact one-shot softmax
+    from thunder_tpu.kernels.attn_onepanel import mha_from_qkv
+
+    lens = jnp.full((B,), T, jnp.int32)
+
+    def mk_onepanel(bq):
+        def onepanel(y):
+            qkv = (y.reshape(-1, H) @ wqkv).reshape(B, T, 3 * H)
+            o = mha_from_qkv(qkv, lens, heads=heads, block_q=bq)
+            return (o.reshape(-1, H) @ wout).reshape(B, T, H)
+
+        return onepanel
+
+    cases = [("current", current), ("headmajor", headmajor), ("hybrid", hybrid), ("hybrid2", hybrid2)]
+    cases += [(f"onepanel_bq{bq}", mk_onepanel(bq)) for bq in (128, 256, 512)]
+    for name, fn in cases:
         try:
             ms = slope(mk(fn), (x,))
             print(json.dumps({"case": name, "ms": round(ms, 3)}), flush=True)

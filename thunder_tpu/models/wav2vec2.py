@@ -387,6 +387,26 @@ class _Attention(nn.Module):
         # fused QKV: one (h, 3h) matmul reads x once and fills the MXU's N
         # dimension; the HF importer concatenates q/k/v kernels (compat/hf.py)
         qkv = _Dense(3 * h, dtype=self.dtype, name="qkv_proj")(x)
+        t = x.shape[1]
+        if (
+            position_bias is None
+            and _use_flash_attention(self.dtype, train, t)
+            and dh == 64
+            and heads % 2 == 0
+            and t % 128 == 0
+            and t <= 4096
+        ):
+            # One-panel Pallas kernel: q/k/v panels are BlockSpec-sliced
+            # straight out of the packed (B, T, 3H) GEMM output and the
+            # result lands back in (B, T, H) — zero splits/pads/transposes.
+            # Measured on v5e (scripts/bench_attn_layout.py): 0.75 vs 1.03
+            # ms/layer at (B=16, T=768), 1.12 vs 1.44 at (B=8, T=1536)
+            # against the split+transpose flash path.
+            from thunder_tpu.kernels.attn_onepanel import mha_from_qkv
+
+            lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+            out = mha_from_qkv(qkv, lens, heads=heads, block_q=256 if t <= 3072 else 128)
+            return _Dense(h, dtype=self.dtype, name="out_proj")(out)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # HF scales the query projection by dh**-0.5
         q = q * (dh**-0.5)
