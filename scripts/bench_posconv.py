@@ -102,9 +102,32 @@ def main():
             preferred_element_type=jnp.float32,
         ).astype(y.dtype).reshape(B, T, H)
 
+    # block-diagonal dense conv: expand the grouped kernel to (K, H, H) with
+    # zeros off-block — 16x the FLOPs but runs on XLA's dense-conv emitter
+    # (full-width MXU contraction) instead of the slow grouped path; the
+    # weight is expanded once at fold time (engine), so serving numerics are
+    # the grouped result plus exact zero contributions
+    wd = np.zeros((K, H, H), np.float32)
+    wnp = np.asarray(w, np.float32)
+    for g in range(G):
+        wd[:, g * gs : (g + 1) * gs, g * gs : (g + 1) * gs] = wnp[
+            :, :, g * gs : (g + 1) * gs
+        ]
+    wd = jnp.asarray(wd, jnp.bfloat16)
+
+    def blockdiag_dense(y):
+        return lax.conv_general_dilated(
+            y, wd, (1,), [(pad, pad - 1)], dimension_numbers=("NWC", "WIO", "NWC")
+        )
+
+    # im2col_groups is excluded from the run list: at K=128 the materialized
+    # patch tensor OOMs the compile (XLA pads (B,T,K,G,gs) 128x); kept above
+    # as the formulation record
+    del im2col_groups
     for name, fn in [
         ("grouped_conv_xla", grouped),
         ("groups_as_batch_vmap", groups_as_batch),
+        ("blockdiag_dense", blockdiag_dense),
     ]:
         ms = time_chain(fn, x)
         print(

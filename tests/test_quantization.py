@@ -176,3 +176,67 @@ def test_engine_int8_conv_model_parity_and_footprint():
     assert (np.asarray(pa) == np.asarray(pb)).mean() > 0.95
     # pointwise convs carry most of the separable blocks' weights
     assert q8.weight_bytes() < f32.weight_bytes() * 0.6
+
+
+def test_dynamic_int8_conv_close_to_float():
+    import jax.numpy as jnp
+
+    from thunder_tpu.quantization import dynamic_int8_conv, quantize_array
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 50, 64)).astype(np.float32)
+    w = (rng.standard_normal((3, 64, 48)) * 0.1).astype(np.float32)
+    q, scale = quantize_array(w)
+    got = np.asarray(
+        dynamic_int8_conv(jnp.asarray(x), jnp.asarray(q), jnp.asarray(scale.reshape(-1)), stride=2)
+    )
+    want = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (2,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+    )
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    # per-sample activation scale + per-channel weight scale rounding
+    assert rel < 0.03, rel
+
+
+def test_engine_int8_compute_quantizes_extractor_convs():
+    """Extractor convs with cin >= 64 run int8 under int8_compute; logits stay close."""
+    import jax.numpy as jnp
+
+    from thunder_tpu.engine import InferenceEngine
+    from thunder_tpu.quantization import quantize_tree_compute
+
+    tt = BatchTextTransformer(tokens=list("abc "))
+    cfg = Wav2Vec2Config(
+        hidden_size=32,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(64, 64, 64),
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+    )
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(),
+        encoder=Wav2Vec2Encoder(config=cfg),
+        decoder=LinearDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    q = quantize_tree_compute(module.variables["params"]["encoder"])
+    fx = q["feature_extractor"]
+    assert "kernel" in fx["conv0"]  # cin=1 stays float
+    assert "kernel_q8" in fx["conv1"] and "kernel_scale" in fx["conv1"]
+    assert "kernel_q8" in fx["conv2"]
+
+    audio = np.random.default_rng(7).standard_normal((2, 8000)).astype(np.float32) * 0.3
+    lengths = np.array([8000, 6000], np.int32)
+    f32 = InferenceEngine(module, compute_dtype=jnp.float32)
+    w8a8 = InferenceEngine(module, compute_dtype=jnp.float32, int8_compute=True)
+    lo, pa, _ = f32._infer(*f32._place(audio, lengths))
+    lq, pb, _ = w8a8._infer(*w8a8._place(audio, lengths))
+    assert np.abs(np.asarray(lo) - np.asarray(lq)).max() < 0.25
+    assert (np.asarray(pa) == np.asarray(pb)).mean() > 0.95

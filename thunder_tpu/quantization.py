@@ -27,6 +27,7 @@ __all__ = [
     "quantize_tree_compute",
     "dequantize_tree_jax",
     "dynamic_int8_matmul",
+    "dynamic_int8_conv",
     "quantization_summary",
 ]
 
@@ -110,7 +111,7 @@ def dequantize_tree_jax(params: Dict[str, Any], dtype) -> Dict[str, Any]:
 INT8_COMPUTE_DENSE_NAMES = ("qkv_proj", "out_proj", "intermediate_dense", "output_dense")
 
 
-def quantize_tree_compute(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_tree_compute(params: Dict[str, Any], extractor_convs: bool = True) -> Dict[str, Any]:
     """Param subtree -> int8-COMPUTE serving tree.
 
     For each Dense in :data:`INT8_COMPUTE_DENSE_NAMES`, replaces
@@ -121,6 +122,14 @@ def quantize_tree_compute(params: Dict[str, Any]) -> Dict[str, Any]:
     v5e incl. the dynamic-quantize pass, scripts/bench_int8_matmul.py)
     with dynamic per-row activation quantization — W8A8, vs the weight-only
     ``quantize_tree`` where the dequantized matmul runs at the bf16 rate.
+
+    ``extractor_convs``: also quantize the wav2vec2 feature-extractor's wide
+    time convs (3-D kernels with >=64 input channels under
+    ``feature_extractor`` — layers 1..6; layer 0's cin=1 conv stays float).
+    XLA's int8 conv emitter measured 380 TOPS vs 194 TFLOPS bf16 at the
+    k=3/C=512 extractor shape (scripts/ — probe recorded in
+    docs/benchmarks.md); ``_ExtractorConv`` consumes these leaves with
+    dynamic per-sample activation quantization (:func:`dynamic_int8_conv`).
     """
     import flax
 
@@ -128,12 +137,20 @@ def quantize_tree_compute(params: Dict[str, Any]) -> Dict[str, Any]:
     out = {}
     for path, x in flat.items():
         names = tuple(str(p) for p in path)
-        if (
+        dense_hit = (
             names[-1] == "kernel"
             and len(names) >= 2
             and names[-2] in INT8_COMPUTE_DENSE_NAMES
             and np.ndim(x) == 2
-        ):
+        )
+        conv_hit = (
+            extractor_convs
+            and names[-1] == "kernel"
+            and "feature_extractor" in names
+            and np.ndim(x) == 3
+            and x.shape[1] >= 64
+        )
+        if dense_hit or conv_hit:
             q, scale = quantize_array(np.asarray(x))
             out[path[:-1] + ("kernel_q8",)] = q
             out[path[:-1] + ("kernel_scale",)] = scale.reshape(-1)
@@ -163,6 +180,34 @@ def dynamic_int8_matmul(x, kernel_q8, kernel_scale):
         xq,
         kernel_q8,
         (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * s * kernel_scale
+
+
+def dynamic_int8_conv(x, kernel_q8, kernel_scale, stride: int):
+    """VALID 1-D conv computed int8 x int8 -> int32 on the MXU.
+
+    ``x``: float ``(B, T, Cin)``; ``kernel_q8``: int8 ``(K, Cin, Cout)``;
+    ``kernel_scale``: f32 ``(Cout,)``.  Activations quantize dynamically with
+    ONE symmetric absmax scale per sample (the conv contracts across taps
+    and channels, so the scale must be constant over the whole receptive
+    field; per-sample is the finest legal granularity without requantizing
+    overlaps).  Returns f32 ``(B, T_out, Cout)``.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    xq = jnp.round(xf / s).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        xq,
+        kernel_q8,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * s * kernel_scale
