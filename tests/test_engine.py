@@ -163,3 +163,43 @@ def test_engine_bf16_sub128_interior_channels():
     # bf16 noise is small; the padding bug scrambled channels entirely
     denom = np.abs(b).max()
     assert np.abs(a - b).max() / denom < 0.1
+
+
+def test_engine_posconv_dense_fold_matches_grouped():
+    """Block-diagonal dense pos-conv fold == grouped conv outputs."""
+    import jax.numpy as jnp
+
+    from thunder_tpu.audio import Wav2Vec2Preprocess
+    from thunder_tpu.models import LinearDecoder
+    from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+    from thunder_tpu.module import CTCModule
+    from thunder_tpu.text import BatchTextTransformer
+
+    tt = BatchTextTransformer(tokens=list("abc "))
+    cfg = Wav2Vec2Config(
+        hidden_size=32,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16),
+        conv_kernel=(10, 3),
+        conv_stride=(5, 2),
+        num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=4,
+    )
+    module = CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(),
+        encoder=Wav2Vec2Encoder(config=cfg),
+        decoder=LinearDecoder(num_classes=tt.num_tokens),
+        text_transform=tt,
+        sample_len=4000,
+    )
+    audio = np.random.default_rng(3).standard_normal((2, 8000)).astype(np.float32) * 0.3
+    lengths = np.array([8000, 6000], np.int32)
+    grouped = InferenceEngine(module, compute_dtype=jnp.float32, posconv_dense=False)
+    dense = InferenceEngine(module, compute_dtype=jnp.float32, posconv_dense=True)
+    lg, pg, _ = grouped._infer(*grouped._place(audio, lengths))
+    ld, pd, _ = dense._infer(*dense._place(audio, lengths))
+    assert np.abs(np.asarray(lg) - np.asarray(ld)).max() < 2e-4
+    assert (np.asarray(pg) == np.asarray(pd)).all()

@@ -106,6 +106,7 @@ class InferenceEngine:
         mesh=None,
         int8_weights: bool = False,
         int8_compute: bool = False,
+        posconv_dense: Optional[bool] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — batches shard over its
         ``data`` axis for multi-chip serving (SPMD; batch must divide the
@@ -121,8 +122,14 @@ class InferenceEngine:
         GEMMs (qkv/out projections, FFN up/down) as int8 x int8 -> int32 MXU
         matmuls with dynamic per-row activation quantization (W8A8; measured
         330 vs 233 TFLOPS bf16 at the FFN-up shape on v5e —
-        scripts/bench_int8_matmul.py).  Composes with ``int8_weights``
-        (which then covers the remaining matmul weights storage-only)."""
+        scripts/bench_int8_matmul.py) and the wide feature-extractor convs
+        as int8 convs (380 TOPS vs 194 TFLOPS bf16 at k=3/C=512).  Composes
+        with ``int8_weights`` (which then covers the remaining matmul
+        weights storage-only).
+
+        ``posconv_dense``: fold the grouped positional conv into a
+        block-diagonal dense conv (1.5x faster on v5e's dense-conv emitter;
+        identical outputs).  Default: on when serving on TPU."""
         from thunder_tpu.models.wav2vec2 import Wav2Vec2Encoder
 
         self.mesh = mesh
@@ -145,8 +152,41 @@ class InferenceEngine:
         if isinstance(encoder, Wav2Vec2Encoder):
             # no batchnorm to fold: re-instantiate in the compute dtype over
             # the same variables and jit end-to-end
+            enc_cfg = encoder.config
+            enc_params = module.variables["params"]["encoder"]
+            if (
+                (posconv_dense if posconv_dense is not None else on_tpu)
+                and not enc_cfg.pos_conv_stack
+                and enc_cfg.num_conv_pos_embedding_groups > 1
+            ):
+                # fold the grouped positional conv (k=128, 768ch, groups=16)
+                # into a block-diagonal DENSE conv: 16x the nominal FLOPs but
+                # XLA's dense-conv emitter runs it 1.5x faster than the
+                # grouped path on v5e (4.76 -> 3.23 ms at B=32xT=768,
+                # scripts/bench_posconv.py); off-block zeros contribute
+                # exactly 0, so outputs match the grouped conv
+                import copy
+
+                import flax.traverse_util as _tu
+
+                flat = _tu.flatten_dict(enc_params)
+                key = ("pos_conv", "kernel")
+                if key in flat:
+                    w = np.asarray(flat[key])  # (K, gs, H)
+                    k_, gs_, h_ = w.shape
+                    g_ = enc_cfg.num_conv_pos_embedding_groups
+                    if g_ * gs_ == h_:
+                        dense = np.zeros((k_, h_, h_), w.dtype)
+                        for g in range(g_):
+                            dense[:, g * gs_ : (g + 1) * gs_, g * gs_ : (g + 1) * gs_] = w[
+                                :, :, g * gs_ : (g + 1) * gs_
+                            ]
+                        flat[key] = dense
+                        enc_params = _tu.unflatten_dict(flat)
+                        enc_cfg = copy.copy(enc_cfg)
+                        enc_cfg.num_conv_pos_embedding_groups = 1
             fast_encoder = Wav2Vec2Encoder(
-                config=encoder.config,
+                config=enc_cfg,
                 mask_input=encoder.mask_input,
                 dtype=self.dtype,
             )
@@ -156,7 +196,6 @@ class InferenceEngine:
                     "kernel": np.asarray(dec_params["dense"]["kernel"]),
                     "bias": jnp.asarray(dec_params["dense"]["bias"], jnp.float32),
                 }
-            enc_params = module.variables["params"]["encoder"]
             int8 = self.int8_weights
             if self.int8_compute:
                 # W8A8 GEMMs: the _Dense layers see kernel_q8/kernel_scale

@@ -92,12 +92,36 @@ def _check_beam() -> float:
     return 0.0 if agree else float("inf")
 
 
+def _check_attn_onepanel() -> float:
+    """One-panel MHA kernel vs unfused bf16 attention (same storage dtypes)."""
+    from thunder_tpu.kernels.attn_onepanel import mha_from_qkv
+
+    rng = np.random.default_rng(4)
+    b, t, heads, dh = 2, 256, 4, 64
+    h = heads * dh
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h)).astype(np.float32) * 0.3, jnp.bfloat16)
+    lengths = jnp.asarray([t, t - 57], jnp.int32)
+    got = mha_from_qkv(qkv, lengths, heads=heads, block_q=128)
+    q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
+    split = lambda a: a.reshape(b, t, heads, dh)
+    q, k, v = split(q) * dh**-0.5, split(k), split(v)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k)
+    valid = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, None, :]
+    probs = jax.nn.softmax(jnp.where(valid, scores, -jnp.inf), axis=-1)
+    want = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, h)
+    # compare on valid query rows only (padded queries attend uniformly)
+    mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, :, None]
+    diff = jnp.where(mask, got.astype(jnp.float32) - want, 0.0)
+    return float(jnp.max(jnp.abs(diff)))
+
+
 KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
     # name -> (check fn returning max abs deviation, tolerance)
     "frontend_log_mel": (_check_frontend, 2e-3),  # log-mel units
     "separable_conv": (_check_separable_conv, 2e-3),
     "repeat_tm": (_check_repeat_tm, 2e-3),
     "beam_device": (_check_beam, 0.5),  # exact agreement (0 or inf)
+    "attn_onepanel": (_check_attn_onepanel, 2e-2),  # bf16 q/k/v storage
 }
 
 
