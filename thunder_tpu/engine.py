@@ -125,11 +125,16 @@ class InferenceEngine:
         scripts/bench_int8_matmul.py) and the wide feature-extractor convs
         as int8 convs (380 TOPS vs 194 TFLOPS bf16 at k=3/C=512).  Composes
         with ``int8_weights`` (which then covers the remaining matmul
-        weights storage-only).
+        weights storage-only).  End-to-end this is a memory-footprint mode,
+        not a throughput mode: the isolated-op wins don't survive the extra
+        dynamic-quantize HBM passes at serving batch (interleaved A/B at
+        B=64x15 s: bf16 7,615 RTF, int8 GEMMs 6,851, +extractor 5,466).
 
         ``posconv_dense``: fold the grouped positional conv into a
-        block-diagonal dense conv (1.5x faster on v5e's dense-conv emitter;
-        identical outputs).  Default: on when serving on TPU."""
+        block-diagonal dense conv.  Default OFF: the fold wins in a
+        chain-slope microbench (4.76 -> 3.23 ms at B=32xT=768) but LOSES
+        ~31 ms end-to-end at B=64x15 s (7,615 -> 6,100 RTF, interleaved
+        A/B) — kept as an experiment knob and a numerics-pinned record."""
         from thunder_tpu.models.wav2vec2 import Wav2Vec2Encoder
 
         self.mesh = mesh
@@ -155,16 +160,16 @@ class InferenceEngine:
             enc_cfg = encoder.config
             enc_params = module.variables["params"]["encoder"]
             if (
-                (posconv_dense if posconv_dense is not None else on_tpu)
+                bool(posconv_dense)
                 and not enc_cfg.pos_conv_stack
                 and enc_cfg.num_conv_pos_embedding_groups > 1
             ):
                 # fold the grouped positional conv (k=128, 768ch, groups=16)
-                # into a block-diagonal DENSE conv: 16x the nominal FLOPs but
-                # XLA's dense-conv emitter runs it 1.5x faster than the
-                # grouped path on v5e (4.76 -> 3.23 ms at B=32xT=768,
-                # scripts/bench_posconv.py); off-block zeros contribute
-                # exactly 0, so outputs match the grouped conv
+                # into a block-diagonal DENSE conv.  Off-block zeros
+                # contribute exactly 0, so outputs match the grouped conv.
+                # Measured: wins the chain-slope microbench (4.76 -> 3.23 ms
+                # at B=32xT=768, scripts/bench_posconv.py) but LOSES ~31 ms
+                # end-to-end at B=64x15 s — default off, see __init__ doc
                 import copy
 
                 import flax.traverse_util as _tu
