@@ -142,7 +142,7 @@ def main():
         return onepanel
 
     cases = [("current", current), ("headmajor", headmajor), ("hybrid", hybrid), ("hybrid2", hybrid2)]
-    cases += [(f"onepanel_bq{bq}", mk_onepanel(bq)) for bq in (128, 256, 512)]
+    cases += [(f"onepanel_bq{bq}", mk_onepanel(bq)) for bq in (256, 512, 768)]
     for name, fn in cases:
         try:
             ms = slope(mk(fn), (x,))

@@ -54,20 +54,29 @@ def _kernel_pair(lens_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, t):
     )
     s_lo = dot_nt(q, k_lo)  # (bq, T) head 2h scores (hi lanes of k are zero)
     s_hi = dot_nt(q, k_hi)  # head 2h+1
-    valid = jax.lax.broadcasted_iota(jnp.int32, s_lo.shape, 1) < lens_ref[b]
-    neg = jnp.finfo(jnp.float32).min
+    # one additive length mask shared by both heads (cheaper than two
+    # compare+selects over the (bq, T) score panels)
+    addmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) < lens_ref[b],
+        jnp.zeros((1, t), jnp.float32),
+        jnp.full((1, t), jnp.finfo(jnp.float32).min),
+    )
 
-    def softmax(s):
-        s = jnp.where(valid, s, neg)
+    def expm(s):
+        s = s + addmask
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        return (p / jnp.sum(p, axis=1, keepdims=True)).astype(jnp.bfloat16)
+        # division deferred to the (bq, 128) output: saves a (bq, T)-wide
+        # divide per head (the dominant VPU cost at full-panel softmax)
+        return p.astype(jnp.bfloat16), jnp.sum(p, axis=1, keepdims=True)
 
     dot_nn = lambda a, bm: jax.lax.dot_general(
         a, bm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    o_lo = dot_nn(softmax(s_lo), v)  # lanes <64 valid (head 2h)
-    o_hi = dot_nn(softmax(s_hi), v)  # lanes >=64 valid (head 2h+1)
+    p_lo, z_lo = expm(s_lo)
+    p_hi, z_hi = expm(s_hi)
+    o_lo = dot_nn(p_lo, v) / z_lo  # lanes <64 valid (head 2h)
+    o_hi = dot_nn(p_hi, v) / z_hi  # lanes >=64 valid (head 2h+1)
     lane_o = jax.lax.broadcasted_iota(jnp.int32, o_lo.shape, 1)
     o_ref[0] = jnp.where(lane_o < 64, o_lo, o_hi).astype(o_ref.dtype)
 

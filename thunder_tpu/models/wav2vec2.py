@@ -450,13 +450,14 @@ class _Attention(nn.Module):
             # One-panel Pallas kernel: q/k/v panels are BlockSpec-sliced
             # straight out of the packed (B, T, 3H) GEMM output and the
             # result lands back in (B, T, H) — zero splits/pads/transposes.
-            # Measured on v5e (scripts/bench_attn_layout.py): 0.75 vs 1.03
-            # ms/layer at (B=16, T=768), 1.12 vs 1.44 at (B=8, T=1536)
-            # against the split+transpose flash path.
+            # Measured on v5e (scripts/bench_attn_layout.py, qkv GEMM +
+            # attention + out GEMM): 2.39 vs 5.08 ms/layer at (B=64, T=768)
+            # against the split+transpose flash path; block_q sweep there
+            # picked 512 (2.73/2.39/3.09 at bq 256/512/768).
             from thunder_tpu.kernels.attn_onepanel import mha_from_qkv
 
             lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
-            out = mha_from_qkv(qkv, lens, heads=heads, block_q=256 if t <= 3072 else 128)
+            out = mha_from_qkv(qkv, lens, heads=heads, block_q=512 if t <= 3072 else 128)
             return _Dense(h, dtype=self.dtype, name="out_proj")(out)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # HF scales the query projection by dh**-0.5
