@@ -115,6 +115,23 @@ def _check_attn_onepanel() -> float:
     return float(jnp.max(jnp.abs(diff)))
 
 
+def _check_add_ln() -> float:
+    """Fused add+LayerNorm kernel vs flax ``nn.LayerNorm(x + y)``."""
+    import flax.linen as nn
+
+    from thunder_tpu.kernels.add_ln import add_layer_norm
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 128, 256)), jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((4, 128, 256)), jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal(256).astype(np.float32) + 1.0)
+    bias = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    got = add_layer_norm(x, y, scale, bias, eps=1e-5).astype(jnp.float32)
+    ref = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16)
+    want = ref.apply({"params": {"scale": scale, "bias": bias}}, x + y).astype(jnp.float32)
+    return float(jnp.max(jnp.abs(got - want)))
+
+
 KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
     # name -> (check fn returning max abs deviation, tolerance)
     "frontend_log_mel": (_check_frontend, 2e-3),  # log-mel units
@@ -122,6 +139,7 @@ KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
     "repeat_tm": (_check_repeat_tm, 2e-3),
     "beam_device": (_check_beam, 0.5),  # exact agreement (0 or inf)
     "attn_onepanel": (_check_attn_onepanel, 2e-2),  # bf16 q/k/v storage
+    "add_ln": (_check_add_ln, 8e-2),  # bf16 residual add in the reference
 }
 
 

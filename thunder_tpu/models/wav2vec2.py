@@ -354,6 +354,60 @@ def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
     )
 
 
+def _use_fused_add_ln(dtype, train: bool, rows: int, d: int) -> bool:
+    """Fused residual-add+LayerNorm on the TPU bf16 inference path.
+
+    The Pallas kernel (kernels/add_ln.py) reads ``x`` and ``y`` once and
+    writes the normalized result once (3 HBM passes) where XLA's two-fusion
+    lowering re-reads both inputs for the normalize (~5 passes).  Training
+    keeps the plain expression (autodiff through the unfused math).  Gated
+    off unless the feature dim tiles the 128-lane axis and the row count
+    tiles the 8-sublane axis."""
+    import os
+
+    if os.environ.get("THUNDER_FUSED_ADDLN", "1") == "0":
+        return False
+    return (
+        dtype == jnp.bfloat16
+        and not train
+        and rows % 8 == 0
+        and d % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
+class _AddLayerNorm(nn.Module):
+    """``LayerNorm(x + y)`` with the same param tree as ``nn.LayerNorm``.
+
+    Serving (bf16, eval, TPU) routes to the one-pass Pallas kernel; every
+    other path runs math bit-identical to flax's ``nn.LayerNorm`` applied to
+    ``x + y`` (f32 fast-variance statistics, ``(x-mu) * (rsqrt(var+eps) *
+    scale) + bias`` in f32, cast to the compute dtype) — pinned by
+    tests/wav2vec2/test_add_ln.py."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array, train: bool = False) -> jax.Array:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if _use_fused_add_ln(self.dtype, train, rows, d):
+            from thunder_tpu.kernels.add_ln import add_layer_norm
+
+            return add_layer_norm(x, y, scale, bias, eps=self.epsilon)
+        s = jnp.asarray(x + y)  # residual add in the compute dtype, as before
+        f = s.astype(jnp.promote_types(s.dtype, jnp.float32))
+        mu = jnp.mean(f, axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, jnp.mean(f * f, axis=-1, keepdims=True) - mu * mu)
+        out = (f - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+        return out.astype(self.dtype)
+
+
 def _wavlm_position_bias(embed: jax.Array, T: int, num_buckets: int, max_distance: int) -> jax.Array:
     """WavLM relative position bias: ``(num_buckets, H)`` table -> ``(H, T, T)``.
 
@@ -599,11 +653,14 @@ class _EncoderLayer(nn.Module):
                 a = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="adapter_dense2")(a)
                 x = x + a
             return x
-        x = ln("layer_norm")(x + drop(attn(x, key_mask, train=train, position_bias=position_bias)))
+        add_ln = lambda name: _AddLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
+        x = add_ln("layer_norm")(
+            x, drop(attn(x, key_mask, train=train, position_bias=position_bias)), train=train
+        )
         y = _Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
         y = gelu(y, self.dtype)
         y = drop(_Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
-        return ln("final_layer_norm")(x + y)
+        return add_ln("final_layer_norm")(x, y, train=train)
 
 
 class Wav2Vec2Encoder(nn.Module):
@@ -679,7 +736,6 @@ class Wav2Vec2Encoder(nn.Module):
                     epsilon=1e-5, use_scale=False, use_bias=False, dtype=self.dtype
                 )(pos)
                 pos = gelu(pos, self.dtype)
-            h = h + pos
         else:
             # convolutional positional embedding (weight-normed conv in HF;
             # the importer folds g*v/||v|| into a plain kernel)
@@ -695,10 +751,13 @@ class Wav2Vec2Encoder(nn.Module):
             if k % 2 == 0:  # HF SamePad removes the trailing frame for even kernels
                 pos = pos[:, : h.shape[1], :]
             pos = gelu(pos, self.dtype)
-            h = h + pos
 
         if not cfg.do_stable_layer_norm:
-            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(h)
+            h = _AddLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="enc_layer_norm")(
+                h, pos, train=train
+            )
+        else:
+            h = h + pos
         # HF applies encoder-level dropout here, after pos-conv (+ LN)
         h = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(h)
 
