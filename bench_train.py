@@ -1,20 +1,87 @@
 """Training-step throughput benchmark (secondary metric; bench.py is the
 driver-consumed inference RTF).
 
-Measures full CTC training steps — frontend + QuartzNet15x5 (bf16 compute,
-f32 params) + CTC loss + backward + AdamW — as steps/sec and audio-sec/sec.
+Measures full CTC training steps as steps/sec, audio-sec/sec, and MFU.
 Prints one JSON line.
+
+Two models:
+  --model quartznet  (default) frontend + QuartzNet15x5 (bf16 compute,
+                     f32 params) + CTC loss + backward + AdamW
+  --model wav2vec2   the HF finetune path (reference
+                     `huggingface/compatibility.py:65-112`): waveform
+                     normalize + wav2vec2-base encoder + linear CTC head.
+                     --freeze-extractor mirrors the reference adapter's
+                     unconditional freeze_feature_encoder() (stop-gradient,
+                     extractor backward DCE'd); --remat per-layer
+                     rematerialization; --no-freeze trains end-to-end.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 
+def _build_quartznet(jnp, dtype, tt):
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
+    from thunder_tpu.module import CTCModule
+
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(num_time_masks=2, num_freq_masks=2),
+        encoder=QuartznetEncoder(repeat_blocks=3, dtype=dtype, dropout=0.1),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens, dtype=dtype),
+        text_transform=tt,
+        sample_len=16000,
+    )
+
+
+def _build_wav2vec2(jnp, dtype, tt, freeze_extractor: bool, remat: bool):
+    import jax
+
+    from thunder_tpu.audio import Wav2Vec2Preprocess
+    from thunder_tpu.models import LinearDecoder
+    from thunder_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+    from thunder_tpu.module import CTCModule
+
+    # wav2vec2-base: 12 layers, h=768, ffn 3072, the standard 7-conv extractor
+    cfg = Wav2Vec2Config()
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=Wav2Vec2Preprocess(mask_input=False),
+        encoder=Wav2Vec2Encoder(
+            config=cfg,
+            mask_input=False,
+            dtype=dtype,
+            remat=remat,
+            freeze_feature_extractor=freeze_extractor,
+        ),
+        decoder=LinearDecoder(num_classes=tt.num_tokens, dtype=dtype),
+        text_transform=tt,
+        sample_len=16000,
+    )
+
+
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", choices=("quartznet", "wav2vec2"), default="quartznet")
+    parser.add_argument("--batch", type=int, default=0, help="0 = model default")
+    parser.add_argument("--seconds", type=float, default=15.0)
+    parser.add_argument("--iters", type=int, default=0, help="0 = default")
+    parser.add_argument(
+        "--no-freeze", dest="freeze_extractor", action="store_false",
+        help="wav2vec2: train the conv extractor too (default: frozen, the "
+        "reference finetune semantics)",
+    )
+    parser.add_argument("--remat", action="store_true", help="wav2vec2: per-layer remat")
+    args = parser.parse_args()
+
     import jax
 
     try:
@@ -24,9 +91,6 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from thunder_tpu.audio import FilterbankFeatures
-    from thunder_tpu.models import Conv1dDecoder, QuartznetEncoder
-    from thunder_tpu.module import CTCModule
     from thunder_tpu.text import BatchTextTransformer
     from thunder_tpu.training.optim import adamw
     from thunder_tpu.training.trainer import TrainState, make_train_step
@@ -35,17 +99,14 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     tt = BatchTextTransformer(tokens=list("abcdefghijklmnopqrstuvwxyz '"))
-    module = CTCModule.create(
-        jax.random.PRNGKey(0),
-        audio_transform=FilterbankFeatures(num_time_masks=2, num_freq_masks=2),
-        encoder=QuartznetEncoder(repeat_blocks=3, dtype=dtype, dropout=0.1),
-        decoder=Conv1dDecoder(num_classes=tt.num_tokens, dtype=dtype),
-        text_transform=tt,
-        sample_len=16000,
-    )
+    if args.model == "quartznet":
+        module = _build_quartznet(jnp, dtype, tt)
+        batch = args.batch or (16 if on_tpu else 2)
+    else:
+        module = _build_wav2vec2(jnp, dtype, tt, args.freeze_extractor, args.remat)
+        batch = args.batch or (8 if on_tpu else 1)
 
-    batch = 16 if on_tpu else 2
-    seconds = 15.0
+    seconds = args.seconds
     samples = int(seconds * 16000)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32) * 0.1)
@@ -67,7 +128,7 @@ def main():
     state, loss = step_fn(state, audio, audio_lengths, targets, target_lengths, key)
     float(loss)  # sync
 
-    iters = 10 if on_tpu else 2
+    iters = args.iters or (10 if on_tpu else 2)
     start = time.perf_counter()
     for _ in range(iters):
         state, loss = step_fn(state, audio, audio_lengths, targets, target_lengths, key)
@@ -76,19 +137,39 @@ def main():
 
     steps_per_sec = iters / elapsed
 
-    from thunder_tpu.flops import mfu, peak_flops, quartznet_train_flops
+    from thunder_tpu.flops import (
+        mfu,
+        peak_flops,
+        quartznet_train_flops,
+        wav2vec2_train_flops,
+    )
 
-    step_flops = quartznet_train_flops(samples, batch=batch, repeat_blocks=3)
+    if args.model == "quartznet":
+        step_flops = quartznet_train_flops(samples, batch=batch, repeat_blocks=3)
+        metric = "train_step_throughput_quartznet15x5"
+    else:
+        step_flops = wav2vec2_train_flops(
+            samples,
+            batch=batch,
+            frozen_extractor=args.freeze_extractor,
+            num_classes=tt.num_tokens,
+        )
+        metric = "train_step_throughput_wav2vec2_base"
     tflops_per_sec = step_flops * steps_per_sec / 1e12
     out = {
-        "metric": "train_step_throughput_quartznet15x5",
+        "metric": metric,
         "value": round(steps_per_sec * batch * seconds, 2),
         "unit": "audio-sec/sec/chip",
         "steps_per_sec": round(steps_per_sec, 3),
+        "batch": batch,
+        "seconds": seconds,
         "loss": round(final, 3),
         "model_tflops_per_step": round(step_flops / 1e12, 3),
         "model_tflops_per_sec": round(tflops_per_sec, 2),
     }
+    if args.model == "wav2vec2":
+        out["freeze_extractor"] = bool(args.freeze_extractor)
+        out["remat"] = bool(args.remat)
     utilization = mfu(step_flops * iters, elapsed, peak_flops())
     if utilization is not None:
         out["mfu"] = round(utilization, 4)

@@ -182,7 +182,15 @@ def load_huggingface_checkpoint(model_name: str, **model_kwargs) -> CTCModule:
 
     state = {k: v.detach().cpu().float().numpy() for k, v in model.base_model.state_dict().items()}
     mask_input = bool(getattr(feature_extractor, "return_attention_mask", False))
-    encoder = Wav2Vec2Encoder(config=config, mask_input=mask_input)
+    # stop-gradient at the extractor output: functional form of the
+    # unconditional freeze_feature_encoder() call in the reference adapter
+    # (`huggingface/compatibility.py:27-28`).  Identity in forward; in
+    # training it lets XLA drop the extractor backward entirely (measured
+    # in docs/benchmarks.md).  ``frozen_paths`` below still masks the
+    # optimizer so moments/weight-decay never touch the frozen leaves.
+    encoder = Wav2Vec2Encoder(
+        config=config, mask_input=mask_input, freeze_feature_extractor=True
+    )
 
     text_transform = None
     decoder = None

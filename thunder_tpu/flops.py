@@ -161,6 +161,42 @@ def wav2vec2_forward_flops(
     return batch * total
 
 
+def wav2vec2_extractor_flops(
+    samples: int,
+    *,
+    conv_dim=(512, 512, 512, 512, 512, 512, 512),
+    conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+    conv_stride=(5, 2, 2, 2, 2, 2, 2),
+    batch: int = 1,
+) -> int:
+    """Conv feature-extractor share of the wav2vec2 forward FLOPs."""
+    total = 0
+    t = samples
+    c = 1
+    for f, k, s in zip(conv_dim, conv_kernel, conv_stride):
+        t = (t - k) // s + 1
+        total += conv1d_flops(k, c, f, t)
+        c = f
+    return batch * total
+
+
+def wav2vec2_train_flops(
+    samples: int, *, batch: int = 1, frozen_extractor: bool = False, **kw
+) -> int:
+    """Train-step model FLOPs (fwd + ~2x fwd backward).  With the extractor
+    frozen (the reference's unconditional ``freeze_feature_encoder()`` on
+    load, `huggingface/compatibility.py:27-28`) the extractor backward is
+    dead code — it has no trainable inputs upstream — so it counts once."""
+    fwd = wav2vec2_forward_flops(samples, batch=batch, **kw)
+    if not frozen_extractor:
+        return 3 * fwd
+    ext_kw = {
+        k: v for k, v in kw.items() if k in ("conv_dim", "conv_kernel", "conv_stride")
+    }
+    ext = wav2vec2_extractor_flops(samples, batch=batch, **ext_kw)
+    return 3 * fwd - 2 * ext
+
+
 def xla_flops(fn, *args) -> Optional[float]:
     """FLOPs of the compiled HLO per XLA's cost analysis (None if the
     backend doesn't report them).  Independent cross-check of the analytic

@@ -676,6 +676,13 @@ class Wav2Vec2Encoder(nn.Module):
     #: rematerialize each transformer layer in the backward pass
     #: (jax.checkpoint per layer — the standard TPU HBM/FLOPs trade)
     remat: bool = False
+    #: stop gradients at the conv feature-extractor output.  This is the
+    #: functional form of HF ``freeze_feature_encoder()`` — which the
+    #: reference adapter calls unconditionally on load
+    #: (`huggingface/compatibility.py:27-28`) — and, unlike masking updates
+    #: in the optimizer, lets XLA dead-code-eliminate the entire extractor
+    #: backward pass (the extractor has no trainable inputs upstream of it).
+    freeze_feature_extractor: bool = False
 
     @property
     def final_dimension(self) -> int:
@@ -689,6 +696,8 @@ class Wav2Vec2Encoder(nn.Module):
         feats = _FeatureExtractor(cfg, dtype=self.dtype, name="feature_extractor")(
             x, lengths, train=train
         )
+        if self.freeze_feature_extractor:
+            feats = jax.lax.stop_gradient(feats)
         out_lengths = feat_extract_output_lengths(
             lengths.astype(jnp.int32), cfg.conv_kernel, cfg.conv_stride
         )
