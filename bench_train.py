@@ -42,7 +42,7 @@ def _build_quartznet(jnp, dtype, tt):
     )
 
 
-def _build_wav2vec2(jnp, dtype, tt, freeze_extractor: bool, remat: bool):
+def _build_wav2vec2(jnp, dtype, tt, freeze_extractor: bool, remat: bool, attn_dropout: float):
     import jax
 
     from thunder_tpu.audio import Wav2Vec2Preprocess
@@ -51,7 +51,7 @@ def _build_wav2vec2(jnp, dtype, tt, freeze_extractor: bool, remat: bool):
     from thunder_tpu.module import CTCModule
 
     # wav2vec2-base: 12 layers, h=768, ffn 3072, the standard 7-conv extractor
-    cfg = Wav2Vec2Config()
+    cfg = Wav2Vec2Config(attention_dropout=attn_dropout)
     return CTCModule.create(
         jax.random.PRNGKey(0),
         audio_transform=Wav2Vec2Preprocess(mask_input=False),
@@ -80,6 +80,17 @@ def main():
         "reference finetune semantics)",
     )
     parser.add_argument("--remat", action="store_true", help="wav2vec2: per-layer remat")
+    parser.add_argument(
+        "--attn-dropout", type=float, default=0.1,
+        help="wav2vec2 attention-prob dropout (HF default 0.1).  0 routes "
+        "training attention through the differentiable flash kernel",
+    )
+    parser.add_argument(
+        "--scan", type=int, default=0,
+        help="steps per dispatch via make_train_scan_step (0 = one step per "
+        "dispatch).  Amortizes host->device launch latency, the production "
+        "Trainer(steps_per_execution=K) path",
+    )
     args = parser.parse_args()
 
     import jax
@@ -93,7 +104,11 @@ def main():
 
     from thunder_tpu.text import BatchTextTransformer
     from thunder_tpu.training.optim import adamw
-    from thunder_tpu.training.trainer import TrainState, make_train_step
+    from thunder_tpu.training.trainer import (
+        TrainState,
+        make_train_scan_step,
+        make_train_step,
+    )
 
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -103,7 +118,9 @@ def main():
         module = _build_quartznet(jnp, dtype, tt)
         batch = args.batch or (16 if on_tpu else 2)
     else:
-        module = _build_wav2vec2(jnp, dtype, tt, args.freeze_extractor, args.remat)
+        module = _build_wav2vec2(
+            jnp, dtype, tt, args.freeze_extractor, args.remat, args.attn_dropout
+        )
         batch = args.batch or (8 if on_tpu else 1)
 
     seconds = args.seconds
@@ -120,22 +137,38 @@ def main():
         tx=adamw(learning_rate=1e-4),
         batch_stats=module.variables.get("batch_stats"),
     )
-    step_fn = make_train_step(module.model, module.blank_idx)
     # rbg PRNG on TPU: threefry random bits alone cost ~34 ms of the 84 ms
     # step (78 dropout layers); XLA's RngBitGenerator is ~free (measured)
     key = jax.random.key(0, impl="rbg") if on_tpu else jax.random.PRNGKey(0)
 
-    state, loss = step_fn(state, audio, audio_lengths, targets, target_lengths, key)
-    float(loss)  # sync
+    if args.scan > 1:
+        # K steps per dispatch: stack K microbatches (per-row gain variation
+        # keeps the relay from deduping) and lax.scan on device
+        K = args.scan
+        step_fn = make_train_scan_step(module.model, module.blank_idx)
+        gains = (1 + 1e-3 * np.arange(K, dtype=np.float32))[:, None, None]
+        s_audio = jnp.asarray(np.asarray(audio)[None] * gains)
+        stack = lambda a: jnp.broadcast_to(jnp.asarray(a)[None], (K,) + a.shape)
+        batch_args = (
+            s_audio, stack(audio_lengths), stack(targets), stack(target_lengths),
+        )
+    else:
+        K = 1
+        step_fn = make_train_step(module.model, module.blank_idx)
+        batch_args = (audio, audio_lengths, targets, target_lengths)
+
+    state, loss = step_fn(state, *batch_args, key)
+    float(loss if loss.ndim == 0 else loss[-1])  # sync
 
     iters = args.iters or (10 if on_tpu else 2)
     start = time.perf_counter()
     for _ in range(iters):
-        state, loss = step_fn(state, audio, audio_lengths, targets, target_lengths, key)
-    final = float(loss)  # device->host scalar fetch forces completion
+        state, loss = step_fn(state, *batch_args, key)
+    # device->host scalar fetch forces completion
+    final = float(loss if loss.ndim == 0 else loss[-1])
     elapsed = time.perf_counter() - start
 
-    steps_per_sec = iters / elapsed
+    steps_per_sec = iters * K / elapsed
 
     from thunder_tpu.flops import (
         mfu,
@@ -170,7 +203,10 @@ def main():
     if args.model == "wav2vec2":
         out["freeze_extractor"] = bool(args.freeze_extractor)
         out["remat"] = bool(args.remat)
-    utilization = mfu(step_flops * iters, elapsed, peak_flops())
+        out["attn_dropout"] = args.attn_dropout
+    if args.scan > 1:
+        out["steps_per_dispatch"] = args.scan
+    utilization = mfu(step_flops * iters * K, elapsed, peak_flops())
     if utilization is not None:
         out["mfu"] = round(utilization, 4)
     print(json.dumps(out))

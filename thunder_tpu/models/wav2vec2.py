@@ -333,8 +333,10 @@ def _flash_min_seq() -> int:
     return int(os.environ.get("THUNDER_FLASH_MIN_SEQ", "640"))
 
 
-def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
-    """Fused flash attention on the TPU bf16 inference path for long inputs.
+def _use_flash_attention(
+    dtype, train: bool, seq_len: int, attention_dropout: float = 0.0
+) -> bool:
+    """Fused flash attention on the TPU bf16 path for long inputs.
 
     A/B on v5e (scripts/bench_w2v2.py, wav2vec2-base end-to-end, B=16): with
     tuned block sizes (bq=512, full-length k panel) flash WINS at T=768
@@ -344,11 +346,17 @@ def _use_flash_attention(dtype, train: bool, seq_len: int) -> bool:
     the unfused bf16-score path stays faster.  Crossover sits between 512
     and 768 frames -> threshold 640.  Past ~1k frames flash's linear memory
     is also what keeps the (B, H, T, T) score tensor from dominating.
-    Training always uses the unfused path (attention-prob dropout needs
-    materialized probabilities)."""
+
+    Training is allowed through (the jax Pallas flash kernel carries a
+    custom_vjp, so fwd AND bwd avoid materializing the (B, H, T, T) score
+    tensor) EXCEPT when attention-prob dropout is active — dropout needs the
+    materialized probabilities, so ``attention_dropout > 0`` falls back to
+    the unfused path in train mode (round-4 training ablation: that fallback
+    costs ~25 ms/step at B=8 x 15 s; set ``attention_dropout=0`` to train on
+    the flash path)."""
     return (
         dtype == jnp.bfloat16
-        and not train
+        and not (train and attention_dropout > 0.0)
         and seq_len >= _flash_min_seq()
         and jax.default_backend() == "tpu"
     )
@@ -495,6 +503,7 @@ class _Attention(nn.Module):
         t = x.shape[1]
         if (
             position_bias is None
+            and not train  # fwd-only kernel: no vjp — train uses _flash_mha
             and _use_flash_attention(self.dtype, train, t)
             and dh == 64
             and heads % 2 == 0
@@ -517,7 +526,9 @@ class _Attention(nn.Module):
         # HF scales the query projection by dh**-0.5
         q = q * (dh**-0.5)
         split = lambda t: t.reshape(t.shape[0], t.shape[1], heads, dh)
-        if position_bias is None and _use_flash_attention(self.dtype, train, x.shape[1]):
+        if position_bias is None and _use_flash_attention(
+            self.dtype, train, x.shape[1], cfg.attention_dropout
+        ):
             out = _flash_mha(split(q), split(k), split(v), key_mask)
         else:
             # bf16 inference: store the materialized (B, H, T, T) scores in
@@ -780,7 +791,7 @@ class Wav2Vec2Encoder(nn.Module):
         pad_frames = 0
         if (
             not cfg.rel_pos_buckets
-            and _use_flash_attention(self.dtype, train, t_real)
+            and _use_flash_attention(self.dtype, train, t_real, cfg.attention_dropout)
             and t_real % 128
         ):
             pad_frames = -(-t_real // 128) * 128 - t_real

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "stacked_batch_sharding",
     "replicated",
     "param_shardings",
     "shard_variables",
@@ -56,6 +57,12 @@ def make_mesh(model_parallel: int = 1, devices: Optional[Sequence[jax.Device]] =
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 (batch) of a (steps, batch, ...) stack over the data axis
+    — the layout Trainer(steps_per_execution=K) scan chunks use."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
