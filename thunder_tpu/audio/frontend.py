@@ -144,14 +144,23 @@ class FilterbankFeatures(nn.Module):
 class Wav2Vec2Preprocess(nn.Module):
     """Zero-mean/unit-variance waveform normalization (HF-compatible).
 
+    Follows the reference's formula per branch (``blocks.py:118-153``,
+    selected by ``mask_input`` in `huggingface/transform.py:18-55`):
+
+    - ``mask_input=True``: population std, ``(x - mean) / (std + div_guard)``;
+    - ``mask_input=False``: sample std (ddof=1), ``(x - mean) /
+      sqrt(var + div_guard)`` — the reference's unmasked branch.  The
+      ddof-1 factor matters: N/(N-1) is ~3e-5 at 1 s audio, which amplifies
+      to ~5e-3 at the logits of a wav2vec2-base stack — enough to flip
+      near-tie argmaxes (found by tests/test_reference_parity_e2e.py).
+
     DELIBERATE DEVIATION: statistics are always computed over the valid
-    region.  The reference gates masking on ``mask_input`` (the HF
-    feature-extractor flag) and pads only to the batch max, so for
+    region.  The reference pads only to the batch max, so for
     mask_input=False models (e.g. wav2vec2-base-960h) its unmasked stats see
     ~zero padding.  This framework pads to static buckets — unmasked stats
     would scale a short clip by the bucket fill factor, making transcriptions
     depend on the padding amount.  For unpadded inputs (the reference's
-    regime) masked and unmasked statistics are identical.
+    regime) the valid region is everything and the outputs are identical.
     """
 
     div_guard: float = 1e-7
@@ -160,4 +169,13 @@ class Wav2Vec2Preprocess(nn.Module):
     @nn.compact
     def __call__(self, audio: jax.Array, lengths: jax.Array, train: bool = False):
         mask = lengths_to_mask(lengths, audio.shape[-1])
-        return normalize_tensor(audio, mask, div_guard=self.div_guard, axis=-1), lengths
+        if self.mask_input:
+            return normalize_tensor(audio, mask, div_guard=self.div_guard, axis=-1), lengths
+        maskf = mask.astype(audio.dtype)
+        x = audio * maskf
+        n = jnp.sum(maskf, axis=-1, keepdims=True)
+        mean = jnp.sum(x, axis=-1, keepdims=True) / n
+        sq = jnp.sum(jnp.square((x - mean) * maskf), axis=-1, keepdims=True)
+        var = sq / jnp.maximum(n - 1.0, 1.0)
+        normalized = (x - mean) / jnp.sqrt(var + self.div_guard)
+        return normalized * maskf, lengths
