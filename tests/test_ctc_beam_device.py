@@ -175,10 +175,12 @@ def test_module_predict_device_backend(tiny_module):
             assert hs == pytest.approx(ds, abs=2e-3)
 
 
-def test_module_device_backend_rejects_lm_and_stray_args(tiny_module):
+def test_module_device_backend_rejects_stray_args(tiny_module):
     audio = np.zeros((1, 4000), np.float32)
-    with pytest.raises(ValueError, match="LM fusion"):
-        tiny_module.predict(audio, beam_width=4, beam_backend="device", lm=lambda ids: 0.0)
+    # an lm on the device backend is accepted (host-side rescoring of the
+    # surviving beam — tests/test_streaming_lm.py covers the semantics)
+    out = tiny_module.predict(audio, beam_width=4, beam_backend="device", lm=lambda ids, tok: 0.0)
+    assert isinstance(out, list) and len(out) == 1
     with pytest.raises(TypeError, match="beam_backend"):
         tiny_module.predict(audio, beam_backend="device")
     with pytest.raises(ValueError, match="unknown beam_backend"):

@@ -110,11 +110,13 @@ def test_predict_long_device_beam_matches_host(module):
         )
         == host
     )
-    with pytest.raises(ValueError, match="LM fusion"):
-        fixture.predict_long(
-            audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8,
-            beam_backend="device", lm=lambda ids: 0.0,
-        )
+    # an lm on the device backend is accepted: continuous host-side ranking
+    # of the carried device beam (tests/test_streaming_lm.py)
+    out = fixture.predict_long(
+        audio, chunk_seconds=1.5, overlap_seconds=0.5, beam_width=8,
+        beam_backend="device", lm=lambda ids, tok: 0.0,
+    )
+    assert out == host  # a zero LM must not change the result
 
 
 def test_beam_kwargs_without_beam_width_raise(module):

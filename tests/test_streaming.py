@@ -169,8 +169,9 @@ def test_streaming_device_beam_flush_matches_predict_long(module):
     assert isinstance(st.partial_text, str)
     assert st.flush() == want
 
-    with pytest.raises(ValueError, match="LM fusion"):
-        StreamingTranscriber(module, beam_width=4, beam_backend="device", lm=lambda ids: 0.0)
+    # an LM on the device backend is accepted (continuous host-side ranking
+    # of the carried device beam — see test_device_stream_lm_ranking)
+    StreamingTranscriber(module, beam_width=4, beam_backend="device", lm=lambda ids, tok: 0.0)
 
 
 def test_pool_device_beam_matches_individual(module):

@@ -601,8 +601,9 @@ class InferenceEngine:
     def predict(self, audio, lengths=None, beam_width: Optional[int] = None, prune_logp: float = _BEAM_UNSET, lm=None, lm_weight: float = _BEAM_UNSET, nbest: Optional[int] = None, beam_backend: Optional[str] = None, **beam_kwargs) -> List[str]:
         """Greedy decode by default; ``beam_width`` switches to CTC prefix
         beam search over the logits — ``beam_backend="host"`` (default, see
-        ops/ctc_beam.py; required for LM fusion) or ``"device"`` (jitted
-        on-accelerator search, logits never leave the chip).
+        ops/ctc_beam.py; in-search LM shallow fusion) or ``"device"`` (jitted
+        on-accelerator search, logits never leave the chip; an ``lm``
+        LM-ranks the surviving beam on the host — on-the-fly rescoring).
 
         With ``nbest=k``, returns per sample the top-k ``(text, log_prob)``
         pairs instead of one string (hypothesis scores include any

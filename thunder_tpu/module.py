@@ -55,17 +55,19 @@ def check_beam_args(beam_width, beam_kwargs, prune_logp=_BEAM_UNSET, lm=None, lm
 def check_device_beam_kwargs(backend, lm, beam_kwargs, allowed=("max_tokens_per_step",)):
     """Validate a device-backend beam configuration.
 
-    Single source of truth for the three checks (LM rejection, stray-kwarg
-    whitelist, unknown-backend) shared by ``predict``/``run_beam_decode``,
+    Single source of truth for the two checks (stray-kwarg whitelist,
+    unknown-backend) shared by ``predict``/``run_beam_decode``,
     ``chunked_transcribe``/``predict_long``, and the streaming transcriber —
     so the contract cannot drift between the entry points.
+
+    ``lm`` with the device backend is supported as continuous on-the-fly
+    rescoring (the acoustic search runs on the accelerator; every surviving
+    beam is LM-ranked on the host via
+    :func:`thunder_tpu.ops.ctc_beam_device.lm_prefix_score`).  Unlike the
+    host backend's in-search shallow fusion, the LM does not influence which
+    beams survive pruning — with enough ``beam_width`` the two agree.
     """
     if backend == "device":
-        if lm is not None:
-            raise ValueError(
-                "beam_backend='device' does not support LM fusion (the "
-                "scorers are host-only); drop lm= or use the host backend"
-            )
         stray = sorted(set(beam_kwargs or ()) - set(allowed))
         if stray:
             raise ValueError(f"beam_backend='device' does not support: {stray}")
@@ -96,11 +98,13 @@ def run_beam_decode(
     ``backend`` selects where the search runs:
 
     - ``"host"`` (default) — ops/ctc_beam.py (C++ runtime when available,
-      numpy reference otherwise); the only backend that supports LM fusion.
+      numpy reference otherwise); in-search LM shallow fusion.
     - ``"device"`` — the jitted on-accelerator search
       (:func:`thunder_tpu.ops.ctc_beam_device.beam_search_device`); the
       ``(B, T, V)`` logits never cross the device->host link and the decode
-      scales with the chip instead of host cores.
+      scales with the chip instead of host cores.  With ``lm``, the full
+      surviving beam is LM-ranked on the host (on-the-fly rescoring — see
+      ``check_device_beam_kwargs``).
     """
     kw = dict(beam_kwargs or {})
     check_device_beam_kwargs(backend, lm, kw)
@@ -116,6 +120,8 @@ def run_beam_decode(
             nbest=nbest,
             mesh=mesh,
             data_axis=data_axis,
+            lm=lm,
+            lm_weight=lm_weight,
             **kw,
         )
     elif nbest is not None:
@@ -202,8 +208,9 @@ def chunked_transcribe(
     (equal to the unchunked decode whenever the windows' log-probs tile the
     full utterance's).  ``beam_kwargs["beam_backend"]="device"`` runs the
     same continuous search on the accelerator
-    (:func:`thunder_tpu.ops.ctc_beam_device.beam_search_device_stream`;
-    no-LM mode — the carried state stays on the device between windows).
+    (:func:`thunder_tpu.ops.ctc_beam_device.beam_search_device_stream`; the
+    carried state stays on the device between windows, and an ``lm`` ranks
+    the carried beam on the host — continuous on-the-fly rescoring).
     """
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
     chunk = int(chunk_seconds * sample_rate)
@@ -223,8 +230,13 @@ def chunked_transcribe(
     kw = dict(beam_kwargs or {})
     backend = kw.pop("beam_backend", None)
     check_device_beam_kwargs(
-        backend, kw.get("lm"), kw, allowed=("prune_logp", "max_tokens_per_step")
+        backend, kw.get("lm"), kw,
+        allowed=("prune_logp", "max_tokens_per_step", "lm", "lm_weight"),
     )
+    # device stream: the LM never enters the accelerator search — it ranks
+    # the carried beam on the host at the end (DeviceBeamState.best_ranked)
+    device_lm = kw.pop("lm", None) if backend == "device" else None
+    device_lm_weight = kw.pop("lm_weight", 0.5) if backend == "device" else 0.0
     pieces = []
     beam_state = None
     for idx, start in enumerate(starts):
@@ -265,7 +277,11 @@ def chunked_transcribe(
             ids = np.asarray(preds)[0, : int(np.asarray(out_lengths)[0])]
             pieces.append(trim_chunk_ids(ids, seg_len, overlap, is_first=first, is_last=last))
     if use_beam and backend == "device":
-        bests = beam_state.best() if beam_state is not None else []
+        bests = (
+            beam_state.best_ranked(device_lm, device_lm_weight, final=True)
+            if beam_state is not None
+            else []
+        )
         best = bests[0] if bests else np.zeros((0,), np.int32)
         return text_transform.decode_prediction(best[None].astype(np.int64), remove_repeated=False)[0]
     if use_beam:
@@ -393,8 +409,9 @@ class CTCModule:
         sums posterior probability over alignments instead of taking the
         argmax path.  ``beam_backend`` picks the search implementation:
         ``"host"`` (default — ops/ctc_beam.py, C++ runtime when available,
-        required for LM fusion) or ``"device"`` (jitted on-accelerator
-        search; the logits never leave the chip).  With ``nbest=k``, returns
+        in-search LM shallow fusion) or ``"device"`` (jitted on-accelerator
+        search; the logits never leave the chip; an ``lm`` LM-ranks the
+        surviving beam on the host — on-the-fly rescoring).  With ``nbest=k``, returns
         per sample the top-k ``(text, log_prob)`` pairs instead of one
         string.
 

@@ -31,8 +31,12 @@ TPU-shaped design (what makes this jit-able with static shapes):
   the token matrix.  The host fetches only that ``(B, nbest, T)`` result —
   for greedy-sized fetches even at wide beams.
 
-LM / word fusion is host-only by design (the scorers are dynamic trie/hash
-structures); pass ``lm=`` through the default host backend instead.
+The LM scorers are dynamic trie/hash structures and stay host-only; an
+``lm=`` on this backend means continuous on-the-fly rescoring — the
+accelerator search is acoustic-only and every surviving beam is LM-ranked
+on the host (:func:`lm_prefix_score`, ``DeviceBeamState.best_ranked``).
+In-search shallow fusion (the LM steering pruning) remains the host
+backend's behavior; with enough ``beam_width`` the two agree.
 """
 
 from __future__ import annotations
@@ -263,6 +267,8 @@ def beam_search_device(
     use_pallas: Optional[bool] = None,
     mesh=None,
     data_axis: str = "data",
+    lm=None,
+    lm_weight: float = 0.0,
 ):
     """Accelerator-side batched prefix beam search over ``(B, T, V)`` logits.
 
@@ -296,7 +302,14 @@ def beam_search_device(
     else:
         lengths_arr = jnp.asarray(lengths, jnp.int32)
     k = V if max_tokens_per_step is None else min(int(max_tokens_per_step), V)
-    n_out = 1 if nbest is None else min(int(nbest), beam_width)
+    # with an LM, rank over the FULL beam on the host (on-the-fly rescoring:
+    # the device search stays acoustic-only, the LM re-orders its survivors
+    # via lm_prefix_score — see that helper's docstring for the semantics)
+    n_out = (
+        int(beam_width)
+        if lm is not None
+        else (1 if nbest is None else min(int(nbest), beam_width))
+    )
     floor = jnp.float32(prune_logp)
     eligible = T > 0 and beam_width * k <= 8192
     if use_pallas and not eligible:
@@ -346,6 +359,26 @@ def beam_search_device(
             n_out=n_out,
         )
     toks = np.asarray(toks)  # (B, n_out, T), -1 = no emission
+    if lm is not None:
+        scores = np.asarray(scores)
+        ranked = []
+        for b, row in enumerate(toks):
+            hyps = [
+                (row[n][row[n] >= 0].astype(np.int32), float(scores[b, n]))
+                for n in range(n_out)
+                if np.isfinite(scores[b, n])
+            ]
+            hyps = [
+                (ids, s + lm_weight * lm_prefix_score(lm, ids, final=True))
+                for ids, s in hyps
+            ]
+            hyps.sort(key=lambda h: -h[1])
+            ranked.append(hyps)
+        if nbest is None:
+            return [
+                (r[0][0] if r else np.zeros((0,), np.int32)) for r in ranked
+            ]
+        return [r[: min(int(nbest), len(r))] for r in ranked]
     if nbest is None:
         # scores unused on the best-path return — skip the second
         # device->host fetch (one round trip per call in serving)
@@ -359,6 +392,28 @@ def beam_search_device(
         ]
         for b, row in enumerate(toks)
     ]
+
+
+def lm_prefix_score(lm, prefix, final: bool = True) -> float:
+    """Total LM score of a collapsed prefix, host-side.
+
+    Sums the per-token shallow-fusion bonuses the HOST search would have
+    accumulated (``lm(prefix[:i], prefix[i])`` — NGramLM conditionals /
+    WordFusionLM word-boundary bonuses) plus the pending-word add-on
+    (``final_score`` at end-of-utterance, ``partial_score`` for live
+    display) when the scorer provides one.  This is what makes the device
+    backend LM-capable: the accelerator search stays acoustic-only, and
+    ranking applies the LM continuously on the host (on-the-fly rescoring —
+    unlike the host backend's in-search fusion, the LM does not influence
+    which beams survive pruning)."""
+    seq = tuple(int(t) for t in np.asarray(prefix).reshape(-1))
+    s = 0.0
+    for i in range(len(seq)):
+        s += float(lm(seq[:i], seq[i]))
+    add = getattr(lm, "final_score" if final else "partial_score", None)
+    if add is not None:
+        s += float(add(seq))
+    return s
 
 
 class DeviceBeamState:
@@ -395,6 +450,34 @@ class DeviceBeamState:
                 pref if (pref is not None and np.isfinite(self.total[b, w]))
                 else np.zeros((0,), np.int32)
             )
+        return out
+
+    def best_ranked(self, lm=None, lm_weight: float = 0.0, final: bool = True) -> List[np.ndarray]:
+        """Best prefix per sample with continuous LM-aware ranking.
+
+        Every live slot's acoustic total gets ``lm_weight *``
+        :func:`lm_prefix_score` added (``final`` picks the pending-word
+        add-on: ``final_score`` at flush, ``partial_score`` for live partial
+        display), so streaming partial rankings reflect the LM on every
+        window — not only at flush.  ``lm=None`` degrades to :meth:`best`.
+        Ranking-only: the carried device state is never touched."""
+        if lm is None:
+            return self.best()
+        if self.total is None:
+            return []
+        out = []
+        for b in range(self.total.shape[0]):
+            best_pref, best_score = np.zeros((0,), np.int32), -np.inf
+            for w in range(self.total.shape[1]):
+                pref = self.prefixes[b][w]
+                if pref is None or not np.isfinite(self.total[b, w]):
+                    continue
+                score = float(self.total[b, w]) + lm_weight * lm_prefix_score(
+                    lm, pref, final=final
+                )
+                if score > best_score:
+                    best_pref, best_score = pref, score
+            out.append(best_pref)
         return out
 
 

@@ -70,11 +70,15 @@ class StreamingTranscriber:
         beam_width: decode with carried-state prefix beam search instead of
             the greedy id-stitch; ``prune_logp``/``lm``/``lm_weight`` and
             further beam kwargs match ``predict``'s beam arguments.
-        beam_backend: ``"host"`` (default; required for LM fusion) or
+        beam_backend: ``"host"`` (default; in-search LM shallow fusion) or
             ``"device"`` — the carried beam state stays on the accelerator
             between chunks (:func:`thunder_tpu.ops.ctc_beam_device.
             beam_search_device_stream`) and the logits never cross the
-            device->host link.
+            device->host link.  An ``lm`` on the device backend ranks the
+            carried beam on the host continuously (on-the-fly rescoring:
+            partial rankings reflect the LM on every chunk, with word
+            fusion's completion lookahead live and its pending-word
+            finalization at flush).
     """
 
     def __init__(
@@ -112,6 +116,12 @@ class StreamingTranscriber:
             if beam_backend != "device":
                 self._beam_kwargs["lm"] = lm
                 self._beam_kwargs["lm_weight"] = 0.5 if lm_weight is _BEAM_UNSET else lm_weight
+            else:
+                # the LM never enters the device search — it ranks the
+                # carried beam on the host, continuously (best_ranked on
+                # every partial and at flush)
+                self._device_lm = lm
+                self._device_lm_weight = 0.5 if lm_weight is _BEAM_UNSET else lm_weight
         self._beam_state = None
         self._buffer = np.zeros((0,), np.float32)
         self._buffer_start = 0  # absolute sample index of _buffer[0]
@@ -275,9 +285,12 @@ class StreamingTranscriber:
             if self._beam_state is None:
                 return np.zeros((0,), np.int32)
             if self.beam_backend == "device":
-                # no LM on the device backend: best() is both the live and
-                # the finalized ranking (no pending-word fusion bonus)
-                bests = self._beam_state.best()
+                # continuous LM-aware ranking of the carried device beam:
+                # partial_score lookahead live, final_score at flush (same
+                # finalization semantics as the host stream)
+                bests = self._beam_state.best_ranked(
+                    self._device_lm, self._device_lm_weight, final=self._closed
+                )
                 return bests[0] if bests else np.zeros((0,), np.int32)
             if self._closed:
                 # flush = the finalization point: word fusion's pending-
