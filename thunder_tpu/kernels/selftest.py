@@ -2,14 +2,24 @@
 
 CI runs the kernels only under the Pallas *interpreter* (tests force CPU);
 this module is the on-hardware tier: each check runs the kernel COMPILED on
-the current backend against its XLA reference on tiny shapes and reports the
-max deviation.  Two consumers:
+the current backend against its XLA reference and reports the deviation.
+Two consumers:
 
 - ``tests_tpu/`` — a ``pytest tests_tpu`` run on a TPU host (auto-skips
   elsewhere);
 - ``bench.py`` — the driver's per-round bench invokes :func:`run_selftests`
   before reporting RTF, so every recorded number is backed by same-session
   kernel-numerics validation on the same chip.
+
+Tolerances are DERIVED, not fitted (round-4 hardening): every check whose
+comparison is bounded by bf16 storage/compute rounding reports its error in
+units of the bf16 ULP at the reference's max magnitude —
+``max|got - want| / ulp_bf16(max|want|)`` — so the bound scales with shape
+and activation magnitude instead of being a per-shape magic constant.  A
+kernel that rounds its output to bf16 once sits at <= 0.5 ULP plus small
+reduction-order noise; the gates allow small integer multiples of that.
+Checks against effectively-exact f32 references keep absolute tolerances
+with >= 100x measured headroom.
 
 (The reference validates its exported graphs with script-vs-eager parity
 tests, `/root/reference/tests/quartznet/test_transform_qn.py:62-72`; this is
@@ -24,7 +34,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["run_selftests", "KERNEL_CHECKS"]
+__all__ = ["run_selftests", "KERNEL_CHECKS", "ulp_bf16_error"]
+
+
+def ulp_bf16_error(got, want) -> float:
+    """``max|got - want|`` in units of the bf16 ULP at ``max|want|``.
+
+    bf16 has 8 significand bits, so ``ulp(v) = 2**(floor(log2|v|) - 7)``.
+    Normalizing by the ULP at the reference's max magnitude is the standard
+    mixed-precision forward-error measure: one output-rounding step
+    contributes <= 0.5, so an error of k means "k bf16 rounding steps at the
+    tensor's scale" regardless of shape or activation magnitude.
+    """
+    got = jnp.asarray(got, jnp.float32)
+    want = jnp.asarray(want, jnp.float32)
+    mag = jnp.maximum(jnp.max(jnp.abs(want)), 2.0**-14)
+    ulp = 2.0 ** (jnp.floor(jnp.log2(mag)) - 7)
+    return float(jnp.max(jnp.abs(got - want)) / ulp)
 
 
 def _check_frontend() -> float:
@@ -39,32 +65,40 @@ def _check_frontend() -> float:
 
 
 def _check_separable_conv() -> float:
+    """Fused depthwise+pointwise+BN+ReLU vs the XLA ops, bf16-ULP units.
+
+    QuartzNet15x5 body shape (c=512 channels, k=33) at speech-scale
+    activations; both sides run the backend's default matmul precision, so
+    the deviation is reduction-order noise at bf16 compute — a few ULP.
+    """
     from thunder_tpu.kernels.separable_conv import fused_separable_conv
     from thunder_tpu.ops.conv import conv1d
 
     rng = np.random.default_rng(1)
-    b, t, c, co, k = 4, 256, 128, 128, 33
-    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32) * 0.1)
+    b, t, c, co, k = 4, 384, 512, 512, 33
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
     dw = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32) * 0.1)
-    pw = jnp.asarray(rng.standard_normal((c, co)).astype(np.float32) * 0.1)
+    pw = jnp.asarray(rng.standard_normal((c, co)).astype(np.float32) * 0.05)
     scale = jnp.asarray(rng.standard_normal(co).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal(co).astype(np.float32))
     got = fused_separable_conv(x, dw, pw, scale, bias, kernel_size=k, relu=True)
     y = conv1d(x, dw[:, None, :], padding=k // 2, groups=c)
     want = jnp.maximum(jnp.matmul(y, pw) * scale + bias, 0.0)
-    return float(jnp.max(jnp.abs(got - want)))
+    return ulp_bf16_error(got, want)
 
 
 def _check_repeat_tm() -> float:
+    """Time-major repeat kernel vs XLA ops, bf16-ULP units (same rationale
+    as separable_conv)."""
     from thunder_tpu.kernels.repeat_tm import fused_repeat_tm
     from thunder_tpu.ops.conv import conv1d
 
     rng = np.random.default_rng(2)
-    t, b, c, co, k = 256, 16, 128, 128, 33
-    x_bt = rng.standard_normal((b, t, c)).astype(np.float32) * 0.1
+    t, b, c, co, k = 384, 16, 256, 256, 33
+    x_bt = rng.standard_normal((b, t, c)).astype(np.float32)
     lengths = np.full((b,), t, np.int32)
     dw = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32) * 0.1)
-    pw = jnp.asarray(rng.standard_normal((c, co)).astype(np.float32) * 0.1)
+    pw = jnp.asarray(rng.standard_normal((c, co)).astype(np.float32) * 0.05)
     scale = jnp.ones((co,), jnp.float32)
     bias = jnp.zeros((co,), jnp.float32)
     x_tm = jnp.asarray(np.transpose(x_bt, (1, 0, 2)))
@@ -72,7 +106,7 @@ def _check_repeat_tm() -> float:
     got = jnp.transpose(got, (1, 0, 2))
     y = conv1d(jnp.asarray(x_bt), dw[:, None, :], padding=k // 2, groups=c)
     want = jnp.maximum(jnp.matmul(y, pw), 0.0)
-    return float(jnp.max(jnp.abs(got - want)))
+    return ulp_bf16_error(got, want)
 
 
 def _check_beam() -> float:
@@ -92,54 +126,80 @@ def _check_beam() -> float:
     return 0.0 if agree else float("inf")
 
 
-def _check_attn_onepanel() -> float:
-    """One-panel MHA kernel vs unfused bf16 attention (same storage dtypes)."""
+def _attn_onepanel_err(b: int, t: int, heads: int, block_q: int, seed: int) -> float:
+    """One-panel MHA kernel vs f32 unfused attention on the same bf16
+    q/k/v, bf16-ULP units.  The kernel accumulates in f32 and rounds the
+    output to bf16 once; softmax/accumulation order differences add small
+    noise on top of that 0.5-ULP rounding step."""
     from thunder_tpu.kernels.attn_onepanel import mha_from_qkv
 
-    rng = np.random.default_rng(4)
-    b, t, heads, dh = 2, 256, 4, 64
+    rng = np.random.default_rng(seed)
+    dh = 64
     h = heads * dh
-    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h)).astype(np.float32) * 0.3, jnp.bfloat16)
-    lengths = jnp.asarray([t, t - 57], jnp.int32)
-    got = mha_from_qkv(qkv, lengths, heads=heads, block_q=128)
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h)).astype(np.float32), jnp.bfloat16)
+    lengths = jnp.asarray([t] + [t - 57] * (b - 1), jnp.int32)
+    got = mha_from_qkv(qkv, lengths, heads=heads, block_q=block_q)
     q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
     split = lambda a: a.reshape(b, t, heads, dh)
     q, k, v = split(q) * dh**-0.5, split(k), split(v)
-    scores = jnp.einsum("bthd,bshd->bhts", q, k)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, precision="highest")
     valid = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, None, :]
     probs = jax.nn.softmax(jnp.where(valid, scores, -jnp.inf), axis=-1)
-    want = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, h)
+    want = jnp.einsum("bhts,bshd->bthd", probs, v, precision="highest").reshape(b, t, h)
     # compare on valid query rows only (padded queries attend uniformly)
     mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, :, None]
-    diff = jnp.where(mask, got.astype(jnp.float32) - want, 0.0)
-    return float(jnp.max(jnp.abs(diff)))
+    got = jnp.where(mask, got.astype(jnp.float32), 0.0)
+    want = jnp.where(mask, want, 0.0)
+    return ulp_bf16_error(got, want)
+
+
+def _check_attn_onepanel() -> float:
+    return _attn_onepanel_err(b=2, t=256, heads=4, block_q=128, seed=4)
+
+
+def _check_attn_onepanel_1536() -> float:
+    """The 30 s serving shape: T=1536 frames, wav2vec2-base head count, the
+    production block_q=512 (engine gate at models/wav2vec2.py)."""
+    return _attn_onepanel_err(b=2, t=1536, heads=12, block_q=512, seed=6)
 
 
 def _check_add_ln() -> float:
-    """Fused add+LayerNorm kernel vs flax ``nn.LayerNorm(x + y)``."""
-    import flax.linen as nn
+    """Fused add+LayerNorm kernel vs an f32-add + f32-statistics reference,
+    bf16-ULP units.
 
+    The kernel's documented deviation from flax (kernels/add_ln.py) is that
+    the residual add happens in f32 — so the principled reference also adds
+    in f32; the remaining deviation is the single bf16 output rounding plus
+    f32 reduction-order noise (<= ~1 ULP), NOT the bf16-add rounding that
+    dominated the old fitted comparison.  Production shape/magnitude:
+    wav2vec2-base rows (B*T=8*768) x d=768, residual-stream std ~3.
+    """
     from thunder_tpu.kernels.add_ln import add_layer_norm
 
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.standard_normal((4, 128, 256)), jnp.bfloat16)
-    y = jnp.asarray(rng.standard_normal((4, 128, 256)), jnp.bfloat16)
-    scale = jnp.asarray(rng.standard_normal(256).astype(np.float32) + 1.0)
-    bias = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 768, 768)) * 3.0, jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((8, 768, 768)), jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal(768).astype(np.float32) + 1.0)
+    bias = jnp.asarray(rng.standard_normal(768).astype(np.float32))
     got = add_layer_norm(x, y, scale, bias, eps=1e-5).astype(jnp.float32)
-    ref = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16)
-    want = ref.apply({"params": {"scale": scale, "bias": bias}}, x + y).astype(jnp.float32)
-    return float(jnp.max(jnp.abs(got - want)))
+    s = x.astype(jnp.float32) + y.astype(jnp.float32)
+    mu = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(s * s, axis=-1, keepdims=True) - mu * mu)
+    want = (s - mu) * (jax.lax.rsqrt(var + 1e-5) * scale) + bias
+    return ulp_bf16_error(got, want)
 
 
 KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
-    # name -> (check fn returning max abs deviation, tolerance)
-    "frontend_log_mel": (_check_frontend, 2e-3),  # log-mel units
-    "separable_conv": (_check_separable_conv, 2e-3),
-    "repeat_tm": (_check_repeat_tm, 2e-3),
+    # name -> (check fn, tolerance).  Units: absolute for f32-reference
+    # checks (frontend), exact-agreement for beam, bf16 ULPs at the
+    # reference's max magnitude for everything bf16-storage-bound.
+    "frontend_log_mel": (_check_frontend, 2e-3),  # abs, log-mel units; ~250x headroom
+    "separable_conv": (_check_separable_conv, 8.0),  # ULPs: bf16-compute reduction order
+    "repeat_tm": (_check_repeat_tm, 8.0),  # ULPs
     "beam_device": (_check_beam, 0.5),  # exact agreement (0 or inf)
-    "attn_onepanel": (_check_attn_onepanel, 2e-2),  # bf16 q/k/v storage
-    "add_ln": (_check_add_ln, 8e-2),  # bf16 residual add in the reference
+    "attn_onepanel": (_check_attn_onepanel, 4.0),  # ULPs: one output rounding + softmax order
+    "attn_onepanel_1536": (_check_attn_onepanel_1536, 4.0),  # ULPs, 30 s serving shape
+    "add_ln": (_check_add_ln, 2.0),  # ULPs: one output rounding + f32 reduction order
 }
 
 
