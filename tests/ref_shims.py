@@ -41,6 +41,9 @@ def _module(name):
     import importlib.machinery
 
     mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    # marker so tests gated on the REAL library (pytest.importorskip) can
+    # tell the shim apart once it sits in sys.modules
+    mod.__thunder_shim__ = True
     sys.modules[name] = mod
     return mod
 

@@ -191,6 +191,10 @@ def test_piece_list_byte_identical_vs_real_sentencepiece(tmp_path):
     and compares the full ordered piece list.
     """
     spm = pytest.importorskip("sentencepiece")
+    if getattr(spm, "__thunder_shim__", False) or not hasattr(spm, "SentencePieceTrainer"):
+        # ref_shims installs a minimal stand-in into sys.modules for the
+        # reference-parity tests; that is not the real C++ trainer
+        pytest.skip("only the ref_shims sentencepiece stand-in is present")
 
     corpus = tmp_path / "corpus.txt"
     corpus.write_text(
