@@ -116,11 +116,11 @@ if __name__ == "__main__":
         dropout, attn_dropout, remat, flash_train = 0.1, 0.1, False, False
         if name.startswith("nodrop"):
             dropout = attn_dropout = 0.0
-        if name == "flashdrop":
+        if name.startswith("flashdrop"):
             attn_dropout = 0.0
         if "flash" in name:
             flash_train = True
-        if name == "remat":
+        if "remat" in name:
             remat = True
 
         if flash_train:
@@ -128,7 +128,9 @@ if __name__ == "__main__":
             # fwd-only kernel is replaced by a differentiable flash
             # equivalent because it has no vjp): pretend eval
             w2v._use_flash_attention = (
-                lambda dtype, train, seq_len: orig_gate(dtype, False, seq_len)
+                lambda dtype, train, seq_len, attention_dropout=0.0: orig_gate(
+                    dtype, False, seq_len
+                )
             )
             import thunder_tpu.kernels.attn_onepanel as onepanel
             from thunder_tpu.ops.masking import lengths_to_mask
@@ -164,7 +166,27 @@ if __name__ == "__main__":
             t = time_step(fe_fn, fe_params, audio, lengths, iters=args.iters)
             return t
 
-        if name == "fwd":
+        if name == "ctc":
+            # CTC loss alone on a materialized logits tensor (the scan over
+            # ~749 frames is the sequential term of the step)
+            from thunder_tpu.ops.ctc import calculate_ctc
+
+            frames = (samples // 320) - 1
+            V = tt.num_tokens + 1
+            logits = jnp.asarray(
+                rng.standard_normal((B, frames, V)).astype(np.float32)
+            )
+            out_l = jnp.full((B,), frames, dtype=jnp.int32)
+
+            @jax.jit
+            def ctc_fn(eps, lg, tg, tl):
+                return calculate_ctc(
+                    lg * (1 + eps), tg, out_l, tl, blank=module.blank_idx
+                )
+
+            return time_step(ctc_fn, logits, targets, target_lengths, iters=args.iters)
+
+        if name.endswith("fwd"):
             from thunder_tpu.ops.ctc import calculate_ctc
 
             @jax.jit

@@ -16,6 +16,7 @@ from thunder_tpu.flops import (
     filterbank_flops,
     mfu,
     quartznet_forward_flops,
+    quartznet_forward_flops_split,
     quartznet_train_flops,
     wav2vec2_forward_flops,
     xla_flops,
@@ -121,6 +122,15 @@ def test_wav2vec2_analytic_vs_xla():
     )
     assert analytic <= got * 1.001
     assert analytic >= 0.80 * got
+
+
+def test_forward_flops_split_sums_to_total():
+    for frames, batch, rb in ((1501, 64, 3), (751, 16, 1)):
+        dw, mxu = quartznet_forward_flops_split(frames, batch=batch, repeat_blocks=rb)
+        assert dw + mxu == quartznet_forward_flops(frames, batch=batch, repeat_blocks=rb)
+        # depthwise is the small-FLOPs / slow-rate term (k taps vs C-wide
+        # contractions): it must be well under the matmul term
+        assert 0 < dw < mxu
 
 
 def test_train_flops_rule():

@@ -32,6 +32,7 @@ __all__ = [
     "dense_flops",
     "filterbank_flops",
     "quartznet_forward_flops",
+    "quartznet_forward_flops_split",
     "quartznet_train_flops",
     "wav2vec2_forward_flops",
     "xla_flops",
@@ -86,32 +87,64 @@ def quartznet_forward_flops(
     + 1x1 residual, the k=87 dilated and 1x1 1024ch tail blocks, then the
     decoder.  Defaults are the 15x5 flagship.
     """
-    def separable(k, c_in, c_out, t_out):
-        # depthwise (k, groups=c_in) + pointwise 1x1
-        return conv1d_flops(k, c_in, c_in, t_out, groups=c_in) + conv1d_flops(1, c_in, c_out, t_out)
+    dw, mxu = quartznet_forward_flops_split(
+        frames,
+        feat_in=feat_in,
+        filters=filters,
+        kernel_sizes=kernel_sizes,
+        repeat_blocks=repeat_blocks,
+        repeat=repeat,
+        num_classes=num_classes,
+        batch=batch,
+    )
+    return dw + mxu
 
-    total = 0
+
+def quartznet_forward_flops_split(
+    frames: int,
+    *,
+    feat_in: int = 64,
+    filters=(256, 256, 512, 512, 512),
+    kernel_sizes=(33, 39, 51, 63, 75),
+    repeat_blocks: int = 3,
+    repeat: int = 5,
+    num_classes: int = 29,
+    batch: int = 1,
+) -> tuple:
+    """``(depthwise_flops, mxu_flops)`` split of the QuartzNet forward.
+
+    Depthwise convs have no contraction dimension (one weight per
+    (tap, channel)) so they run on the VPU; everything else (pointwise 1x1,
+    residual 1x1, decoder) is a matmul on the MXU.  The two terms hit
+    different rooflines — this split is what the analytic roofline tables in
+    docs/benchmarks.md are built from.
+    """
+    dw = 0
+    mxu = 0
     c = feat_in
     # stem: k=33, stride 2, separable, 256ch
     t = _conv_t_out(frames, 2)
-    total += separable(33, c, 256, t)
+    dw += conv1d_flops(33, c, c, t, groups=c)
+    mxu += conv1d_flops(1, c, 256, t)
     c = 256
     # body blocks: repeat x separable convs + 1x1 residual from block input
     for f, k in zip(filters, kernel_sizes):
         for _ in range(repeat_blocks):
             c_in_block = c
             for _ in range(repeat):
-                total += separable(k, c, f, t)
+                dw += conv1d_flops(k, c, c, t, groups=c)
+                mxu += conv1d_flops(1, c, f, t)
                 c = f
-            total += conv1d_flops(1, c_in_block, f, t)
+            mxu += conv1d_flops(1, c_in_block, f, t)
     # tail: k=87 dilation-2 512ch separable (no residual), then 1x1 1024ch dense
-    total += separable(87, c, 512, t)
+    dw += conv1d_flops(87, c, c, t, groups=c)
+    mxu += conv1d_flops(1, c, 512, t)
     c = 512
-    total += conv1d_flops(1, c, 1024, t)
+    mxu += conv1d_flops(1, c, 1024, t)
     c = 1024
     # decoder: 1x1 conv 1024 -> vocab
-    total += conv1d_flops(1, c, num_classes, t)
-    return batch * total
+    mxu += conv1d_flops(1, c, num_classes, t)
+    return batch * dw, batch * mxu
 
 
 def quartznet_train_flops(samples: int, *, batch: int = 1, hop_length: int = 160, **kw) -> int:
