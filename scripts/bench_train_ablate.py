@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 
-def build(dropout: float, attn_dropout: float, remat: bool, flash_train: bool):
+def build(dropout: float, attn_dropout: float, remat: bool, flash_train: bool, num_layers: int = 12):
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +42,7 @@ def build(dropout: float, attn_dropout: float, remat: bool, flash_train: bool):
         hidden_dropout=dropout,
         attention_dropout=attn_dropout,
         feat_proj_dropout=dropout,
+        num_hidden_layers=num_layers,
     )
     module = CTCModule.create(
         jax.random.PRNGKey(0),
@@ -89,6 +90,7 @@ if __name__ == "__main__":
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seconds", type=float, default=15.0)
+    parser.add_argument("--layers", type=int, default=12)
     args = parser.parse_args()
 
     import jax
@@ -150,7 +152,7 @@ if __name__ == "__main__":
             w2v._use_flash_attention = orig_gate
             _onepanel_mod.mha_from_qkv = orig_onepanel
 
-        module, tt = build(dropout, attn_dropout, remat, False)
+        module, tt = build(dropout, attn_dropout, remat, False, num_layers=args.layers)
         targets, target_lengths = tt.encode(
             ["the quick brown fox jumps over the lazy dog"] * B, pad_to=64
         )
@@ -185,6 +187,24 @@ if __name__ == "__main__":
                 )
 
             return time_step(ctc_fn, logits, targets, target_lengths, iters=args.iters)
+
+        if name.endswith("grad"):
+            # model fwd+bwd WITHOUT the CTC loss: grad of mean(logits) —
+            # isolates the transformer/extractor backward from the CTC term
+            @jax.jit
+            def grad_fn(eps, variables, a, l, k):
+                def loss(params):
+                    (logits, _), _ = module.model.apply(
+                        {"params": params}, a * (1 + eps), l, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": k, "augment": k},
+                    )
+                    return jnp.mean(logits.astype(jnp.float32))
+
+                return jax.grad(loss)(variables["params"])
+
+            return time_step(
+                grad_fn, module.variables, audio, lengths, key, iters=args.iters
+            )
 
         if name.endswith("fwd"):
             from thunder_tpu.ops.ctc import calculate_ctc

@@ -34,6 +34,19 @@ __all__ = [
 _NEG = -1e30
 
 
+def _scan_unroll() -> int:
+    """Unroll factor for the time scan (THUNDER_CTC_UNROLL, default 1).
+
+    Each scan iteration touches only a (B, S) tile — microseconds of VPU
+    work — so the loop cost is dominated by per-iteration overhead, which
+    unrolling amortizes in fwd and in the autodiff transpose.  Kept as an
+    env knob because the win is shape- and backend-dependent (A/B'd on chip
+    before changing the default)."""
+    import os
+
+    return int(os.environ.get("THUNDER_CTC_UNROLL", "1"))
+
+
 def _logsumexp3(a, b, c):
     m = jnp.maximum(jnp.maximum(a, b), c)
     return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
@@ -99,7 +112,7 @@ def ctc_forward_scores(
         return jnp.where(active, new_alpha, alpha), None
 
     ts = jnp.arange(1, max_t)
-    alpha, _ = jax.lax.scan(step, alpha0, (lp_z[1:], ts))
+    alpha, _ = jax.lax.scan(step, alpha0, (lp_z[1:], ts), unroll=_scan_unroll())
 
     # log p = logsumexp(alpha[2*tl], alpha[2*tl - 1])
     end = 2 * target_lengths
