@@ -104,34 +104,57 @@ def main():
     step_fn = make_train_step(module.model, module.blank_idx)
 
     def timed(fn, *a):
-        out = fn(*a)
-        jax.tree_util.tree_leaves(out)
-        # force completion with a scalar fetch
-        leaf = jax.tree_util.tree_leaves(out)[-1]
-        float(np.asarray(leaf).ravel()[0])
-        start = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(*a)
-        leaf = jax.tree_util.tree_leaves(out)[-1]
-        float(np.asarray(leaf).ravel()[0])
-        return (time.perf_counter() - start) / args.iters * 1000
+        # iterations chained through eps (the relay dedupes identical
+        # in-flight dispatches); wall closed by one scalar fetch; best of 2
+        # chains after a warm-up chain (the first chain after a fresh
+        # compile reads high)
+        def chain(eps, i):
+            out = fn(eps, *a)
+            leaf = jax.tree_util.tree_leaves(out)[-1]
+            return leaf.ravel()[0].astype(jnp.float32) * 1e-30 + np.float32(
+                1e-6 * (i + 1)
+            )
 
-    def full_step(s):
-        s2, loss = step_fn(s, audio, lengths, targets, target_lengths, key)
-        return loss
+        eps = chain(np.float32(0.0), 0)
+        float(eps)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            for i in range(args.iters):
+                eps = chain(eps, i + 1)
+            float(eps)
+            best = min(best, (time.perf_counter() - start) / args.iters * 1000)
+        return best
 
     @jax.jit
-    def fwd_only(variables, a, l, tg, tl, k):
+    def fwd_only(eps, variables, a, l, tg, tl, k):
         (logits, out_l), _ = module.model.apply(
-            variables, a, l, train=True, mutable=["batch_stats"],
+            variables, a * (1 + eps), l, train=True, mutable=["batch_stats"],
             rngs={"dropout": k, "augment": k},
         )
         return calculate_ctc(logits, tg, out_l, tl, blank=module.blank_idx)
 
-    step_ms = timed(full_step, state)
+    def time_full_step(state):
+        # state is DONATED by the step; rebind it every call
+        state, loss = step_fn(state, audio, lengths, targets, target_lengths, key)
+        float(loss)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            for _ in range(args.iters):
+                state, loss = step_fn(
+                    state, audio, lengths, targets, target_lengths, key
+                )
+            float(loss)
+            best = min(best, (time.perf_counter() - start) / args.iters * 1000)
+        return best
+
+    # fwd first: the donated full step frees state.params, which ALIASES
+    # module.variables["params"]
     fwd_ms = timed(
         fwd_only, module.variables, audio, lengths, targets, target_lengths, key
     )
+    step_ms = time_full_step(state)
 
     total_flops = dw_train + mxu_train
     peak = peak_flops()
