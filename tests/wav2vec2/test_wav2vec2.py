@@ -273,3 +273,24 @@ def test_encoder_frame_padding_is_transparent(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(padded)[b, :L], np.asarray(base)[b, :L], atol=1e-5
         )
+
+
+def test_flash_train_gate_semantics(monkeypatch):
+    """Train-mode flash routing (round-4 training path): attention-prob
+    dropout forces the unfused path (the materialized probabilities are what
+    dropout masks), zero attention-dropout trains on the flash kernel's
+    custom_vjp.  Eval is gated only by dtype/length/backend."""
+    import thunder_tpu.models.wav2vec2 as w2v
+
+    monkeypatch.setattr(w2v.jax, "default_backend", lambda: "tpu")
+    gate = w2v._use_flash_attention
+    # eval: long bf16 sequences on TPU -> flash
+    assert gate(jnp.bfloat16, False, 768, 0.1)
+    # train + attention dropout -> unfused (dropout needs the probs)
+    assert not gate(jnp.bfloat16, True, 768, 0.1)
+    # train + zero attention dropout -> flash (custom_vjp, no score tensor)
+    assert gate(jnp.bfloat16, True, 768, 0.0)
+    # short sequences stay unfused either way (crossover threshold 640)
+    assert not gate(jnp.bfloat16, True, 512, 0.0)
+    # f32 compute never routes to the bf16 kernel
+    assert not gate(jnp.float32, True, 768, 0.0)
