@@ -142,6 +142,56 @@ def main():
         bad = [r for r in results if not r["ok"]]
         assert not bad, f"kernel selftests failed on chip: {bad}"
 
+    # --- executed WER artifact, every round (round-5 verdict item: both
+    # halves of the north star — RTF AND WER — re-measured mechanically).
+    # Same gate as bench_wer.py: the full system must LEARN to near-zero WER
+    # on held-out synthetic speech on this chip; the result lands next to
+    # the RTF line and in WER_LATEST.json.
+    if on_tpu and "--no-wer" not in sys.argv[1:]:
+        sys.path.insert(0, str(Path(__file__).parent / "examples"))
+        from synthetic_learning_demo import run as wer_run
+
+        wer_result = wer_run(max_epochs=6, n_items=2048)
+        wer_entry = {
+            "metric": "wer_synthetic_heldout_quartznet_small",
+            "value": wer_result["final_wer"],
+            "unit": "wer",
+            "first_epoch_wer": wer_result["first_wer"],
+            "final_cer": wer_result["final_cer"],
+            "wall_seconds": wer_result["wall_seconds"],
+        }
+        print(json.dumps({"wer_check": wer_entry}), flush=True)
+        (Path(__file__).parent / "WER_LATEST.json").write_text(json.dumps(wer_entry, indent=1))
+        assert wer_result["final_wer"] <= 0.15, (
+            f"synthetic held-out WER {wer_result['final_wer']} — learning gate failed"
+        )
+
+    # --- vs-prior-round RTF regression guard: compare against the newest
+    # recorded BENCH_r*.json and flag any >2% flagship drop loudly (the
+    # round-4 -2.7% drift went unremarked; this makes it mechanical).
+    prior_files = sorted(Path(__file__).parent.glob("BENCH_r*.json"))
+    if prior_files:
+        try:
+            prior = json.loads(prior_files[-1].read_text()).get("parsed", {})
+            prior_rtf = float(prior.get("value", 0.0))
+        except Exception:
+            prior_rtf = 0.0
+        if prior_rtf and rtf < 0.98 * prior_rtf:
+            print(
+                json.dumps(
+                    {
+                        "rtf_regression": {
+                            "prior_round": prior_files[-1].name,
+                            "prior_rtf": prior_rtf,
+                            "current_rtf": round(rtf, 2),
+                            "drop_pct": round(100 * (1 - rtf / prior_rtf), 2),
+                            "action": "explain or recover in ROUND_NOTES.md",
+                        }
+                    }
+                ),
+                flush=True,
+            )
+
     if "--grid" in sys.argv[1:]:
         from thunder_tpu.flops import filterbank_flops, mfu, peak_flops, quartznet_forward_flops
 

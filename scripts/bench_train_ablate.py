@@ -126,6 +126,14 @@ if __name__ == "__main__":
             remat = True
 
         if flash_train:
+            # the monkeypatched gate forces train=False, which would
+            # silently SKIP attention-prob dropout for a variant that set
+            # attn_dropout > 0 — fail loudly instead of measuring a
+            # different model
+            assert attn_dropout == 0.0, (
+                f"variant {name!r}: flash_train requires attn_dropout == 0 "
+                f"(got {attn_dropout}) — the patched gate drops prob dropout"
+            )
             # allow the flash path in train mode for the A/B (the one-panel
             # fwd-only kernel is replaced by a differentiable flash
             # equivalent because it has no vjp): pretend eval

@@ -131,6 +131,12 @@ def test_forward_flops_split_sums_to_total():
         # depthwise is the small-FLOPs / slow-rate term (k taps vs C-wide
         # contractions): it must be well under the matmul term
         assert 0 < dw < mxu
+    # pin the default 15x5 bench-point terms to precomputed constants so a
+    # future edit to either term is caught (the sum assertion alone is
+    # tautological now that the total is implemented as dw + mxu)
+    dw, mxu = quartznet_forward_flops_split(1501, batch=64, repeat_blocks=3)
+    assert dw == 169_339_084_800, dw
+    assert mxu == 1_642_389_176_320, mxu
 
 
 def test_train_flops_rule():

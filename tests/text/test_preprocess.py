@@ -185,7 +185,7 @@ def test_num2words_lang_codes_and_errors():
     with pytest.raises(NotImplementedError):
         num2words(3, lang="xx")
     with pytest.raises(NotImplementedError):
-        num2words(3, lang="de", to="ordinal")
+        num2words(3, lang="xx", to="ordinal")
 
 
 def test_expand_numbers_new_languages():
@@ -220,3 +220,150 @@ def test_num2words_large_ranges():
     ):
         with pytest.raises(ValueError, match="too large"):
             num2words(cap, lang=lang)
+
+
+def test_num2words_de_ordinal():
+    # reference expands ordinals in every num2words language
+    # (/root/reference/src/thunder/text_processing/preprocess.py:48-68)
+    assert num2words(1, lang="de", to="ordinal") == "erste"
+    assert num2words(2, lang="de", to="ordinal") == "zweite"
+    assert num2words(3, lang="de", to="ordinal") == "dritte"
+    assert num2words(7, lang="de", to="ordinal") == "siebte"
+    assert num2words(8, lang="de", to="ordinal") == "achte"
+    assert num2words(11, lang="de", to="ordinal") == "elfte"
+    assert num2words(20, lang="de", to="ordinal") == "zwanzigste"
+    assert num2words(21, lang="de", to="ordinal") == "einundzwanzigste"
+    assert num2words(42, lang="de", to="ordinal") == "zweiundvierzigste"
+    assert num2words(100, lang="de", to="ordinal") == "einhundertste"
+    assert num2words(101, lang="de", to="ordinal") == "einhunderterste"
+    assert num2words(103, lang="de", to="ordinal") == "einhundertdritte"
+    assert num2words(1000, lang="de", to="ordinal") == "eintausendste"
+    assert num2words(1000000, lang="de", to="ordinal") == "einmillionste"
+
+
+def test_num2words_fr_ordinal():
+    assert num2words(1, lang="fr", to="ordinal") == "premier"
+    assert num2words(2, lang="fr", to="ordinal") == "deuxième"
+    assert num2words(3, lang="fr", to="ordinal") == "troisième"
+    assert num2words(4, lang="fr", to="ordinal") == "quatrième"
+    assert num2words(5, lang="fr", to="ordinal") == "cinquième"
+    assert num2words(9, lang="fr", to="ordinal") == "neuvième"
+    assert num2words(10, lang="fr", to="ordinal") == "dixième"
+    assert num2words(17, lang="fr", to="ordinal") == "dix-septième"
+    assert num2words(21, lang="fr", to="ordinal") == "vingt et unième"
+    assert num2words(42, lang="fr", to="ordinal") == "quarante-deuxième"
+    assert num2words(71, lang="fr", to="ordinal") == "soixante et onzième"
+    assert num2words(80, lang="fr", to="ordinal") == "quatre-vingtième"
+    assert num2words(100, lang="fr", to="ordinal") == "centième"
+    assert num2words(1000, lang="fr", to="ordinal") == "millième"
+
+
+def test_num2words_es_ordinal():
+    assert num2words(1, lang="es", to="ordinal") == "primero"
+    assert num2words(3, lang="es", to="ordinal") == "tercero"
+    assert num2words(10, lang="es", to="ordinal") == "décimo"
+    assert num2words(11, lang="es", to="ordinal") == "undécimo"
+    assert num2words(12, lang="es", to="ordinal") == "duodécimo"
+    assert num2words(13, lang="es", to="ordinal") == "decimotercero"
+    assert num2words(17, lang="es", to="ordinal") == "decimoséptimo"
+    assert num2words(18, lang="es", to="ordinal") == "decimoctavo"
+    assert num2words(21, lang="es", to="ordinal") == "vigésimo primero"
+    assert num2words(42, lang="es", to="ordinal") == "cuadragésimo segundo"
+    assert num2words(100, lang="es", to="ordinal") == "centésimo"
+    assert num2words(500, lang="es", to="ordinal") == "quingentésimo"
+    assert num2words(1000, lang="es", to="ordinal") == "milésimo"
+    assert num2words(2000, lang="es", to="ordinal") == "dosmilésimo"
+
+
+def test_num2words_it_ordinal():
+    assert num2words(1, lang="it", to="ordinal") == "primo"
+    assert num2words(3, lang="it", to="ordinal") == "terzo"
+    assert num2words(8, lang="it", to="ordinal") == "ottavo"
+    assert num2words(10, lang="it", to="ordinal") == "decimo"
+    assert num2words(11, lang="it", to="ordinal") == "undicesimo"
+    assert num2words(20, lang="it", to="ordinal") == "ventesimo"
+    assert num2words(21, lang="it", to="ordinal") == "ventunesimo"
+    assert num2words(23, lang="it", to="ordinal") == "ventitreesimo"
+    assert num2words(26, lang="it", to="ordinal") == "ventiseiesimo"
+    assert num2words(28, lang="it", to="ordinal") == "ventottesimo"
+    assert num2words(42, lang="it", to="ordinal") == "quarantaduesimo"
+    assert num2words(100, lang="it", to="ordinal") == "centesimo"
+    assert num2words(1000, lang="it", to="ordinal") == "millesimo"
+    assert num2words(2000, lang="it", to="ordinal") == "duemilesimo"
+    assert num2words(1000000, lang="it", to="ordinal") == "milionesimo"
+
+
+def test_num2words_ca_ordinal():
+    assert num2words(1, lang="ca", to="ordinal") == "primer"
+    assert num2words(2, lang="ca", to="ordinal") == "segon"
+    assert num2words(3, lang="ca", to="ordinal") == "tercer"
+    assert num2words(4, lang="ca", to="ordinal") == "quart"
+    assert num2words(5, lang="ca", to="ordinal") == "cinquè"
+    assert num2words(10, lang="ca", to="ordinal") == "desè"
+    assert num2words(11, lang="ca", to="ordinal") == "onzè"
+    assert num2words(19, lang="ca", to="ordinal") == "dinovè"
+    assert num2words(20, lang="ca", to="ordinal") == "vintè"
+    assert num2words(21, lang="ca", to="ordinal") == "vint-i-unè"
+    assert num2words(25, lang="ca", to="ordinal") == "vint-i-cinquè"
+    assert num2words(30, lang="ca", to="ordinal") == "trentè"
+    assert num2words(42, lang="ca", to="ordinal") == "quaranta-dosè"
+    assert num2words(100, lang="ca", to="ordinal") == "centè"
+    assert num2words(200, lang="ca", to="ordinal") == "dos-centè"
+    assert num2words(1000, lang="ca", to="ordinal") == "milè"
+
+
+def test_num2words_pl_ordinal():
+    assert num2words(1, lang="pl", to="ordinal") == "pierwszy"
+    assert num2words(3, lang="pl", to="ordinal") == "trzeci"
+    assert num2words(11, lang="pl", to="ordinal") == "jedenasty"
+    assert num2words(20, lang="pl", to="ordinal") == "dwudziesty"
+    assert num2words(21, lang="pl", to="ordinal") == "dwudziesty pierwszy"
+    assert num2words(42, lang="pl", to="ordinal") == "czterdziesty drugi"
+    assert num2words(100, lang="pl", to="ordinal") == "setny"
+    assert num2words(121, lang="pl", to="ordinal") == "sto dwudziesty pierwszy"
+    assert num2words(200, lang="pl", to="ordinal") == "dwusetny"
+    assert num2words(1000, lang="pl", to="ordinal") == "tysięczny"
+    assert num2words(2000, lang="pl", to="ordinal") == "dwutysięczny"
+    assert num2words(1200, lang="pl", to="ordinal") == "tysiąc dwusetny"
+    assert num2words(1000000, lang="pl", to="ordinal") == "milionowy"
+
+
+def test_num2words_ru_ordinal():
+    assert num2words(1, lang="ru", to="ordinal") == "первый"
+    assert num2words(3, lang="ru", to="ordinal") == "третий"
+    assert num2words(4, lang="ru", to="ordinal") == "четвёртый"
+    assert num2words(11, lang="ru", to="ordinal") == "одиннадцатый"
+    assert num2words(20, lang="ru", to="ordinal") == "двадцатый"
+    assert num2words(21, lang="ru", to="ordinal") == "двадцать первый"
+    assert num2words(40, lang="ru", to="ordinal") == "сороковой"
+    assert num2words(42, lang="ru", to="ordinal") == "сорок второй"
+    assert num2words(100, lang="ru", to="ordinal") == "сотый"
+    assert num2words(121, lang="ru", to="ordinal") == "сто двадцать первый"
+    assert num2words(200, lang="ru", to="ordinal") == "двухсотый"
+    assert num2words(1000, lang="ru", to="ordinal") == "тысячный"
+    assert num2words(2000, lang="ru", to="ordinal") == "двухтысячный"
+    assert num2words(1000000, lang="ru", to="ordinal") == "миллионный"
+    assert num2words(2000000, lang="ru", to="ordinal") == "двухмиллионный"
+
+
+def test_expand_numbers_ordinal_all_languages():
+    # the "42º" form from the reference's docs, per registered-checkpoint
+    # language
+    for lang, want in [
+        ("en", "forty-second"),
+        ("pt", "quadragésimo segundo"),
+        ("de", "zweiundvierzigste"),
+        ("fr", "quarante-deuxième"),
+        ("es", "cuadragésimo segundo"),
+        ("it", "quarantaduesimo"),
+        ("ca", "quaranta-dosè"),
+        ("pl", "czterdziesty drugi"),
+        ("ru", "сорок второй"),
+    ]:
+        assert expand_numbers("42º", language=lang) == want
+
+
+def test_ordinal_rejects_nonpositive():
+    for lang in ("de", "fr", "es", "it", "ca", "pl", "ru"):
+        with pytest.raises(ValueError):
+            num2words(0, lang=lang, to="ordinal")

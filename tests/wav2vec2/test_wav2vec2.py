@@ -282,6 +282,8 @@ def test_flash_train_gate_semantics(monkeypatch):
     custom_vjp.  Eval is gated only by dtype/length/backend."""
     import thunder_tpu.models.wav2vec2 as w2v
 
+    # the 512/768 assertions below assume the default crossover (640)
+    monkeypatch.delenv("THUNDER_FLASH_MIN_SEQ", raising=False)
     monkeypatch.setattr(w2v.jax, "default_backend", lambda: "tpu")
     gate = w2v._use_flash_attention
     # eval: long bf16 sequences on TPU -> flash

@@ -64,6 +64,22 @@ def _check_frontend() -> float:
     return float(jnp.max(jnp.abs(got - want)))
 
 
+def _check_frontend_serving() -> float:
+    """The kernel in its SERVING precision (``dft_precision="auto"`` = the
+    3-pass bf16 DFT split on TPU) vs the exact f32 pipeline — the config the
+    engine actually runs, not just the "highest" validation mode.  The
+    split's documented deviation is <= ~5.4e-3 log-mel units
+    (docs/benchmarks.md); tolerance gives ~4x headroom."""
+    from thunder_tpu.kernels.frontend_pallas import fused_log_mel
+    from thunder_tpu.ops.stft import mel_features, preemphasis
+
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray(rng.standard_normal((4, 16000)).astype(np.float32) * 0.2)
+    got = fused_log_mel(audio, dft_precision="auto")
+    want = mel_features(preemphasis(audio, 0.97), 16000, 512, 160, 320, 64)
+    return float(jnp.max(jnp.abs(got - want)))
+
+
 def _check_separable_conv() -> float:
     """Fused depthwise+pointwise+BN+ReLU vs the XLA ops, bf16-ULP units.
 
@@ -111,15 +127,18 @@ def _check_repeat_tm() -> float:
 
 def _check_beam() -> float:
     """Device Pallas beam vs the XLA scan path: exact hypothesis agreement
-    (returns 0.0 on agreement, inf on any sequence mismatch)."""
+    (returns 0.0 on agreement, inf on any sequence mismatch).  Runs the
+    PRODUCTION serving shape behind the 8.1 ms/batch claim
+    (docs/benchmarks.md): B=64, T=751 frames (15 s QuartzNet), V=29,
+    beam 16."""
     from thunder_tpu.ops.ctc_beam_device import beam_search_device
 
     rng = np.random.default_rng(3)
-    b, t, v = 8, 64, 29
+    b, t, v = 64, 751, 29
     logits = rng.standard_normal((b, t, v)).astype(np.float32)
     logits[:, :, 0] += 2.0  # blank-dominated, like real CTC posteriors
     lengths = np.linspace(t // 2, t, b).astype(np.int32)
-    kw = dict(blank=0, beam_width=8)
+    kw = dict(blank=0, beam_width=16)
     pallas_hyps = beam_search_device(jnp.asarray(logits), jnp.asarray(lengths), use_pallas=True, **kw)
     scan_hyps = beam_search_device(jnp.asarray(logits), jnp.asarray(lengths), use_pallas=False, **kw)
     agree = all(h.tolist() == s.tolist() for h, s in zip(pallas_hyps, scan_hyps))
@@ -163,6 +182,124 @@ def _check_attn_onepanel_1536() -> float:
     return _attn_onepanel_err(b=2, t=1536, heads=12, block_q=512, seed=6)
 
 
+def _attn_train_ref(qkv, lengths, heads, mask=None, keep=1.0):
+    b, t, h3 = qkv.shape
+    h = h3 // 3
+    dh = h // heads
+    q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
+    split = lambda a: a.reshape(b, t, heads, dh)
+    q = split(q) * dh**-0.5
+    s = jnp.einsum("bthd,bshd->bhts", q, split(k), precision="highest")
+    valid = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, None, :]
+    s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        p = p * mask / keep
+    return jnp.einsum("bhts,bshd->bthd", p, split(v), precision="highest").reshape(b, t, h)
+
+
+def _check_attn_train_grad() -> float:
+    """Training attention kernel (custom_vjp) gradient vs autodiff of the f32
+    unfused reference on the same bf16 qkv, bf16-ULP units on the packed
+    [dq|dk|dv] cotangent.  wav2vec2-base train shape (12 heads, T=768);
+    dropout off (the dropout check below covers the masked path)."""
+    from thunder_tpu.kernels.attn_train import mha_train
+
+    rng = np.random.default_rng(8)
+    b, t, heads = 2, 768, 12
+    h = heads * 64
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h)).astype(np.float32) * 0.3, jnp.bfloat16)
+    lengths = jnp.asarray([t, t - 129], jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+    qmask = (jnp.arange(t)[None, :] < lengths[:, None])[:, :, None]
+    ct = jnp.asarray(
+        rng.standard_normal((b, t, h)).astype(np.float32) * np.asarray(qmask), jnp.bfloat16
+    )
+    gk = jax.grad(
+        lambda x: jnp.vdot(mha_train(x, lengths, seed, heads=heads).astype(jnp.float32),
+                           ct.astype(jnp.float32))
+    )(qkv)
+    gr = jax.grad(
+        lambda x: jnp.vdot(_attn_train_ref(x, lengths, heads), ct.astype(jnp.float32))
+    )(qkv.astype(jnp.float32))
+    return ulp_bf16_error(gk.astype(jnp.float32), gr)
+
+
+def _check_attn_train_dropout() -> float:
+    """In-kernel attention-prob dropout, validated end-to-end on chip:
+
+    1. determinism: same seed -> bit-identical output (inf on mismatch);
+    2. the exact dropout mask is RECOVERED by running the kernel with
+       identity-valued v panels (out = P_d directly), then checked to be
+       binary with kept fraction within 5 sigma of 1-rate;
+    3. fwd and custom-vjp grads must match the f32 unfused reference
+       applying that recovered mask — returned in bf16-ULP units.
+    """
+    from thunder_tpu.kernels.attn_train import mha_train
+
+    rng = np.random.default_rng(9)
+    b, t, heads, rate = 2, 128, 2, 0.3
+    h = heads * 64
+    keep = 1.0 - rate
+    q = rng.standard_normal((b, t, h)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, t, h)).astype(np.float32) * 0.3
+    lengths = jnp.full((b,), t, jnp.int32)
+    seed = jnp.asarray([20260821], jnp.int32)
+
+    pd_parts = []
+    for off in (0, 64):
+        v = np.zeros((b, t, h), np.float32)
+        for hh in range(heads):
+            for j in range(64):
+                v[:, off + j, hh * 64 + j] = 1.0
+        qkv = jnp.asarray(np.concatenate([q, k, v], axis=-1), jnp.bfloat16)
+        out = mha_train(qkv, lengths, seed, heads=heads, dropout_rate=rate)
+        out2 = mha_train(qkv, lengths, seed, heads=heads, dropout_rate=rate)
+        if not bool(jnp.all(out == out2)):
+            return float("inf")  # nondeterministic
+        o = np.asarray(out.astype(jnp.float32))
+        pd_parts.append(o.reshape(b, t, heads, 64).transpose(0, 2, 1, 3))
+    p_d = np.concatenate(pd_parts, axis=-1)
+
+    qkv32 = jnp.asarray(np.concatenate([q, k, np.zeros_like(q)], axis=-1), jnp.bfloat16)
+    p_ref = np.asarray(
+        jax.nn.softmax(
+            jnp.einsum(
+                "bthd,bshd->bhts",
+                jnp.split(qkv32.astype(jnp.float32), 3, axis=-1)[0].reshape(b, t, heads, 64) * 64**-0.5,
+                jnp.split(qkv32.astype(jnp.float32), 3, axis=-1)[1].reshape(b, t, heads, 64),
+                precision="highest",
+            ),
+            axis=-1,
+        )
+    )
+    ratio = p_d * keep / np.maximum(p_ref, 1e-9)
+    if float(np.minimum(np.abs(ratio), np.abs(ratio - 1.0)).max()) > 0.05:
+        return float("inf")  # mask not binary
+    n = ratio.size
+    kept = float((ratio > 0.5).mean())
+    if abs(kept - keep) > 5.0 * (keep * rate / n) ** 0.5:
+        return float("inf")  # kept fraction off
+
+    mask = jnp.asarray((ratio > 0.5).astype(np.float32))
+    v = rng.standard_normal((b, t, h)).astype(np.float32) * 0.3
+    qkv = jnp.asarray(np.concatenate([q, k, v], axis=-1), jnp.bfloat16)
+    ct = jnp.asarray(rng.standard_normal((b, t, h)).astype(np.float32), jnp.bfloat16)
+    fwd = mha_train(qkv, lengths, seed, heads=heads, dropout_rate=rate)
+    fwd_ref = _attn_train_ref(qkv, lengths, heads, mask=mask, keep=keep)
+    err_f = ulp_bf16_error(fwd.astype(jnp.float32), fwd_ref)
+    gk = jax.grad(
+        lambda x: jnp.vdot(mha_train(x, lengths, seed, heads=heads, dropout_rate=rate).astype(jnp.float32),
+                           ct.astype(jnp.float32))
+    )(qkv)
+    gr = jax.grad(
+        lambda x: jnp.vdot(_attn_train_ref(x, lengths, heads, mask=mask, keep=keep),
+                           ct.astype(jnp.float32))
+    )(qkv.astype(jnp.float32))
+    err_g = ulp_bf16_error(gk.astype(jnp.float32), gr)
+    return max(err_f, err_g)
+
+
 def _check_add_ln() -> float:
     """Fused add+LayerNorm kernel vs an f32-add + f32-statistics reference,
     bf16-ULP units.
@@ -194,11 +331,14 @@ KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
     # checks (frontend), exact-agreement for beam, bf16 ULPs at the
     # reference's max magnitude for everything bf16-storage-bound.
     "frontend_log_mel": (_check_frontend, 2e-3),  # abs, log-mel units; ~250x headroom
+    "frontend_log_mel_serving": (_check_frontend_serving, 2e-2),  # abs; 3-pass bf16 serving split
     "separable_conv": (_check_separable_conv, 8.0),  # ULPs: bf16-compute reduction order
+    "beam_device": (_check_beam, 0.5),  # exact agreement (0 or inf), production shape
     "repeat_tm": (_check_repeat_tm, 8.0),  # ULPs
-    "beam_device": (_check_beam, 0.5),  # exact agreement (0 or inf)
     "attn_onepanel": (_check_attn_onepanel, 4.0),  # ULPs: one output rounding + softmax order
     "attn_onepanel_1536": (_check_attn_onepanel_1536, 4.0),  # ULPs, 30 s serving shape
+    "attn_train_grad": (_check_attn_train_grad, 8.0),  # ULPs: bf16 ds/prob panels in the bwd matmuls
+    "attn_train_dropout": (_check_attn_train_dropout, 8.0),  # ULPs vs recovered-mask reference (inf = mask/determinism failure)
     "add_ln": (_check_add_ln, 2.0),  # ULPs: one output rounding + f32 reduction order
 }
 

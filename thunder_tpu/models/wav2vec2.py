@@ -351,13 +351,45 @@ def _use_flash_attention(
     custom_vjp, so fwd AND bwd avoid materializing the (B, H, T, T) score
     tensor) EXCEPT when attention-prob dropout is active — dropout needs the
     materialized probabilities, so ``attention_dropout > 0`` falls back to
-    the unfused path in train mode (round-4 training ablation: that fallback
-    costs ~25 ms/step at B=8 x 15 s; set ``attention_dropout=0`` to train on
-    the flash path)."""
+    the unfused path in train mode.  Since round 5 this stock-flash train
+    gate is mostly a FALLBACK: dh=64 configs (every wav2vec2/HuBERT family
+    member) train through ``kernels.attn_train.mha_train`` instead — see
+    ``_use_train_attn`` — which carries in-kernel prob dropout and a
+    one-panel backward, so the dropout>0 restriction here only bites shapes
+    the train kernel rejects."""
     return (
         dtype == jnp.bfloat16
         and not (train and attention_dropout > 0.0)
         and seq_len >= _flash_min_seq()
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _use_train_attn(dtype, train: bool, seq_len: int, cfg: "Wav2Vec2Config") -> bool:
+    """Gate for the one-panel TRAIN attention kernel (kernels/attn_train.py).
+
+    Round-5 measurement (scripts/bench_flash_bwd.py harness, B=16 x T=768,
+    chain-timed): attention fwd+bwd 6.75 ms (stock flash, tuned blocks) ->
+    3.85 ms, and in-kernel prob dropout costs only +4% — so the HF-default
+    ``attention_dropout=0.1`` finetune config rides the fast path instead of
+    the materialized-score fallback.  Bounds: dh must be 64 with an even
+    head count (the head-pair lane packing), and T <= 1536 keeps the
+    backward's full k/v panels + f32 score blocks inside VMEM (covers 30 s
+    audio; longer sequences fall back to stock flash / unfused).  Kill
+    switch: THUNDER_TRAIN_ATTN=0.
+    """
+    import os
+
+    if os.environ.get("THUNDER_TRAIN_ATTN", "1") == "0":
+        return False
+    dh = cfg.hidden_size // cfg.num_attention_heads
+    return (
+        train
+        and dtype == jnp.bfloat16
+        and dh == 64
+        and cfg.num_attention_heads % 2 == 0
+        and seq_len >= _flash_min_seq()
+        and seq_len <= 1536
         and jax.default_backend() == "tpu"
     )
 
@@ -501,6 +533,28 @@ class _Attention(nn.Module):
         # dimension; the HF importer concatenates q/k/v kernels (compat/hf.py)
         qkv = _Dense(3 * h, dtype=self.dtype, name="qkv_proj")(x)
         t = x.shape[1]
+        if (
+            position_bias is None
+            and _use_train_attn(self.dtype, train, t, cfg)
+            and t % 128 == 0
+        ):
+            # One-panel TRAIN kernel (custom_vjp fwd+bwd, in-kernel prob
+            # dropout): q/k/v sliced from the packed (B, T, 3H) GEMM output
+            # and the backward emits the packed [dq|dk|dv] cotangent — see
+            # kernels/attn_train.py and the _use_train_attn measurements.
+            from thunder_tpu.kernels.attn_train import mha_train
+
+            lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+            if cfg.attention_dropout > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            out = mha_train(
+                qkv, lens, seed, heads=heads, dropout_rate=float(cfg.attention_dropout)
+            )
+            return _Dense(h, dtype=self.dtype, name="out_proj")(out)
         if (
             position_bias is None
             and not train  # fwd-only kernel: no vjp — train uses _flash_mha
@@ -791,7 +845,10 @@ class Wav2Vec2Encoder(nn.Module):
         pad_frames = 0
         if (
             not cfg.rel_pos_buckets
-            and _use_flash_attention(self.dtype, train, t_real, cfg.attention_dropout)
+            and (
+                _use_flash_attention(self.dtype, train, t_real, cfg.attention_dropout)
+                or _use_train_attn(self.dtype, train, t_real, cfg)
+            )
             and t_real % 128
         ):
             pad_frames = -(-t_real // 128) * 128 - t_real

@@ -41,7 +41,15 @@ def _scan_unroll() -> int:
     work — so the loop cost is dominated by per-iteration overhead, which
     unrolling amortizes in fwd and in the autodiff transpose.  Kept as an
     env knob because the win is shape- and backend-dependent (A/B'd on chip
-    before changing the default)."""
+    before changing the default).
+
+    TRACE-TIME semantics: the env var is read when a ctc entry point first
+    traces for a given shape, and ``ctc_loss``/``calculate_ctc`` are
+    module-level ``jax.jit`` wrappers whose cache does NOT key on it —
+    changing THUNDER_CTC_UNROLL after the first call in a process is
+    silently ignored for already-compiled shapes.  Set it before the first
+    ctc call (A/B harnesses that must re-trace reach through ``__wrapped__``
+    — scripts/bench_ctc_unroll.py)."""
     import os
 
     return int(os.environ.get("THUNDER_CTC_UNROLL", "1"))

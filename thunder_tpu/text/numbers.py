@@ -3,10 +3,10 @@
 The reference uses the ``num2words`` package
 (`/root/reference/src/thunder/text_processing/preprocess.py:44-68`).  That
 package is not in this image, so spell-out is implemented here for the
-languages of the reference's registered checkpoints: cardinals for
-en/pt/de/fr/es/it/ca/pl/ru (standard orthography, incl. French 70/80/90
-composition, Italian vowel elision, Slavic three-form plural declension),
-ordinals for en/pt (the forms the reference's docs/tests exercise, e.g.
+languages of the reference's registered checkpoints: cardinals AND ordinals
+for en/pt/de/fr/es/it/ca/pl/ru (standard orthography, incl. French 70/80/90
+composition, Italian vowel elision, Slavic three-form plural declension;
+ordinals in the masculine nominative/base forms num2words emits, e.g.
 "42º").  Range: |n| < 10^15 for en/fr/de/it, |n| < 10^12 for pt/es/ca/pl/ru;
 beyond that ``ValueError("number too large")`` — an honest refusal rather
 than a silently wrong spell-out.
@@ -612,6 +612,266 @@ def _ru_cardinal(n: int) -> str:
     return " ".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Ordinals for the remaining registered-checkpoint languages.  The reference
+# expands ordinals ("42º") through num2words for every language
+# (`/root/reference/src/thunder/text_processing/preprocess.py:48-68`); these
+# cover the masculine nominative/base forms num2words emits.
+# ---------------------------------------------------------------------------
+
+
+def _check_ordinal(n: int) -> None:
+    if n <= 0:
+        raise ValueError("ordinal must be positive")
+
+
+def _de_ordinal(n: int) -> str:
+    """German: cardinal + te/ste with erste/dritte/siebte/achte stems; scale
+    nouns fuse and take singular form (einmillionste)."""
+    _check_ordinal(n)
+    card = _de_cardinal(n)
+    for a, b in (
+        ("eine Milliarde", "einmilliard"), (" Milliarden", "milliarden"),
+        ("eine Million", "einmillion"), (" Millionen", "millionen"),
+    ):
+        card = card.replace(a, b)
+    card = card.replace(" ", "")
+    r = n % 100
+    if 1 <= r <= 19:
+        if card.endswith("eins"):
+            return card[:-4] + "erste"
+        if card.endswith("drei"):
+            return card[:-4] + "dritte"
+        if card.endswith("sieben"):
+            return card[:-6] + "siebte"
+        if card.endswith("acht"):
+            return card + "e"
+        return card + "te"
+    # singular scale noun in round ordinals: zweimillionste, einmilliardste
+    if card.endswith("millionen"):
+        card = card[:-2]
+    elif card.endswith("milliarden"):
+        card = card[:-2]
+    return card + "ste"
+
+
+def _fr_ordinal(n: int) -> str:
+    """French: premier for 1, else cardinal + ième with the standard final-
+    letter adjustments (e dropped, cinq->cinqu, neuf->neuv, plural s dropped)."""
+    _check_ordinal(n)
+    if n == 1:
+        return "premier"
+    card = _fr_cardinal(n)
+    if card.endswith("e"):
+        card = card[:-1]
+    elif card.endswith("q"):
+        card = card + "u"
+    elif card.endswith("f"):
+        card = card[:-1] + "v"
+    elif card.endswith("s") and not card.endswith("trois"):
+        card = card[:-1]  # quatre-vingts / deux cents lose the plural s
+    return card + "ième"
+
+
+_ES_ORD_UNITS = [
+    "", "primero", "segundo", "tercero", "cuarto", "quinto", "sexto",
+    "séptimo", "octavo", "noveno",
+]
+_ES_ORD_TENS = [
+    "", "décimo", "vigésimo", "trigésimo", "cuadragésimo", "quincuagésimo",
+    "sexagésimo", "septuagésimo", "octogésimo", "nonagésimo",
+]
+_ES_ORD_HUNDREDS = [
+    "", "centésimo", "ducentésimo", "tricentésimo", "cuadringentésimo",
+    "quingentésimo", "sexcentésimo", "septingentésimo", "octingentésimo",
+    "noningentésimo",
+]
+
+
+def _es_ordinal(n: int) -> str:
+    _check_ordinal(n)
+    parts = []
+    if n >= 10**6:
+        millions, n = divmod(n, 10**6)
+        head = "" if millions == 1 else _es_below_million(millions).replace(" ", "")
+        parts.append(head + "millonésimo")
+    if n >= 1000:
+        thousands, n = divmod(n, 1000)
+        head = "" if thousands == 1 else _es_below_thousand(thousands, apocope=True).replace(" ", "")
+        parts.append(head + "milésimo")
+    if n >= 100:
+        hundreds, n = divmod(n, 100)
+        parts.append(_ES_ORD_HUNDREDS[hundreds])
+    if n == 11:
+        parts.append("undécimo")
+    elif n == 12:
+        parts.append("duodécimo")
+    elif 13 <= n <= 19:
+        unit = _ES_ORD_UNITS[n - 10]
+        # RAE fused forms: decimotercero, decimoséptimo, decimoctavo
+        parts.append(("decim" if unit.startswith("o") else "decimo") + unit)
+    else:
+        if n >= 10:
+            tens, n = divmod(n, 10)
+            parts.append(_ES_ORD_TENS[tens])
+        if n:
+            parts.append(_ES_ORD_UNITS[n])
+    return " ".join(p for p in parts if p)
+
+
+_IT_ORD_UNITS = [
+    "", "primo", "secondo", "terzo", "quarto", "quinto", "sesto", "settimo",
+    "ottavo", "nono", "decimo",
+]
+
+
+def _it_ordinal(n: int) -> str:
+    """Italian: irregular 1-10, else cardinal + esimo with the final vowel
+    dropped (-tré keeps its e unaccented: ventitreesimo; -sei keeps the i)."""
+    _check_ordinal(n)
+    if n <= 10:
+        return _IT_ORD_UNITS[n]
+    if n == 10**6:
+        return "milionesimo"
+    if n == 10**9:
+        return "miliardesimo"
+    card = _it_cardinal(n)
+    for a, b in (
+        ("un miliardo", "unmiliardo"), (" miliardi", "miliardi"),
+        ("un milione", "unmilione"), (" milioni", "milioni"),
+    ):
+        card = card.replace(a, b)
+    if card.endswith("tré"):
+        return card[:-3] + "treesimo"
+    if card.endswith("sei"):
+        return card + "esimo"
+    return card[:-1] + "esimo"
+
+
+_CA_ORD_UNITS = [
+    "", "primer", "segon", "tercer", "quart", "cinquè", "sisè", "setè",
+    "vuitè", "novè", "desè",
+]
+
+
+def _ca_ordinal(n: int) -> str:
+    """Catalan: irregular 1-4, else cardinal + è with final-letter rules
+    (cinc->cinquè, nou->novè, deu->desè, vowels dropped, -cents -> -centè)."""
+    _check_ordinal(n)
+    if n <= 10:
+        return _CA_ORD_UNITS[n]
+    card = _ca_cardinal(n)
+    for a, b in (("un milió", "milion"), (" milions", "milions")):
+        card = card.replace(a, b)
+    if card.endswith("deu"):
+        return card[:-3] + "desè"
+    if card.endswith("nou"):
+        return card[:-2] + "ovè"
+    if card.endswith("cinc"):
+        return card[:-1] + "què"
+    if card.endswith("cents"):
+        return card[:-1] + "è"
+    if card.endswith("milions"):
+        return card[:-1] + "è"
+    if card[-1] in "aeiou":
+        return card[:-1] + "è"
+    return card + "è"
+
+
+_PL_ORD_UNITS = [
+    "", "pierwszy", "drugi", "trzeci", "czwarty", "piąty", "szósty", "siódmy",
+    "ósmy", "dziewiąty", "dziesiąty", "jedenasty", "dwunasty", "trzynasty",
+    "czternasty", "piętnasty", "szesnasty", "siedemnasty", "osiemnasty",
+    "dziewiętnasty",
+]
+_PL_ORD_TENS = [
+    "", "", "dwudziesty", "trzydziesty", "czterdziesty", "pięćdziesiąty",
+    "sześćdziesiąty", "siedemdziesiąty", "osiemdziesiąty", "dziewięćdziesiąty",
+]
+_PL_ORD_HUNDREDS = [
+    "", "setny", "dwusetny", "trzechsetny", "czterechsetny", "pięćsetny",
+    "sześćsetny", "siedemsetny", "osiemsetny", "dziewięćsetny",
+]
+_PL_THOUSAND_PREFIX = [
+    "", "", "dwu", "trzy", "cztero", "pięcio", "sześcio", "siedmio", "ośmio",
+    "dziewięcio",
+]
+
+
+def _pl_ordinal(n: int) -> str:
+    """Polish masculine nominative.  Only the lowest nonzero component takes
+    the ordinal form; everything above it stays cardinal ("sto dwudziesty
+    pierwszy"); round hundreds/thousands use their fused forms."""
+    _check_ordinal(n)
+    r2 = n % 100
+    if r2:
+        prefix = _pl_cardinal(n - r2) + " " if n >= 100 else ""
+        if r2 < 20:
+            return prefix + _PL_ORD_UNITS[r2]
+        tens, unit = divmod(r2, 10)
+        word = _PL_ORD_TENS[tens] + (" " + _PL_ORD_UNITS[unit] if unit else "")
+        return prefix + word
+    r3 = n % 1000
+    if r3:
+        prefix = _pl_cardinal(n - r3) + " " if n >= 1000 else ""
+        return prefix + _PL_ORD_HUNDREDS[r3 // 100]
+    thousands = n // 1000
+    if thousands and n % 10**6 == 0 and n // 10**6 < 10:
+        m = n // 10**6
+        return ("" if m == 1 else _PL_THOUSAND_PREFIX[m]) + "milionowy"
+    if thousands < 10:
+        return ("" if thousands == 1 else _PL_THOUSAND_PREFIX[thousands]) + "tysięczny"
+    # best-effort for large round thousands: cardinal count + tysięczny
+    return _pl_cardinal(thousands) + " tysięczny"
+
+
+_RU_ORD_UNITS = [
+    "", "первый", "второй", "третий", "четвёртый", "пятый", "шестой",
+    "седьмой", "восьмой", "девятый", "десятый", "одиннадцатый",
+    "двенадцатый", "тринадцатый", "четырнадцатый", "пятнадцатый",
+    "шестнадцатый", "семнадцатый", "восемнадцатый", "девятнадцатый",
+]
+_RU_ORD_TENS = [
+    "", "", "двадцатый", "тридцатый", "сороковой", "пятидесятый",
+    "шестидесятый", "семидесятый", "восьмидесятый", "девяностый",
+]
+_RU_ORD_HUNDREDS = [
+    "", "сотый", "двухсотый", "трёхсотый", "четырёхсотый", "пятисотый",
+    "шестисотый", "семисотый", "восьмисотый", "девятисотый",
+]
+_RU_GEN_PREFIX = [
+    "", "", "двух", "трёх", "четырёх", "пяти", "шести", "семи", "восьми",
+    "девяти",
+]
+
+
+def _ru_ordinal(n: int) -> str:
+    """Russian masculine nominative.  Like Polish, only the lowest nonzero
+    component is ordinal ("сто двадцать первый"); round hundreds/thousands/
+    millions take fused genitive-prefix forms (двухтысячный)."""
+    _check_ordinal(n)
+    r2 = n % 100
+    if r2:
+        prefix = _ru_cardinal(n - r2) + " " if n >= 100 else ""
+        if r2 < 20:
+            return prefix + _RU_ORD_UNITS[r2]
+        tens, unit = divmod(r2, 10)
+        if unit:
+            return (_ru_cardinal(n - unit) + " ") + _RU_ORD_UNITS[unit]
+        return prefix + _RU_ORD_TENS[tens]
+    r3 = n % 1000
+    if r3:
+        prefix = _ru_cardinal(n - r3) + " " if n >= 1000 else ""
+        return prefix + _RU_ORD_HUNDREDS[r3 // 100]
+    if n % 10**6 == 0 and n // 10**6 < 10:
+        m = n // 10**6
+        return ("" if m == 1 else _RU_GEN_PREFIX[m]) + "миллионный"
+    thousands = n // 1000
+    if thousands < 10:
+        return ("" if thousands == 1 else _RU_GEN_PREFIX[thousands]) + "тысячный"
+    return _ru_cardinal(thousands) + " тысячный"
+
+
 _CARDINALS = {
     "en": _en_cardinal,
     "pt": _pt_cardinal,
@@ -623,14 +883,24 @@ _CARDINALS = {
     "pl": _pl_cardinal,
     "ru": _ru_cardinal,
 }
-_ORDINALS = {"en": _en_ordinal, "pt": _pt_ordinal}
+_ORDINALS = {
+    "en": _en_ordinal,
+    "pt": _pt_ordinal,
+    "de": _de_ordinal,
+    "fr": _fr_ordinal,
+    "es": _es_ordinal,
+    "it": _it_ordinal,
+    "ca": _ca_ordinal,
+    "pl": _pl_ordinal,
+    "ru": _ru_ordinal,
+}
 
 
 def num2words(number: int, lang: str = "en", to: str = "cardinal") -> str:
     """Spell out ``number`` in ``lang``.
 
-    Cardinals: en, pt, de, fr, es, it, ca, pl, ru (the reference's checkpoint
-    languages).  Ordinals: en, pt (the forms its docs/tests exercise).
+    Cardinals and ordinals: en, pt, de, fr, es, it, ca, pl, ru (the
+    reference's checkpoint languages).
     """
     number = int(number)
     code = lang.split("_")[0].split("-")[0].lower()
