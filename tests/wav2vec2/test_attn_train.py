@@ -94,8 +94,9 @@ def test_train_attn_gate_semantics(monkeypatch):
     # train mode: gated by dtype/backend/shape — on CPU always False
     got = _use_train_attn(jnp.bfloat16, True, 768, cfg)
     assert got is on_tpu
-    # below the crossover and beyond the VMEM bound: off
-    assert _use_train_attn(jnp.bfloat16, True, 512, cfg) is False
+    # short sequences stay ON (round-5 crossover sweep: the kernel wins at
+    # every length down to T=256); beyond the VMEM bound: off
+    assert _use_train_attn(jnp.bfloat16, True, 512, cfg) is on_tpu
     assert _use_train_attn(jnp.bfloat16, True, 2048, cfg) is False
     # f32 path: off
     assert _use_train_attn(jnp.float32, True, 768, cfg) is False

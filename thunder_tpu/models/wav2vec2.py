@@ -372,11 +372,16 @@ def _use_train_attn(dtype, train: bool, seq_len: int, cfg: "Wav2Vec2Config") -> 
     chain-timed): attention fwd+bwd 6.75 ms (stock flash, tuned blocks) ->
     3.85 ms, and in-kernel prob dropout costs only +4% — so the HF-default
     ``attention_dropout=0.1`` finetune config rides the fast path instead of
-    the materialized-score fallback.  Bounds: dh must be 64 with an even
-    head count (the head-pair lane packing), and T <= 1536 keeps the
-    backward's full k/v panels + f32 score blocks inside VMEM (covers 30 s
-    audio; longer sequences fall back to stock flash / unfused).  Kill
-    switch: THUNDER_TRAIN_ATTN=0.
+    the materialized-score fallback.  Unlike the stock-flash serving gate
+    there is NO lower length threshold: the round-5 crossover sweep
+    (constant B*T work, dropout 0.1, fwd+bwd vs the materialized-score
+    path) measured the kernel ahead at every length — T=256: 2.49 vs
+    3.85 ms, T=384: 3.14 vs 5.26, T=512: 2.69 vs 6.91, T=768: 3.28 vs
+    7.87 — so short-utterance (5-10 s) training rides it too.  Bounds: dh
+    must be 64 with an even head count (the head-pair lane packing), and
+    T <= 1536 keeps the backward's full k/v panels + f32 score blocks
+    inside VMEM (covers 30 s audio; longer sequences fall back to stock
+    flash / unfused).  Kill switch: THUNDER_TRAIN_ATTN=0.
     """
     import os
 
@@ -388,8 +393,7 @@ def _use_train_attn(dtype, train: bool, seq_len: int, cfg: "Wav2Vec2Config") -> 
         and dtype == jnp.bfloat16
         and dh == 64
         and cfg.num_attention_heads % 2 == 0
-        and seq_len >= _flash_min_seq()
-        and seq_len <= 1536
+        and 128 <= seq_len <= 1536
         and jax.default_backend() == "tpu"
     )
 
