@@ -62,8 +62,10 @@ PAGES = {
         ("frontend (Pallas)", "thunder_tpu.kernels.frontend_pallas"),
         ("separable conv (Pallas)", "thunder_tpu.kernels.separable_conv"),
         ("attention one-panel (Pallas)", "thunder_tpu.kernels.attn_onepanel"),
+        ("attention train fwd+bwd (Pallas)", "thunder_tpu.kernels.attn_train"),
         ("add + layernorm (Pallas)", "thunder_tpu.kernels.add_ln"),
         ("beam search (Pallas)", "thunder_tpu.kernels.beam_pallas"),
+        ("ctc recursion (Pallas)", "thunder_tpu.kernels.ctc_pallas"),
         ("selftest", "thunder_tpu.kernels.selftest"),
     ],
     "Text Processing": [

@@ -300,6 +300,45 @@ def _check_attn_train_dropout() -> float:
     return max(err_f, err_g)
 
 
+def _check_ctc_recursion() -> float:
+    """Pallas CTC alpha/beta recursion vs the lax.scan reference, compiled
+    on chip at the production training shape (B=16, T=751, V=29): loss must
+    match to f32 reduction-order noise and the custom-vjp gradient must
+    match the scan's autodiff gradient.  Returns the max of (abs loss
+    delta, grad max-abs delta scaled to ~unit gradients)."""
+    import os
+
+    from thunder_tpu.ops import ctc as ctc_mod
+
+    rng = np.random.default_rng(11)
+    b, t, v, l = 16, 751, 29, 43
+    logits = jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32))
+    tl = jnp.asarray(rng.integers(10, l + 1, (b,)), jnp.int32)
+    targets = jnp.asarray(rng.integers(1, v, (b, l)), jnp.int32)
+    lens = jnp.asarray(rng.integers(t // 2, t + 1, (b,)), jnp.int32)
+
+    def loss_fn(x):
+        lp = jax.nn.log_softmax(x, axis=-1)
+        lo = ctc_mod.ctc_forward_scores(lp, lens, targets, tl, blank=0)
+        lo = jnp.where(jnp.isinf(lo), 0.0, lo)
+        return jnp.sum(lo / jnp.maximum(tl, 1))
+
+    prev = os.environ.get("THUNDER_CTC_PALLAS")
+    try:
+        os.environ["THUNDER_CTC_PALLAS"] = "0"
+        l0, g0 = jax.jit(jax.value_and_grad(loss_fn))(logits)
+        os.environ["THUNDER_CTC_PALLAS"] = "1"
+        l1, g1 = jax.jit(jax.value_and_grad(lambda x: loss_fn(x * 1.0)))(logits)
+    finally:
+        if prev is None:
+            os.environ.pop("THUNDER_CTC_PALLAS", None)
+        else:
+            os.environ["THUNDER_CTC_PALLAS"] = prev
+    dl = float(jnp.abs(l0 - l1))
+    dg = float(jnp.max(jnp.abs(g0 - g1)) / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-9))
+    return max(dl, dg)
+
+
 def _check_add_ln() -> float:
     """Fused add+LayerNorm kernel vs an f32-add + f32-statistics reference,
     bf16-ULP units.
@@ -339,6 +378,7 @@ KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
     "attn_onepanel_1536": (_check_attn_onepanel_1536, 4.0),  # ULPs, 30 s serving shape
     "attn_train_grad": (_check_attn_train_grad, 8.0),  # ULPs: bf16 ds/prob panels in the bwd matmuls
     "attn_train_dropout": (_check_attn_train_dropout, 8.0),  # ULPs vs recovered-mask reference (inf = mask/determinism failure)
+    "ctc_recursion": (_check_ctc_recursion, 0.01),  # abs loss delta / rel grad delta vs the scan (measured ~2e-3; f32 order + different bwd algorithm)
     "add_ln": (_check_add_ln, 2.0),  # ULPs: one output rounding + f32 reduction order
 }
 

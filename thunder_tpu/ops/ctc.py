@@ -55,6 +55,20 @@ def _scan_unroll() -> int:
     return int(os.environ.get("THUNDER_CTC_UNROLL", "1"))
 
 
+def _use_pallas_recursion() -> bool:
+    """Route the alpha/beta recursion to the Pallas kernels on TPU.
+
+    Trace-time gate (same caveat as ``_scan_unroll``: the module-level jit
+    wrappers don't key on it — set THUNDER_CTC_PALLAS before the first ctc
+    call in a process).  The scan path is the reference implementation and
+    the CPU/fallback path."""
+    import os
+
+    if os.environ.get("THUNDER_CTC_PALLAS", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _logsumexp3(a, b, c):
     m = jnp.maximum(jnp.maximum(a, b), c)
     return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
@@ -100,6 +114,16 @@ def ctc_forward_scores(
     # Per-state emission scores for every frame: (T, B, S)
     lp_z = jnp.take_along_axis(log_probs, z[:, None, :], axis=2)
     lp_z = jnp.moveaxis(lp_z, 1, 0)
+
+    if _use_pallas_recursion():
+        # VMEM-resident Pallas recursion (kernels/ctc_pallas.py): same math,
+        # custom_vjp backward via the beta recursion; the scan below stays
+        # the reference/fallback.  Trace-time gate, like _scan_unroll.
+        from thunder_tpu.kernels.ctc_pallas import ctc_ll_pallas
+
+        ll = ctc_ll_pallas(lp_z, skip_ok, logit_lengths, target_lengths)
+        loss = -ll
+        return jnp.where(loss > -0.5 * _NEG, jnp.inf, loss)
 
     neg = jnp.asarray(_NEG, log_probs.dtype)
     alpha0 = jnp.full((batch, s_dim), neg, dtype=log_probs.dtype)
