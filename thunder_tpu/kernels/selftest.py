@@ -300,6 +300,51 @@ def _check_attn_train_dropout() -> float:
     return max(err_f, err_g)
 
 
+def _check_add_ln_train() -> float:
+    """Fused train add+dropout+LayerNorm (custom_vjp) vs an f32 reference
+    applying the kernel's own recovered mask (``dropout_keep_mask`` runs the
+    same PRNG stream), bf16-ULP units over fwd + dx/dy (dscale/dbias are
+    f32 accumulations, checked at a tight absolute-relative bound)."""
+    from thunder_tpu.kernels.add_ln_train import add_ln_dropout_train, dropout_keep_mask
+
+    rng = np.random.default_rng(12)
+    b, t, d, rate = 2, 512, 768, 0.1
+    x = jnp.asarray(rng.standard_normal((b, t, d)) * 2.0, jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((b, t, d)), jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal(d).astype(np.float32) + 1.0)
+    bias = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    seed = jnp.asarray([20260821], jnp.int32)
+    ct = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32), jnp.bfloat16)
+    mask = dropout_keep_mask((b, t, d), seed, rate)
+
+    def ref(x, y, scale, bias):
+        yd = y.astype(jnp.float32) * mask / (1.0 - rate)
+        s = x.astype(jnp.float32) + yd
+        mu = jnp.mean(s, axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, jnp.mean(s * s, axis=-1, keepdims=True) - mu * mu)
+        return (s - mu) * (jax.lax.rsqrt(var + 1e-5) * scale) + bias
+
+    out = add_ln_dropout_train(x, y, scale, bias, seed, dropout_rate=rate)
+    want = ref(x, y, scale, bias)
+    err = ulp_bf16_error(out.astype(jnp.float32), want)
+    gk = jax.grad(
+        lambda *a: jnp.vdot(
+            add_ln_dropout_train(*a, seed, dropout_rate=rate).astype(jnp.float32),
+            ct.astype(jnp.float32),
+        ),
+        argnums=(0, 1, 2, 3),
+    )(x, y, scale, bias)
+    gr = jax.grad(
+        lambda *a: jnp.vdot(ref(*a), ct.astype(jnp.float32)), argnums=(0, 1, 2, 3)
+    )(x.astype(jnp.float32), y.astype(jnp.float32), scale, bias)
+    err = max(err, ulp_bf16_error(gk[0].astype(jnp.float32), gr[0]))
+    err = max(err, ulp_bf16_error(gk[1].astype(jnp.float32), gr[1]))
+    for a, b_ in ((gk[2], gr[2]), (gk[3], gr[3])):  # f32 param grads, relative
+        rel = float(jnp.max(jnp.abs(a - b_)) / jnp.maximum(jnp.max(jnp.abs(b_)), 1e-9))
+        err = max(err, rel * 100.0)  # 1% rel -> 1.0 in gate units
+    return err
+
+
 def _check_ctc_recursion() -> float:
     """Pallas CTC alpha/beta recursion vs the lax.scan reference, compiled
     on chip at the production training shape (B=16, T=751, V=29): loss must
@@ -379,6 +424,7 @@ KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
     "attn_train_grad": (_check_attn_train_grad, 8.0),  # ULPs: bf16 ds/prob panels in the bwd matmuls
     "attn_train_dropout": (_check_attn_train_dropout, 8.0),  # ULPs vs recovered-mask reference (inf = mask/determinism failure)
     "ctc_recursion": (_check_ctc_recursion, 0.01),  # abs loss delta / rel grad delta vs the scan (measured ~2e-3; f32 order + different bwd algorithm)
+    "add_ln_train": (_check_add_ln_train, 8.0),  # ULPs (fwd, dx, dy) / percent-rel (dscale, dbias) vs recovered-mask f32 reference
     "add_ln": (_check_add_ln, 2.0),  # ULPs: one output rounding + f32 reduction order
 }
 

@@ -398,6 +398,26 @@ def _use_train_attn(dtype, train: bool, seq_len: int, cfg: "Wav2Vec2Config") -> 
     )
 
 
+def _use_fused_add_ln_train(dtype, train: bool, rows: int, d: int) -> bool:
+    """Gate for the TRAIN-side fused add+dropout+LayerNorm
+    (kernels/add_ln_train.py, custom_vjp fwd+bwd).  Covers the two
+    post-norm residual-LN sites per layer; the hidden-state dropout that HF
+    applies before each of them runs in-kernel (Mosaic PRNG), so the
+    separate mask tensors' HBM churn disappears from both passes.  Kill
+    switch: THUNDER_FUSED_ADDLN_TRAIN=0."""
+    import os
+
+    if os.environ.get("THUNDER_FUSED_ADDLN_TRAIN", "1") == "0":
+        return False
+    return (
+        dtype == jnp.bfloat16
+        and train
+        and rows % 256 == 0
+        and d % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _use_fused_add_ln(dtype, train: bool, rows: int, d: int) -> bool:
     """Fused residual-add+LayerNorm on the TPU bf16 inference path.
 
@@ -421,25 +441,45 @@ def _use_fused_add_ln(dtype, train: bool, rows: int, d: int) -> bool:
 
 
 class _AddLayerNorm(nn.Module):
-    """``LayerNorm(x + y)`` with the same param tree as ``nn.LayerNorm``.
+    """``LayerNorm(x + dropout(y))`` with the same param tree as ``nn.LayerNorm``.
 
-    Serving (bf16, eval, TPU) routes to the one-pass Pallas kernel; every
-    other path runs math bit-identical to flax's ``nn.LayerNorm`` applied to
+    Serving (bf16, eval, TPU) routes to the one-pass Pallas kernel; training
+    (bf16, TPU) routes to the custom_vjp fused kernel with IN-KERNEL
+    dropout on ``y`` (kernels/add_ln_train.py); every other path applies
+    ``nn.Dropout`` then math bit-identical to flax's ``nn.LayerNorm`` on
     ``x + y`` (f32 fast-variance statistics, ``(x-mu) * (rsqrt(var+eps) *
     scale) + bias`` in f32, cast to the compute dtype) — pinned by
-    tests/wav2vec2/test_add_ln.py."""
+    tests/wav2vec2/test_add_ln.py.  ``dropout_rate=0`` (the default)
+    reproduces the old plain add+LN exactly."""
 
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, y: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, y: jax.Array, train: bool = False, dropout_rate: float = 0.0
+    ) -> jax.Array:
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
+        if _use_fused_add_ln_train(self.dtype, train, rows, d):
+            from thunder_tpu.kernels.add_ln_train import add_ln_dropout_train
+
+            rate = float(dropout_rate) if train else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return add_ln_dropout_train(
+                x, y, scale, bias, seed, dropout_rate=rate, eps=self.epsilon
+            )
+        if dropout_rate > 0.0:
+            y = nn.Dropout(rate=dropout_rate, deterministic=not train)(y)
         if _use_fused_add_ln(self.dtype, train, rows, d):
             from thunder_tpu.kernels.add_ln import add_layer_norm
 
@@ -723,13 +763,19 @@ class _EncoderLayer(nn.Module):
                 x = x + a
             return x
         add_ln = lambda name: _AddLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
+        # hidden-state dropout on the residual branch is handled INSIDE
+        # _AddLayerNorm (in-kernel on the fused train path, nn.Dropout
+        # otherwise) — same semantics as the previous drop(...) wrapping
         x = add_ln("layer_norm")(
-            x, drop(attn(x, key_mask, train=train, position_bias=position_bias)), train=train
+            x,
+            attn(x, key_mask, train=train, position_bias=position_bias),
+            train=train,
+            dropout_rate=cfg.hidden_dropout,
         )
         y = _Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
         y = gelu(y, self.dtype)
-        y = drop(_Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y))
-        return add_ln("final_layer_norm")(x, y, train=train)
+        y = _Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(y)
+        return add_ln("final_layer_norm")(x, y, train=train, dropout_rate=cfg.hidden_dropout)
 
 
 class Wav2Vec2Encoder(nn.Module):
