@@ -41,6 +41,9 @@ int tn_load_wav(const char* path, TnAudio* out) {
     fclose(f);
     return -2;
   }
+  fseek(f, 0, SEEK_END);
+  const long fsize = ftell(f);
+  fseek(f, 12, SEEK_SET);
   uint16_t fmt = 0, channels = 0, bits = 0;
   uint32_t rate = 0;
   bool have_fmt = false;
@@ -51,6 +54,9 @@ int tn_load_wav(const char* path, TnAudio* out) {
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
     if (!memcmp(chunk, "fmt ", 4)) {
+      // the spec's fmt chunk is 16/18/40 bytes; a corrupt size field must
+      // neither drive a huge allocation nor an out-of-bounds field read
+      if (size < 16 || size > 4096) { fclose(f); return -3; }
       std::vector<uint8_t> fbuf(size);
       if (read_exact(f, fbuf.data(), size)) { fclose(f); return -3; }
       memcpy(&fmt, fbuf.data(), 2);
@@ -62,15 +68,22 @@ int tn_load_wav(const char* path, TnAudio* out) {
       if (size & 1) fseek(f, 1, SEEK_CUR);
     } else if (!memcmp(chunk, "data", 4)) {
       if (!have_fmt) { fclose(f); return -4; }
-      raw.resize(size);
-      if (read_exact(f, raw.data(), size)) { fclose(f); return -5; }
+      // clamp a lying data-size field to the bytes actually present so a
+      // truncated file decodes its real payload (the python parser's
+      // semantics) instead of allocating the claimed size
+      const long pos = ftell(f);
+      uint64_t avail = (pos >= 0 && fsize > pos) ? (uint64_t)(fsize - pos) : 0;
+      uint64_t want = size < avail ? size : avail;
+      raw.resize(want);
+      if (want && read_exact(f, raw.data(), want)) { fclose(f); return -5; }
       break;
     } else {
       fseek(f, size + (size & 1), SEEK_CUR);
     }
   }
   fclose(f);
-  if (!have_fmt || raw.empty() || channels == 0 || bits == 0) return -6;
+  if (!have_fmt || raw.empty() || channels == 0) return -6;
+  if (bits != 8 && bits != 16 && bits != 24 && bits != 32 && bits != 64) return -6;
 
   const int bytes = bits / 8;
   const int64_t frames = (int64_t)raw.size() / (channels * bytes);
@@ -125,6 +138,7 @@ int tn_wav_info(const char* path, int64_t* frames, int32_t* rate, int32_t* chann
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
     if (!memcmp(chunk, "fmt ", 4)) {
+      if (size < 16 || size > 4096) { fclose(f); return -3; }  // see tn_load_wav
       std::vector<uint8_t> fbuf(size);
       if (read_exact(f, fbuf.data(), size)) { fclose(f); return -3; }
       memcpy(&ch, fbuf.data() + 2, 2);
@@ -134,7 +148,8 @@ int tn_wav_info(const char* path, int64_t* frames, int32_t* rate, int32_t* chann
       if (size & 1) fseek(f, 1, SEEK_CUR);
     } else if (!memcmp(chunk, "data", 4)) {
       fclose(f);
-      if (!have_fmt || ch == 0 || b == 0) return -4;
+      if (!have_fmt || ch == 0) return -4;
+      if (b != 8 && b != 16 && b != 24 && b != 32 && b != 64) return -4;
       *frames = (int64_t)size / (ch * (b / 8));
       *rate = (int32_t)r;
       *channels = ch;

@@ -41,7 +41,11 @@ def _parse_wav_header(path: str) -> Tuple[AudioInfo, int, int, int]:
                 raise ValueError(f"no data chunk found in {path}")
             chunk_id, size = header[:4], struct.unpack("<I", header[4:])[0]
             if chunk_id == b"fmt ":
+                if size < 16 or size > 4096:  # spec: 16/18/40 bytes
+                    raise ValueError(f"corrupt fmt chunk size {size} in {path}")
                 fmt = f.read(size)
+                if len(fmt) < 16:
+                    raise ValueError(f"truncated fmt chunk in {path}")
                 if size % 2:
                     f.read(1)
             elif chunk_id == b"data":
@@ -51,6 +55,10 @@ def _parse_wav_header(path: str) -> Tuple[AudioInfo, int, int, int]:
                 bits = struct.unpack("<H", fmt[14:16])[0]
                 if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
                     audio_format = struct.unpack("<H", fmt[24:26])[0]
+                if channels == 0 or bits not in (8, 16, 24, 32, 64):
+                    raise ValueError(
+                        f"unsupported WAV fmt: channels={channels} bits={bits} in {path}"
+                    )
                 frames = size // (channels * (bits // 8))
                 return AudioInfo(rate, frames, channels, bits), f.tell(), size, audio_format
             else:

@@ -70,9 +70,18 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    # make semantics: an edited csrc must win over a cached .so
+    try:
+        return _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def _load():
-    if not _LIB_PATH.exists() and not _build():
-        raise ImportError("thunder_tpu native library unavailable (build failed)")
+    if (not _LIB_PATH.exists() or _stale()) and not _build():
+        if not _LIB_PATH.exists():
+            raise ImportError("thunder_tpu native library unavailable (build failed)")
     lib = ctypes.CDLL(str(_LIB_PATH))
     # probe the NEWEST symbol: a stale .so from an older source revision must
     # rebuild once so missing symbols surface as ImportError (callers'
