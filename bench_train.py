@@ -4,9 +4,11 @@ driver-consumed inference RTF).
 Measures full CTC training steps as steps/sec, audio-sec/sec, and MFU.
 Prints one JSON line.
 
-Two models:
+Three models:
   --model quartznet  (default) frontend + QuartzNet15x5 (bf16 compute,
                      f32 params) + CTC loss + backward + AdamW
+  --model citrinet   80-mel frontend + Citrinet-256 (21-block gamma=8
+                     body, squeeze-excite) + CTC loss + backward + AdamW
   --model wav2vec2   the HF finetune path (reference
                      `huggingface/compatibility.py:65-112`): waveform
                      normalize + wav2vec2-base encoder + linear CTC head.
@@ -42,6 +44,39 @@ def _build_quartznet(jnp, dtype, tt):
     )
 
 
+def _build_citrinet(jnp, dtype, tt):
+    import jax
+
+    from thunder_tpu.audio import FilterbankFeatures
+    from thunder_tpu.flops import (
+        CITRINET_256_FILTERS,
+        CITRINET_256_KERNELS,
+        CITRINET_256_STRIDES,
+    )
+    from thunder_tpu.models import CitrinetEncoder, Conv1dDecoder
+    from thunder_tpu.module import CTCModule
+
+    # Citrinet-256: 80-mel frontend, 21-block gamma=8 body, 640ch tail
+    # (the reference builds this from the NeMo config via
+    # `citrinet/compatibility.py:54-111`; shapes here are the published
+    # stt_en_citrinet_256 architecture)
+    return CTCModule.create(
+        jax.random.PRNGKey(0),
+        audio_transform=FilterbankFeatures(nfilt=80, num_time_masks=2, num_freq_masks=2),
+        encoder=CitrinetEncoder(
+            filters=CITRINET_256_FILTERS,
+            kernel_sizes=CITRINET_256_KERNELS,
+            strides=CITRINET_256_STRIDES,
+            feat_in=80,
+            dtype=dtype,
+            dropout=0.1,
+        ),
+        decoder=Conv1dDecoder(num_classes=tt.num_tokens, dtype=dtype),
+        text_transform=tt,
+        sample_len=16000,
+    )
+
+
 def _build_wav2vec2(jnp, dtype, tt, freeze_extractor: bool, remat: bool, attn_dropout: float):
     import jax
 
@@ -70,7 +105,9 @@ def _build_wav2vec2(jnp, dtype, tt, freeze_extractor: bool, remat: bool, attn_dr
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", choices=("quartznet", "wav2vec2"), default="quartznet")
+    parser.add_argument(
+        "--model", choices=("quartznet", "citrinet", "wav2vec2"), default="quartznet"
+    )
     parser.add_argument("--batch", type=int, default=0, help="0 = model default")
     parser.add_argument("--seconds", type=float, default=15.0)
     parser.add_argument("--iters", type=int, default=0, help="0 = default")
@@ -116,6 +153,9 @@ def main():
     tt = BatchTextTransformer(tokens=list("abcdefghijklmnopqrstuvwxyz '"))
     if args.model == "quartznet":
         module = _build_quartznet(jnp, dtype, tt)
+        batch = args.batch or (16 if on_tpu else 2)
+    elif args.model == "citrinet":
+        module = _build_citrinet(jnp, dtype, tt)
         batch = args.batch or (16 if on_tpu else 2)
     else:
         module = _build_wav2vec2(
@@ -171,6 +211,7 @@ def main():
     steps_per_sec = iters * K / elapsed
 
     from thunder_tpu.flops import (
+        citrinet_train_flops,
         mfu,
         peak_flops,
         quartznet_train_flops,
@@ -180,6 +221,9 @@ def main():
     if args.model == "quartznet":
         step_flops = quartznet_train_flops(samples, batch=batch, repeat_blocks=3)
         metric = "train_step_throughput_quartznet15x5"
+    elif args.model == "citrinet":
+        step_flops = citrinet_train_flops(samples, batch=batch, num_classes=tt.num_tokens)
+        metric = "train_step_throughput_citrinet256"
     else:
         step_flops = wav2vec2_train_flops(
             samples,

@@ -34,6 +34,9 @@ __all__ = [
     "quartznet_forward_flops",
     "quartznet_forward_flops_split",
     "quartznet_train_flops",
+    "citrinet_forward_flops",
+    "citrinet_forward_flops_split",
+    "citrinet_train_flops",
     "wav2vec2_forward_flops",
     "xla_flops",
     "peak_flops",
@@ -153,6 +156,88 @@ def quartznet_train_flops(samples: int, *, batch: int = 1, hop_length: int = 160
     frames = samples // hop_length + 1
     return 3 * quartznet_forward_flops(frames, batch=batch, **kw) + filterbank_flops(
         samples, hop_length=hop_length, batch=batch
+    )
+
+
+# Citrinet-256 body: three megablocks (6 + 7 + 8 blocks), stride 2 on the
+# first block of each, 256 channels throughout (the per-block
+# (filters, kernel, stride) layout the reference's builder consumes,
+# `citrinet/blocks.py:219-255`; kernel progression per the Citrinet paper's
+# gamma=8 configuration).
+CITRINET_256_FILTERS = (256,) * 21
+CITRINET_256_KERNELS = (
+    11, 13, 15, 17, 19, 21,
+    13, 15, 17, 19, 21, 23, 25,
+    25, 27, 29, 31, 33, 35, 37, 39,
+)
+CITRINET_256_STRIDES = tuple(2 if i in (0, 6, 13) else 1 for i in range(21))
+
+
+def citrinet_forward_flops_split(
+    frames: int,
+    *,
+    feat_in: int = 80,
+    filters=CITRINET_256_FILTERS,
+    kernel_sizes=CITRINET_256_KERNELS,
+    strides=CITRINET_256_STRIDES,
+    repeat: int = 5,
+    se_reduction_ratio: int = 8,
+    num_classes: int = 1025,
+    batch: int = 1,
+) -> tuple:
+    """``(depthwise_flops, mxu_flops)`` split of the Citrinet forward.
+
+    Mirrors ``models/citrinet.py`` exactly: separable SE stem (k=5, 256ch,
+    stride 1), per-(filters, kernel, stride) body blocks of ``repeat``
+    separable convs with the stride on the LAST repeat only + 1x1 residual
+    + squeeze-excite, then the k=41 640ch SE tail block and the 1x1 CTC
+    decoder.  Same depthwise/MXU roofline split as
+    :func:`quartznet_forward_flops_split`; the squeeze-excite matmuls are
+    one token per block (pooled), counted on the MXU side.
+    """
+
+    def se(c):
+        r = max(c // se_reduction_ratio, 1)
+        return dense_flops(c, r) + dense_flops(r, c)
+
+    dw = 0
+    mxu = 0
+    t = frames
+    # stem: k=5, separable, 256ch, SE, no residual, stride 1
+    dw += conv1d_flops(5, feat_in, feat_in, t, groups=feat_in)
+    mxu += conv1d_flops(1, feat_in, 256, t) + se(256)
+    c = 256
+    for f, k, s in zip(filters, kernel_sizes, strides):
+        c_in_block = c
+        for r in range(repeat):
+            t_out = _conv_t_out(t, s) if r == repeat - 1 else t
+            dw += conv1d_flops(k, c, c, t_out, groups=c)
+            mxu += conv1d_flops(1, c, f, t_out)
+            c, t = f, t_out
+        mxu += conv1d_flops(1, c_in_block, f, t) + se(f)
+    # tail: k=41, 640ch, separable, SE, no residual
+    dw += conv1d_flops(41, c, c, t, groups=c)
+    mxu += conv1d_flops(1, c, 640, t) + se(640)
+    c = 640
+    mxu += conv1d_flops(1, c, num_classes, t)  # decoder
+    return batch * dw, batch * mxu
+
+
+def citrinet_forward_flops(frames: int, **kw) -> int:
+    """Analytic conv + matmul FLOPs of the Citrinet encoder + CTC decoder
+    (defaults are the Citrinet-256 configuration)."""
+    dw, mxu = citrinet_forward_flops_split(frames, **kw)
+    return dw + mxu
+
+
+def citrinet_train_flops(
+    samples: int, *, batch: int = 1, hop_length: int = 160, nfilt: int = 80, **kw
+) -> int:
+    """Train-step model FLOPs: 3x the trainable path + 1x the (parameter-free,
+    stop-gradiented) 80-mel frontend."""
+    frames = samples // hop_length + 1
+    return 3 * citrinet_forward_flops(frames, batch=batch, **kw) + filterbank_flops(
+        samples, hop_length=hop_length, nfilt=nfilt, batch=batch
     )
 
 
