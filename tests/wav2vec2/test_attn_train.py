@@ -71,6 +71,25 @@ def test_block_q_variants_agree(case):
     assert float(err) < 1e-5
 
 
+def test_block_q_bwd_variants_agree(case):
+    # the backward may tile q differently than the forward (at t > 1024 its
+    # VMEM cap is 128 while the forward runs 256); the custom-vjp gradients
+    # must be invariant to that tiling choice
+    qkv, lengths, heads, _, ct = case
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def g(bqb):
+        return jax.grad(
+            lambda x: jnp.vdot(
+                mha_train(x, lengths, seed, heads=heads, block_q_bwd=bqb, interpret=True), ct
+            )
+        )(qkv)
+
+    a, b = g(128), g(256)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+    assert float(jnp.max(jnp.abs(a))) > 1e-3
+
+
 def test_argument_validation(case):
     qkv, lengths, heads, _, _ = case
     seed = jnp.zeros((1,), jnp.int32)

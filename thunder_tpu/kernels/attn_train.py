@@ -25,8 +25,9 @@ are BlockSpec-sliced straight from the packed ``(B, T, 3H)`` qkv GEMM output
 qkv GEMM's weight/input grads consume it with zero layout work).
 
 Dropout runs IN-KERNEL with the Mosaic PRNG, seeded per
-``(seed, batch, head_pair, q_block)`` — stateless and identical across the
-forward and backward kernels, so the mask is regenerated, never stored
+``(seed, batch, head_pair, 128-row q slab)`` — stateless and invariant to
+the fwd/bwd q-block tilings (which differ at long T), so the mask is
+regenerated bit-identically in the backward, never stored
 (an (B, H, T, T) mask tensor would be 54 GB at the train shape).  The
 backward identity ``rowsum(P (.) dP) = rowsum(dO (.) O)`` survives dropout
 (with ``P_d = P (.) M/keep``: ``rowsum(P (.) dP) = rowsum(P_d (.) dP_d) =
@@ -66,27 +67,65 @@ def _dot_tn(a, b):  # (k, m) x (k, n) -> (m, n)  (contract sublane dim)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
-def _dropout_keep_masks(seed, b, hp, qb, shape, rate):
-    """Two deterministic keep masks (head lo, head hi) for one q block.
+#: dropout masks are generated in fixed slabs of this many query rows,
+#: keyed on the ABSOLUTE slab index — NOT on the kernel's q-block index —
+#: so the forward and backward regenerate bit-identical bits even when they
+#: tile the q dimension differently (at t > 1024 the forward runs bq=256
+#: while the backward's VMEM cap is bq=128; keying on the q-block index
+#: made the backward apply a different mask than the forward, caught by the
+#: block_q_bwd invariance check in tests/wav2vec2/test_attn_train.py)
+_MASK_ROWS = 128
 
-    Seeded on ``(seed, block_index)`` (Mosaic allows at most two seed words,
-    so batch/head-pair/q-block fold into one unique integer) and generated in
-    a fixed order/shape, so the backward regenerates bit-identical masks.
-    uint32 bits -> [0, 1) floats via the top 23 bits (exact in f32); keep
-    where u >= rate.
+
+def _dropout_keep_masks(seed, b, hp, row0, shape, rate):
+    """Two deterministic keep masks (head lo, head hi) for q rows
+    ``[row0, row0 + shape[0])``.
+
+    Each 128-row slab is seeded on ``(seed, slab_index)`` (Mosaic allows at
+    most two seed words, so batch/head-pair/row-slab fold into one unique
+    integer) and drawn in a fixed order/shape, so ANY q-block tiling of the
+    callers regenerates bit-identical masks.  uint32 bits -> [0, 1) floats
+    via the top 23 bits (exact in f32); keep where u >= rate.
     """
-    block = (b * pl.num_programs(1) + hp) * 4096 + qb
-    pltpu.prng_seed(seed, block)
+    bq, t = shape
 
     def uniform01():
         # logical shift needs unsigned bits (prng_random_bits returns int32;
         # an arithmetic >> would sign-extend and skew the distribution)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((_MASK_ROWS, t)), jnp.uint32)
         # logical shift leaves 23 bits; go back through int32 for the f32
         # cast (Mosaic has no uint32 -> f32 conversion)
         return pltpu.bitcast(bits >> 9, jnp.int32).astype(jnp.float32) * (2.0**-23)
 
-    return uniform01() >= rate, uniform01() >= rate
+    # generate every 128-row slab the block touches, then slice the block
+    # out.  row0 is a traced program_id product in the forward (where bq is
+    # always a multiple of 128, so blocks are slab-aligned) and a python int
+    # in the backward's unrolled q loop (where odd bq like 192 may split a
+    # slab).
+    if isinstance(row0, int):
+        slab0 = row0 // _MASK_ROWS
+        nslab = (row0 + bq + _MASK_ROWS - 1) // _MASK_ROWS - slab0
+        off = row0 - slab0 * _MASK_ROWS
+    else:
+        if bq % _MASK_ROWS:
+            raise ValueError(
+                f"dropout q blocks must be multiples of {_MASK_ROWS} rows "
+                f"when the row offset is dynamic, got {bq}"
+            )
+        slab0 = row0 // _MASK_ROWS  # traced; prng_seed accepts dynamic ints
+        nslab = bq // _MASK_ROWS
+        off = 0
+    lo_parts, hi_parts = [], []
+    for i in range(nslab):
+        pltpu.prng_seed(seed, (b * pl.num_programs(1) + hp) * 4096 + slab0 + i)
+        lo_parts.append(uniform01() >= rate)
+        hi_parts.append(uniform01() >= rate)
+    lo = lo_parts[0] if nslab == 1 else jnp.concatenate(lo_parts, 0)
+    hi = hi_parts[0] if nslab == 1 else jnp.concatenate(hi_parts, 0)
+    if off or lo.shape[0] != bq:
+        lo = jax.lax.slice_in_dim(lo, off, off + bq, axis=0)
+        hi = jax.lax.slice_in_dim(hi, off, off + bq, axis=0)
+    return lo, hi
 
 
 def _addmask(lens_b, bq_rows, t):
@@ -117,8 +156,33 @@ def _fwd_kernel(seed_ref, lens_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, t, 
 
     p_lo, z_lo = expm(s_lo)
     p_hi, z_hi = expm(s_hi)
+    bq = q.shape[0]
+    if rate > 0.0 and t > 1024 and bq > _MASK_ROWS:
+        # per-128-row-slab masking with direct output stores: each slab's
+        # mask is generated at shape (128, t) (one PRNG seed, no concatenate
+        # — measured 6.03 vs 6.50 ms/chain at T=1536 against materializing
+        # the (256, t) mask) and the p @ v matmul splits into per-slab
+        # halves of identical total FLOPs.  At t <= 1024 the concatenated
+        # mask is cheaper (4.46 vs 4.67 at T=768), so this path gates on t.
+        # Both paths consume identical slab-keyed bits.  The 1/keep dropout
+        # scale folds into the deferred softmax division.
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, (_MASK_ROWS, v.shape[1]), 1)
+        row_slice = lambda a, r0: jax.lax.slice_in_dim(a, r0, r0 + _MASK_ROWS, axis=0)
+        for i in range(bq // _MASK_ROWS):
+            r0 = i * _MASK_ROWS
+            keep_lo, keep_hi = _dropout_keep_masks(
+                seed_ref[0], b, hp, qb * bq + r0, (_MASK_ROWS, t), rate
+            )
+            pl_i = jnp.where(keep_lo, row_slice(p_lo, r0), jnp.zeros((), p_lo.dtype))
+            ph_i = jnp.where(keep_hi, row_slice(p_hi, r0), jnp.zeros((), p_hi.dtype))
+            o_lo = _dot_nn(pl_i, v) / (row_slice(z_lo, r0) * (1.0 - rate))
+            o_hi = _dot_nn(ph_i, v) / (row_slice(z_hi, r0) * (1.0 - rate))
+            o_ref[0, pl.ds(r0, _MASK_ROWS), :] = jnp.where(lane_o < 64, o_lo, o_hi).astype(o_ref.dtype)
+        return
     if rate > 0.0:
-        keep_lo, keep_hi = _dropout_keep_masks(seed_ref[0], b, hp, qb, p_lo.shape, rate)
+        keep_lo, keep_hi = _dropout_keep_masks(
+            seed_ref[0], b, hp, qb * bq, p_lo.shape, rate
+        )
         p_lo = jnp.where(keep_lo, p_lo, jnp.zeros_like(p_lo))
         p_hi = jnp.where(keep_hi, p_hi, jnp.zeros_like(p_hi))
         # fold the 1/keep dropout scale into the deferred softmax division
@@ -178,7 +242,7 @@ def _bwd_kernel(
         dp_hi = _dot_nt(do, v_hi)
         if rate > 0.0:
             keep_lo, keep_hi = _dropout_keep_masks(
-                seed_ref[0], b, hp, qb, (bq, t), rate
+                seed_ref[0], b, hp, qb * bq, (bq, t), rate
             )
             dpm_lo = jnp.where(keep_lo, dp_lo * inv_keep, 0.0)
             dpm_hi = jnp.where(keep_hi, dp_hi * inv_keep, 0.0)
@@ -232,6 +296,8 @@ def _fwd_call(qkv, lengths, seed, heads, rate, block_q, interpret):
     pairs = heads // 2
     dh = h // heads
     bq = _pick_bq(block_q, t)
+    if rate > 0.0 and bq % 128:
+        bq = _pick_bq(128, t)  # the per-slab dropout path needs 128-row tiles
     kernel = functools.partial(_fwd_kernel, sm_scale=dh**-0.5, t=t, rate=rate)
     return pl.pallas_call(
         kernel,
@@ -250,13 +316,17 @@ def _fwd_call(qkv, lengths, seed, heads, rate, block_q, interpret):
     )(seed, lengths, qkv, qkv, qkv)
 
 
-def _bwd_call(qkv, o, do, lengths, seed, heads, rate, block_q, interpret):
+def _bwd_call(qkv, o, do, lengths, seed, heads, rate, block_q, interpret, block_q_bwd=None):
     b, t, h3 = qkv.shape
     h = h3 // 3
     pairs = heads // 2
     dh = h // heads
     # smaller q blocks at long T keep the f32 score/ds panels inside VMEM
-    bq = _pick_bq(block_q if t <= 1024 else min(block_q, 128), t)
+    # (the T=1536 sweep in scripts/bench_attn_train_long.py confirmed 128 as
+    # the optimum there; block_q_bwd overrides for experiments)
+    if block_q_bwd is None:
+        block_q_bwd = block_q if t <= 1024 else min(block_q, 128)
+    bq = _pick_bq(block_q_bwd, t)
     kernel = functools.partial(_bwd_kernel, sm_scale=dh**-0.5, t=t, bq=bq, rate=rate)
     grid = (b, pairs)
     panel = lambda which: pl.BlockSpec(
@@ -295,19 +365,22 @@ def _bwd_call(qkv, o, do, lengths, seed, heads, rate, block_q, interpret):
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _mha_train(qkv, lengths, seed, heads, rate, block_q, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _mha_train(qkv, lengths, seed, heads, rate, block_q, interpret, block_q_bwd):
     return _fwd_call(qkv, lengths, seed, heads, rate, block_q, interpret)
 
 
-def _mha_train_fwd(qkv, lengths, seed, heads, rate, block_q, interpret):
+def _mha_train_fwd(qkv, lengths, seed, heads, rate, block_q, interpret, block_q_bwd):
     o = _fwd_call(qkv, lengths, seed, heads, rate, block_q, interpret)
     return o, (qkv, o, lengths, seed)
 
 
-def _mha_train_bwd(heads, rate, block_q, interpret, res, do):
+def _mha_train_bwd(heads, rate, block_q, interpret, block_q_bwd, res, do):
     qkv, o, lengths, seed = res
-    dqkv = _bwd_call(qkv, o, do, lengths, seed, heads, rate, block_q, interpret)
+    dqkv = _bwd_call(
+        qkv, o, do, lengths, seed, heads, rate, block_q, interpret,
+        block_q_bwd=block_q_bwd,
+    )
     return dqkv, None, None
 
 
@@ -315,7 +388,8 @@ _mha_train.defvjp(_mha_train_fwd, _mha_train_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "dropout_rate", "block_q", "interpret")
+    jax.jit,
+    static_argnames=("heads", "dropout_rate", "block_q", "interpret", "block_q_bwd"),
 )
 def mha_train(
     qkv: jax.Array,
@@ -325,6 +399,7 @@ def mha_train(
     dropout_rate: float = 0.0,
     block_q: int = 256,
     interpret: bool = False,
+    block_q_bwd: int | None = None,
 ) -> jax.Array:
     """Differentiable multi-head attention over packed ``(B, T, 3H)`` qkv.
 
@@ -352,5 +427,6 @@ def mha_train(
         raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     return _mha_train(
-        qkv, lengths.astype(jnp.int32), seed, heads, float(dropout_rate), block_q, interpret
+        qkv, lengths.astype(jnp.int32), seed, heads, float(dropout_rate), block_q,
+        interpret, block_q_bwd,
     )

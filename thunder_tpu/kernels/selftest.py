@@ -225,7 +225,7 @@ def _check_attn_train_grad() -> float:
     return ulp_bf16_error(gk.astype(jnp.float32), gr)
 
 
-def _check_attn_train_dropout() -> float:
+def _check_attn_train_dropout(t: int = 128) -> float:
     """In-kernel attention-prob dropout, validated end-to-end on chip:
 
     1. determinism: same seed -> bit-identical output (inf on mismatch);
@@ -234,11 +234,17 @@ def _check_attn_train_dropout() -> float:
        binary with kept fraction within 5 sigma of 1-rate;
     3. fwd and custom-vjp grads must match the f32 unfused reference
        applying that recovered mask — returned in bf16-ULP units.
+
+    The ``t=1536`` registration exercises the regime where the forward
+    (bq=256) and backward (bq=128) tile the q dimension DIFFERENTLY — the
+    regression gate for the 128-row-slab mask keying (`attn_train.py
+    _dropout_keep_masks`): q-block-keyed masks made the backward apply
+    different bits than the forward there.
     """
     from thunder_tpu.kernels.attn_train import mha_train
 
     rng = np.random.default_rng(9)
-    b, t, heads, rate = 2, 128, 2, 0.3
+    b, heads, rate = 2, 2, 0.3
     h = heads * 64
     keep = 1.0 - rate
     q = rng.standard_normal((b, t, h)).astype(np.float32) * 0.3
@@ -247,7 +253,7 @@ def _check_attn_train_dropout() -> float:
     seed = jnp.asarray([20260821], jnp.int32)
 
     pd_parts = []
-    for off in (0, 64):
+    for off in range(0, t, 64):  # identity-v probes recover 64 key columns each
         v = np.zeros((b, t, h), np.float32)
         for hh in range(heads):
             for j in range(64):
@@ -423,6 +429,7 @@ KERNEL_CHECKS: Dict[str, tuple[Callable[[], float], float]] = {
     "attn_onepanel_1536": (_check_attn_onepanel_1536, 4.0),  # ULPs, 30 s serving shape
     "attn_train_grad": (_check_attn_train_grad, 8.0),  # ULPs: bf16 ds/prob panels in the bwd matmuls
     "attn_train_dropout": (_check_attn_train_dropout, 8.0),  # ULPs vs recovered-mask reference (inf = mask/determinism failure)
+    "attn_train_dropout_1536": (lambda: _check_attn_train_dropout(t=1536), 8.0),  # same gate where fwd (bq=256) and bwd (bq=128) tile q differently
     "ctc_recursion": (_check_ctc_recursion, 0.01),  # abs loss delta / rel grad delta vs the scan (measured ~2e-3; f32 order + different bwd algorithm)
     "add_ln_train": (_check_add_ln_train, 8.0),  # ULPs (fwd, dx, dy) / percent-rel (dscale, dbias) vs recovered-mask f32 reference
     "add_ln": (_check_add_ln, 2.0),  # ULPs: one output rounding + f32 reduction order
