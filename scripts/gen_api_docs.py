@@ -64,6 +64,7 @@ PAGES = {
         ("attention one-panel (Pallas)", "thunder_tpu.kernels.attn_onepanel"),
         ("attention train fwd+bwd (Pallas)", "thunder_tpu.kernels.attn_train"),
         ("add + layernorm (Pallas)", "thunder_tpu.kernels.add_ln"),
+        ("add + dropout + layernorm train (Pallas)", "thunder_tpu.kernels.add_ln_train"),
         ("beam search (Pallas)", "thunder_tpu.kernels.beam_pallas"),
         ("ctc recursion (Pallas)", "thunder_tpu.kernels.ctc_pallas"),
         ("selftest", "thunder_tpu.kernels.selftest"),
